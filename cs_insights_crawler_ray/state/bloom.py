@@ -1,0 +1,82 @@
+"""Counting Bloom filter over 20-byte URL digests.
+
+Approximate-membership sketch for the URL-seen set (BASELINE.json
+north_rule).  The reference's "seen" mechanism is file-granular disk
+caching (reference ``dblpclient.py:340-350,442-443``); at 10^10-URL
+scale the seen set must be a compact in-memory sketch, sharded across
+actors (see ``state/seen.py``).
+
+Counting (uint8 cells, saturating) rather than bit-per-cell so
+deletions are possible — needed when a wave is rolled back on resume.
+Guarantees: NO false negatives; false-positive rate ~ (1-e^{-kn/m})^k.
+k hash functions are derived from disjoint slices of the SHA-1 digest
+itself (the digest is already uniform), so adds are pure numpy — no
+per-item Python hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class CountingBloom:
+    def __init__(self, capacity: int, fp_rate: float = 1e-3):
+        # m = -n ln p / (ln 2)^2 ; k = m/n ln 2
+        n = max(64, capacity)
+        m = int(-n * np.log(fp_rate) / (np.log(2) ** 2))
+        self.k = max(1, int(round(m / n * np.log(2))))
+        self.k = min(self.k, 4)  # 4 x uint32 slices fit a 20-byte digest
+        self.m = np.uint64(max(1024, m))
+        self.cells = np.zeros(int(self.m), dtype=np.uint8)
+        self.n_added = 0
+
+    def _indices(self, digests: np.ndarray) -> np.ndarray:
+        """(N,20) uint8 digest matrix -> (k,N) cell indices."""
+        d = digests.reshape(-1, 20)
+        words = d[:, : self.k * 4].reshape(-1, self.k, 4).astype(np.uint64)
+        vals = (
+            (words[:, :, 0] << np.uint64(24))
+            | (words[:, :, 1] << np.uint64(16))
+            | (words[:, :, 2] << np.uint64(8))
+            | words[:, :, 3]
+        )
+        # mix with the tail bytes to decorrelate the k slices further
+        tail = (d[:, 16].astype(np.uint64) << np.uint64(8)) | d[:, 17].astype(np.uint64)
+        vals = vals + (np.arange(1, self.k + 1, dtype=np.uint64)[None, :] * tail[:, None])
+        return (vals % self.m).T
+
+    def contains(self, digests: np.ndarray) -> np.ndarray:
+        """Vectorized membership: (N,20) uint8 -> (N,) bool (maybe-present)."""
+        idx = self._indices(digests)
+        return (self.cells[idx] > 0).all(axis=0)
+
+    def add(self, digests: np.ndarray) -> None:
+        idx = self._indices(digests)
+        for row in idx:  # k rows (<=4), each a vectorized scatter-add
+            np.add.at(self.cells, row, 1)
+        np.minimum(self.cells, 255, out=self.cells)  # saturate
+        self.n_added += digests.shape[0]
+
+    def remove(self, digests: np.ndarray) -> None:
+        """Best-effort delete (counting cells). Saturated cells (255)
+        are never decremented to preserve the no-false-negative
+        guarantee for other members."""
+        idx = self._indices(digests)
+        for row in idx:
+            sel = self.cells[row]
+            dec = (sel > 0) & (sel < 255)
+            np.subtract.at(self.cells, row[dec], 1)
+        self.n_added -= digests.shape[0]
+
+    # -- snapshot (checkpoint/resume) --------------------------------
+    def dump(self) -> dict:
+        return {"k": self.k, "m": int(self.m), "cells": self.cells, "n_added": self.n_added}
+
+    @classmethod
+    def load(cls, state: dict) -> "CountingBloom":
+        obj = cls.__new__(cls)
+        obj.k = state["k"]
+        obj.m = np.uint64(state["m"])
+        obj.cells = np.asarray(state["cells"], dtype=np.uint8).copy()
+        obj.n_added = state["n_added"]
+        return obj

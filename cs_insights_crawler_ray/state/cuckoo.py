@@ -1,0 +1,130 @@
+"""Cuckoo filter over 20-byte URL digests.
+
+Second membership sketch required by the north_rule ("sharded
+counting-bloom + cuckoo-filter URL-seen set").  Compared to the bloom
+it supports clean deletes and ~same space at low FP rates; we run both
+in each seen shard and use the bloom as the fast-negative screen (see
+``state/seen.py`` for the exactness contract).
+
+Standard design (Fan et al., CoNLL'14, public): buckets of 4
+fingerprint slots, partial-key cuckoo hashing with
+``i2 = i1 XOR hash(fingerprint)``.  16-bit fingerprints taken from
+the SHA-1 digest (uniform already).  Fingerprint 0 is remapped to 1 so
+0 can mean "empty slot".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SLOTS = 4
+_MAX_KICKS = 200
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int, seed: int = 0x5EED):
+        n_buckets = 1
+        while n_buckets * _SLOTS < int(capacity / 0.84) + _SLOTS:
+            n_buckets <<= 1  # power of two so i2 = i1 ^ h(fp) stays in range
+        self.n_buckets = n_buckets
+        self.mask = np.uint64(n_buckets - 1)
+        self.table = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+        self.rng = np.random.Generator(np.random.PCG64(seed))
+        self.n_added = 0
+
+    # -- hashing ------------------------------------------------------
+    @staticmethod
+    def _fp(d: np.ndarray) -> np.ndarray:
+        fp = (d[:, 0].astype(np.uint16) << np.uint16(8)) | d[:, 1].astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, d: np.ndarray) -> np.ndarray:
+        v = (
+            (d[:, 4].astype(np.uint64) << np.uint64(24))
+            | (d[:, 5].astype(np.uint64) << np.uint64(16))
+            | (d[:, 6].astype(np.uint64) << np.uint64(8))
+            | d[:, 7].astype(np.uint64)
+        )
+        return v & self.mask
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # MurmurHash-style fingerprint mix (public-domain constant)
+        h = fp.astype(np.uint64) * np.uint64(0xC6A4A7935BD1E995)
+        return (i ^ (h & np.uint64(0xFFFFFFFFFFFFFFFF))) & self.mask
+
+    # -- ops ----------------------------------------------------------
+    def contains(self, digests: np.ndarray) -> np.ndarray:
+        d = digests.reshape(-1, 20)
+        fp, i1 = self._fp(d), self._i1(d)
+        i2 = self._alt(i1, fp)
+        in1 = (self.table[i1.astype(np.int64)] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2.astype(np.int64)] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def add(self, digests: np.ndarray) -> int:
+        """Insert each digest; returns the number that failed (table
+        full after MAX_KICKS). Per-item loop — acceptable because adds
+        happen only for *new* URLs inside a shard actor, amortized
+        over the whole wave batch."""
+        d = digests.reshape(-1, 20)
+        fps, i1s = self._fp(d), self._i1(d)
+        failed = 0
+        for fp, i1 in zip(fps, i1s):
+            if not self._insert_one(np.uint16(fp), np.uint64(i1)):
+                failed += 1
+        self.n_added += d.shape[0] - failed
+        return failed
+
+    def _insert_one(self, fp: np.uint16, i1: np.uint64) -> bool:
+        i2 = self._alt(np.array([i1]), np.array([fp]))[0]
+        for i in (int(i1), int(i2)):
+            slot = np.nonzero(self.table[i] == 0)[0]
+            if slot.size:
+                self.table[i, slot[0]] = fp
+                return True
+        i = int(i1) if self.rng.integers(0, 2) else int(i2)
+        for _ in range(_MAX_KICKS):
+            s = int(self.rng.integers(0, _SLOTS))
+            fp, self.table[i, s] = self.table[i, s], fp
+            i = int(self._alt(np.array([np.uint64(i)]), np.array([fp]))[0])
+            slot = np.nonzero(self.table[i] == 0)[0]
+            if slot.size:
+                self.table[i, slot[0]] = fp
+                return True
+        return False
+
+    def remove(self, digests: np.ndarray) -> int:
+        d = digests.reshape(-1, 20)
+        fps, i1s = self._fp(d), self._i1(d)
+        i2s = self._alt(i1s, fps)
+        removed = 0
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            for i in (int(i1), int(i2)):
+                slot = np.nonzero(self.table[i] == fp)[0]
+                if slot.size:
+                    self.table[i, slot[0]] = 0
+                    removed += 1
+                    break
+        self.n_added -= removed
+        return removed
+
+    # -- snapshot -----------------------------------------------------
+    def dump(self) -> dict:
+        return {
+            "n_buckets": self.n_buckets,
+            "table": self.table,
+            "n_added": self.n_added,
+            "rng_state": self.rng.bit_generator.state,
+        }
+
+    @classmethod
+    def load(cls, state: dict) -> "CuckooFilter":
+        obj = cls.__new__(cls)
+        obj.n_buckets = state["n_buckets"]
+        obj.mask = np.uint64(obj.n_buckets - 1)
+        obj.table = np.asarray(state["table"], dtype=np.uint16).copy()
+        obj.n_added = state["n_added"]
+        obj.rng = np.random.Generator(np.random.PCG64())
+        obj.rng.bit_generator.state = state["rng_state"]
+        return obj

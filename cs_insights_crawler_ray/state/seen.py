@@ -1,0 +1,206 @@
+"""Sharded URL-seen set — bloom + cuckoo sketches with an exact
+authority, held in long-lived Ray actors.
+
+The reference's seen/idempotence mechanism is a disk cache of
+downloaded files checked by md5 (reference ``dblpclient.py:340-350,
+442-443``); it works because the crawl is sequential and the universe
+is a few hundred files.  At 10^10 URLs the seen set is the central
+shared mutable state — the one place the Dataset API genuinely cannot
+express the semantics (a concurrent membership test-and-set), so it
+drops to raw Ray actors per the build contract.
+
+Sharding: ``host_hash % n_shards``.  This co-locates each host's URLs
+in one shard (same key the politeness layer partitions by), bounds any
+single actor's memory, and lets `check_and_add` calls from parallel
+map_batches tasks fan out without a global lock.
+
+Exactness contract (needed for byte-identical parity with the
+sequential oracle, BASELINE.json north_star):
+
+- bloom negative  -> definitely NEW (bloom has no false negatives);
+  add to bloom + cuckoo + exact authority.
+- bloom positive  -> consult the exact authority (a per-shard hash
+  set of 20-byte digests).  For genuinely-new URLs this path is rare
+  (≈ bloom FP rate), so the authority is touched ~never on the hot
+  path; for a pure-sketch deployment set ``exact=False`` and accept
+  the documented FP rate (URLs wrongly considered seen are skipped —
+  safe, just lossy).
+
+Determinism under parallelism: callers dedupe each wave globally by
+``url_sha1`` *before* the seen filter (groupby min-discovery-key), so
+within a wave every digest reaches its shard exactly once and the
+answer is independent of task interleaving; across waves the wave
+barrier orders adds.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+import ray
+
+from .bloom import CountingBloom
+from .cuckoo import CuckooFilter
+
+
+class _SeenShardImpl:
+    """Plain-Python core (unit-testable without Ray)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20,
+                 fp_rate: float = 1e-3, exact: bool = True):
+        self.shard_id = shard_id
+        self.bloom = CountingBloom(capacity, fp_rate)
+        self.cuckoo = CuckooFilter(capacity, seed=0x5EED ^ shard_id)
+        self.exact: set[bytes] | None = set() if exact else None
+        self.n_checked = 0
+        self.n_new = 0
+
+    def check_and_add(self, digests: np.ndarray) -> np.ndarray:
+        """(N,20) uint8 -> (N,) bool, True = previously UNSEEN (and now
+        marked seen). Vectorized bloom screen; exact confirmation only
+        on the (rare) bloom-positive path.
+
+        Duplicate-safe within a batch: if the same digest appears k
+        times, only its FIRST occurrence (lowest index) is reported
+        new — the bloom screen is evaluated against pre-batch state,
+        so without the unique() pass every copy would read "new"."""
+        d = np.ascontiguousarray(digests).reshape(-1, 20)
+        self.n_checked += d.shape[0]
+        uniq, first_idx = np.unique(d, axis=0, return_index=True)
+        maybe_seen = self.bloom.contains(uniq)
+        new_uniq = ~maybe_seen
+        if self.exact is not None and maybe_seen.any():
+            for i in np.nonzero(maybe_seen)[0]:
+                if uniq[i].tobytes() not in self.exact:
+                    new_uniq[i] = True
+        new = uniq[new_uniq]
+        if new.shape[0]:
+            self.bloom.add(new)
+            self.cuckoo.add(new)
+            if self.exact is not None:
+                self.exact.update(row.tobytes() for row in new)
+        new_mask = np.zeros(d.shape[0], dtype=bool)
+        new_mask[first_idx[new_uniq]] = True
+        self.n_new += int(new_mask.sum())
+        return new_mask
+
+    def contains(self, digests: np.ndarray) -> np.ndarray:
+        d = np.ascontiguousarray(digests).reshape(-1, 20)
+        maybe = self.bloom.contains(d)
+        if self.exact is None:
+            return maybe
+        out = maybe.copy()
+        for i in np.nonzero(maybe)[0]:
+            out[i] = d[i].tobytes() in self.exact
+        return out
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "checked": self.n_checked,
+            "new": self.n_new,
+            "bloom_added": self.bloom.n_added,
+            "cuckoo_added": self.cuckoo.n_added,
+            "exact_size": len(self.exact) if self.exact is not None else -1,
+        }
+
+    # -- wave-barrier snapshots (checkpoint/resume) -------------------
+    def snapshot(self, path: str) -> str:
+        """Atomic write (tmp + rename) of full shard state; called at
+        the wave barrier together with the frontier offset commit so
+        seen-membership and frontier position can never diverge."""
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        state = {
+            "shard_id": self.shard_id,
+            "bloom": self.bloom.dump(),
+            "cuckoo": self.cuckoo.dump(),
+            "exact": self.exact,
+            "n_checked": self.n_checked,
+            "n_new": self.n_new,
+        }
+        tmp = p.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f, protocol=4)
+        tmp.rename(p)
+        return str(p)
+
+    def restore(self, path: str) -> None:
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.shard_id = state["shard_id"]
+        self.bloom = CountingBloom.load(state["bloom"])
+        self.cuckoo = CuckooFilter.load(state["cuckoo"])
+        self.exact = state["exact"]
+        self.n_checked = state["n_checked"]
+        self.n_new = state["n_new"]
+
+
+SeenShard = ray.remote(_SeenShardImpl)
+
+
+class ShardedSeenSet:
+    """Driver-side handle bundle; also usable from inside map_batches
+    tasks (actor handles serialize)."""
+
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 20,
+                 fp_rate: float = 1e-3, exact: bool = True):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.remote(i, capacity_per_shard, fp_rate, exact)
+            for i in range(n_shards)
+        ]
+
+    def route(self, host_hash: np.ndarray) -> np.ndarray:
+        return (host_hash % np.uint64(self.n_shards)).astype(np.int64)
+
+    def check_and_add(self, digests: np.ndarray, host_hash: np.ndarray) -> np.ndarray:
+        """Fan a batch out to shards concurrently; returns the NEW mask
+        aligned with the input order."""
+        d = np.ascontiguousarray(digests).reshape(-1, 20)
+        shard_of = self.route(host_hash)
+        mask = np.zeros(d.shape[0], dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            sel = np.nonzero(shard_of == s)[0]
+            if sel.size:
+                refs.append(self.shards[s].check_and_add.remote(d[sel]))
+                idxs.append(sel)
+        for ref, sel in zip(refs, idxs):
+            mask[sel] = ray.get(ref)
+        return mask
+
+    def contains(self, digests: np.ndarray, host_hash: np.ndarray) -> np.ndarray:
+        d = np.ascontiguousarray(digests).reshape(-1, 20)
+        shard_of = self.route(host_hash)
+        mask = np.zeros(d.shape[0], dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            sel = np.nonzero(shard_of == s)[0]
+            if sel.size:
+                refs.append(self.shards[s].contains.remote(d[sel]))
+                idxs.append(sel)
+        for ref, sel in zip(refs, idxs):
+            mask[sel] = ray.get(ref)
+        return mask
+
+    def snapshot(self, directory: str, wave: int) -> list[str]:
+        paths = [
+            f"{directory}/seen_shard{m:04d}_wave{wave:06d}.pkl" for m in range(self.n_shards)
+        ]
+        return ray.get(
+            [a.snapshot.remote(p) for a, p in zip(self.shards, paths)]
+        )
+
+    def restore(self, paths: list[str]) -> None:
+        ray.get([a.restore.remote(p) for a, p in zip(self.shards, paths)])
+
+    def stats(self) -> list[dict]:
+        return ray.get([a.stats.remote() for a in self.shards])
+
+    def shutdown(self) -> None:
+        for a in self.shards:
+            ray.kill(a)
+        self.shards = []

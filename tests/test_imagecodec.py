@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cs_insights_crawler_ray.functions.imagecodec import (
+    decode_image,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+)
+
+
+def _img(seed=0, h=40, w=48):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_lossless():
+    img = _img(1)
+    pix, fmt = decode_image(encode_image(img, "png"))
+    assert fmt == "png"
+    assert np.array_equal(pix, img)
+    assert psnr(pix, img) == float("inf")
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "webp"])
+def test_lossy_psnr_above_gate(fmt):
+    img = _img(2)
+    pix, got = decode_image(encode_image(img, fmt))
+    assert got == fmt
+    assert pix.shape == img.shape
+    assert 40.0 <= psnr(pix, img) < float("inf")
+
+
+def test_corrupt_payload_raises():
+    data = bytearray(encode_image(_img(3), "png"))
+    with pytest.raises(ValueError):
+        decode_image(bytes(data[:5]))
+    data[0] = 0
+    with pytest.raises(ValueError):
+        decode_image(bytes(data))
+
+
+def test_phash_near_dup_property():
+    img = _img(4, 64, 64)
+    lossy, _ = decode_image(encode_image(img, "jpeg"))
+    other = _img(5, 64, 64)
+    h0, h1, h2 = phash64(img), phash64(lossy), phash64(other)
+    assert hamming64(h0, h1) <= 4          # re-encode = near dup
+    assert hamming64(h0, h2) > 10          # unrelated image = far
+    assert -(2**63) <= h0 < 2**63          # fits Arrow int64

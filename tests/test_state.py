@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from cs_insights_crawler_ray.state.bloom import CountingBloom
+from cs_insights_crawler_ray.state.cuckoo import CuckooFilter
+from cs_insights_crawler_ray.state.seen import ShardedSeenSet, _SeenShardImpl
+
+
+def _digests(n, salt=b""):
+    return np.frombuffer(
+        b"".join(hashlib.sha1(salt + i.to_bytes(8, "big")).digest() for i in range(n)),
+        dtype=np.uint8,
+    ).reshape(n, 20)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    b = CountingBloom(capacity=5000, fp_rate=1e-3)
+    members = _digests(5000, b"m")
+    others = _digests(5000, b"o")
+    b.add(members)
+    assert b.contains(members).all()                      # no false negatives
+    assert others.shape[0] > 0
+    assert b.contains(others).mean() < 0.01               # fp well under 1%
+
+
+def test_bloom_remove_and_snapshot():
+    b = CountingBloom(capacity=1000)
+    d = _digests(100)
+    b.add(d)
+    b.remove(d[:50])
+    assert b.contains(d[50:]).all()
+    b2 = CountingBloom.load(b.dump())
+    assert np.array_equal(b2.cells, b.cells)
+
+
+def test_cuckoo_membership_delete_snapshot():
+    c = CuckooFilter(capacity=5000)
+    members = _digests(4000, b"m")
+    others = _digests(4000, b"x")
+    assert c.add(members) == 0
+    assert c.contains(members).all()
+    assert c.contains(others).mean() < 0.01
+    c.remove(members[:100])
+    assert not c.contains(members[:100]).any() or c.contains(members[:100]).mean() < 0.05
+    c2 = CuckooFilter.load(c.dump())
+    assert np.array_equal(c2.table, c.table)
+
+
+def test_seen_shard_exactness(tmp_path):
+    s = _SeenShardImpl(0, capacity=1000)
+    d = _digests(500)
+    first = s.check_and_add(d)
+    assert first.all()
+    again = s.check_and_add(d)
+    assert not again.any()                                 # exact: no FN, no FP
+    p = s.snapshot(str(tmp_path / "s.pkl"))
+    s2 = _SeenShardImpl(0, capacity=10)
+    s2.restore(p)
+    assert not s2.check_and_add(d).any()
+    assert s2.check_and_add(_digests(10, b"new")).all()
+
+
+def test_sharded_seen_set_routing():
+    sset = ShardedSeenSet(n_shards=4, capacity_per_shard=4096)
+    try:
+        d = _digests(1000)
+        hh = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+        new = sset.check_and_add(d, hh)
+        assert new.all()
+        assert not sset.check_and_add(d, hh).any()
+        assert sset.contains(d, hh).all()
+        stats = sset.stats()
+        assert sum(x["new"] for x in stats) == 1000
+        assert all(x["new"] > 0 for x in stats)            # all shards used
+    finally:
+        sset.shutdown()
