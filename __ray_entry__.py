@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere down this import tree.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps operator names (SURVEY.md §2 inventory + the
+training-data surface) to callables over an sf_dir; ``oracle_sql()``
+holds the DuckDB equivalents where the op is SQL-expressible
+(column names match exactly; re-associated float aggregates are
+rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -18,27 +15,144 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from cs_insights_crawler_ray.pipelines import ann, dedup, relational as R, textops
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (smoke): the relational core's
+    grouped-aggregate over lineitem. The crawl engine has its own
+    driver (pipelines/crawl.py) exercised via queries() and tests."""
+    return R.q01_pricing_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- relational core (reference semantics, SURVEY.md §2) ----
+        "q01_pricing_summary": R.q01_pricing_summary,
+        "q02_timestamp_filter": R.q02_timestamp_filter,
+        "q03_access_filter": R.q03_access_filter,
+        "q04_source_filter_union": R.q04_source_filter_union,
+        "q05_semi_join": R.q05_semi_join,
+        "q06_exploded_semi_join": R.q06_exploded_semi_join,
+        "q07_outer_merge": R.q07_outer_merge,
+        "q09_topk": R.q09_topk,
+        "q10_dedup_exact": R.q10_dedup_exact,
+        "q11_anti_join_denylist": R.q11_anti_join_denylist,
+        "q12_window_agg": R.q12_window_agg,
+        "q21_revenue_by_nation": R.q21_revenue_by_nation,
+        # -- text analysis ------------------------------------------
+        "q13_token_stats": textops.q13_token_stats,
+        "q14_quality_scores": textops.q14_quality_scores,
+        "q19_lang_id": textops.q19_lang_id,
+        "q20_fingerprint": textops.q20_fingerprint,
+        # -- similarity search --------------------------------------
+        "q15_ann_brute": ann.q15_ann_brute,
+        "q16_lsh_ann": ann.q16_lsh_ann,
+        # -- dedup family -------------------------------------------
+        "q10b_dedup_exact": R.q10_dedup_exact,
+        "q17_minhash_dedup": dedup.q17_minhash_dedup,
+        "q22_simhash": dedup.q22_simhash,
+        "q23_embedding_near_dup": dedup.q23_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                        AS sum_qty,
+                   round(sum(l_extendedprice), 2)                   AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4)                        AS avg_qty,
+                   count(*)                                         AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_timestamp_filter": """
+            SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "q03_access_filter": """
+            SELECT * FROM orders
+            WHERE coalesce(o_orderstatus, 'closed') IN ('O', 'F')
+        """,
+        "q04_source_filter_union": """
+            SELECT * FROM documents
+            WHERE lang = 'en' OR source IN ('src1', 'src2', 'src3')
+        """,
+        "q05_semi_join": """
+            SELECT * FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        """,
+        "q06_exploded_semi_join": """
+            SELECT * FROM customer
+            WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+        """,
+        "q07_outer_merge": """
+            WITH l AS (
+                SELECT o_orderkey, o_totalprice AS val, o_orderstatus
+                FROM orders WHERE (o_orderkey & 3) <> 0),
+            r AS (
+                SELECT l_orderkey,
+                       round(sum(l_quantity), 2)      AS sum_qty,
+                       round(sum(l_extendedprice), 2) AS val
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT coalesce(l.o_orderkey, r.l_orderkey) AS orderkey,
+                   coalesce(l.val, r.val)               AS val,
+                   l.o_orderstatus, r.sum_qty
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.l_orderkey
+        """,
+        "q09_topk": """
+            SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "q10_dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "q10b_dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "q11_anti_join_denylist": """
+            SELECT * FROM documents WHERE source NOT IN ('src0', 'src13', 'src7')
+        """,
+        "q12_window_agg": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*)                                AS n_events,
+                   round(sum(value), 3)                    AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q13_token_stats": """
+            SELECT doc_id,
+                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(replace(text, ' ', ''))                       AS n_chars_nospace
+            FROM documents
+        """,
+        "q15_ann_brute": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id < 3),
+            s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cos
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid, vec_id FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC) <= 10
+        """,
+        "q21_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*)                    AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        # q14_quality_scores, q16_lsh_ann, q17_minhash_dedup,
+        # q19_lang_id, q20_fingerprint, q22_simhash,
+        # q23_embedding_near_dup: not SQL-expressible (regex/unicode
+        # semantics, sketches, heuristics) -> rows-only check; pytest
+        # holds their oracles (tests/test_relational.py, test_dedup.py).
+    }

@@ -1,0 +1,130 @@
+"""Text-analysis kernels for the training-data pipeline surface.
+
+Language-ID (n-gram heuristic), quality scoring, token counting, and
+rolling-hash document fingerprinting — all pure, deterministic, and
+vectorized over pandas/numpy batches (the string kernels need pandas
+str methods; the stage passes ``batch_format="pandas"``).
+
+These are new surfaces relative to the reference (SURVEY.md §2 "beyond
+the reference") but reuse its per-record transform shape
+(FilterFunction, reference ``types.py:71``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic language ID — public-knowledge word lists.
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is it you that was for on are with".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist nicht".split()),
+    "fr": frozenset("le de la et les des en un une du est que pour dans".split()),
+    "es": frozenset("de la que el en y a los del se las un por con".split()),
+    "zh": frozenset(),  # handled by the CJK codepoint-ratio rule below
+}
+
+
+def token_counts(texts: pd.Series) -> pd.Series:
+    """Whitespace token count (matches SQL
+    ``array_length(string_split_regex(trim(text),'\\s+'))``)."""
+    return texts.str.strip().str.split().str.len().astype("int64")
+
+
+def bpe_ish_token_counts(texts: pd.Series) -> pd.Series:
+    """Sub-word-ish token count: words + digits + punctuation runs via
+    a GPT-2-style pre-tokenizer regex (public pattern family). Not
+    SQL-expressible — rows-only oracle."""
+    pat = re.compile(r"\w+|[^\w\s]+")
+    return texts.map(lambda s: len(pat.findall(s))).astype("int64")
+
+
+def quality_scores(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic doc-quality features: length, punctuation ratio,
+    stopword(en) ratio, mean word length."""
+    n_chars = texts.str.len().astype("int64")
+    words = texts.str.lower().str.findall(_WORD_RE)
+    n_words = words.str.len().clip(lower=1)
+    stop = _LANG_PROFILES["en"]
+    stop_ratio = words.map(lambda ws: sum(w in stop for w in ws)) / n_words
+    punct = texts.str.count(r"[^\w\s]").astype("int64")
+    mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "punct_ratio": (punct / n_chars.clip(lower=1)).round(6),
+            "stop_ratio_en": stop_ratio.round(6),
+            "mean_word_len": pd.Series(mean_wlen).round(6),
+        }
+    )
+
+
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Heuristic language ID: CJK codepoint ratio → zh, else the
+    stopword profile with the highest hit ratio, ties broken by fixed
+    profile order (deterministic)."""
+
+    def _one(s: str) -> str:
+        if not s:
+            return "und"
+        cjk = sum(1 for ch in s if "一" <= ch <= "鿿")
+        if cjk / max(1, len(s)) > 0.05:
+            return "zh"
+        words = [w.lower() for w in _WORD_RE.findall(s)]
+        if not words:
+            return "und"
+        best, best_hits = "und", 0
+        for lang in ("en", "de", "fr", "es"):
+            hits = sum(w in _LANG_PROFILES[lang] for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    return texts.map(_one)
+
+
+def fingerprint64(texts: pd.Series, window: int = 8) -> pd.Series:
+    """Rolling polynomial hash fingerprint (Karp-Rabin family): the
+    min of 64-bit window hashes over the token stream — a winnowing-
+    style document fingerprint, stable under local edits outside the
+    minimizing window."""
+    B = np.uint64(1099511628211)  # FNV prime as the base
+
+    def _one(s: str) -> int:
+        toks = s.split()
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (hash64_str(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        if len(hs) <= window:
+            acc = np.uint64(0)
+            for h in hs:
+                acc = acc * B + h
+            return int(acc)
+        # rolling windows vectorized via cumulative powers
+        n = len(hs) - window + 1
+        out = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            powers = np.power(B, np.arange(window, dtype=np.uint64))[::-1]
+            for i in range(n):
+                out[i] = (hs[i : i + window] * powers).sum(dtype=np.uint64)
+        return int(out.min())
+
+    return texts.map(_one).astype("uint64").astype("int64")
+
+
+def hash64_str(s: str) -> np.uint64:
+    """FNV-1a 64-bit of a UTF-8 string — pure-Python but only used
+    per-token inside fingerprint64."""
+    h = np.uint64(14695981039346656037)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for b in s.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * prime
+    return h

@@ -1,0 +1,171 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two paths per the build contract:
+
+- ``q15_ann_brute``: exact cosine top-k — per batch, one numpy
+  float64 matmul against a broadcast query matrix (``ray.put`` once,
+  fetched in each actor's ``__init__``), then a per-batch partial
+  top-k; partials merge in a final small stage. Streams: no stage
+  ever holds more than (batch × queries) scores.
+- ``q16_lsh_ann``: the scale path — random-hyperplane (SimHash) LSH
+  buckets; only vectors sharing a bucket with a query are scored.
+  Recall < 1 by design; the brute result is its oracle in tests.
+
+DuckDB oracle for the brute path uses list_cosine_similarity; only
+(qid, vec_id) pairs are compared (cosine floats differ in the last
+ulp between numpy and DuckDB).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+N_QUERIES = 3  # queries = embeddings with vec_id < N_QUERIES (deterministic)
+TOP_K = 10
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(N_QUERIES)))
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+class _BruteScorer:
+    """Actor-pool stage: normalized query matrix fetched once per actor."""
+
+    def __init__(self, qref, qids):
+        self.q = ray.get(qref)  # (Q, D) float64, rows unit-norm
+        self.qids = qids
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+        cos = vecs @ self.q.T  # (N, Q)
+        out = []
+        vid = b["vec_id"].to_numpy()
+        for qi, qid in enumerate(self.qids):
+            col = cos[:, qi]
+            keep = vid != qid
+            idx = np.nonzero(keep)[0]
+            if idx.size == 0:
+                continue
+            k = min(TOP_K, idx.size)
+            # partial top-k within the batch — merged downstream
+            top = idx[np.argpartition(-col[idx], k - 1)[:k]]
+            out.append(
+                pd.DataFrame({"qid": qid, "vec_id": vid[top], "cos": col[top]})
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                               "vec_id": pd.Series([], dtype="int64"),
+                               "cos": pd.Series([], dtype="float64")})
+        )
+
+
+def q15_ann_brute(sf_dir: str) -> pa.Table:
+    qids, qmat = _load_queries(sf_dir)
+    qref = ray.put(qmat)
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(
+            _BruteScorer,
+            fn_constructor_args=(qref, qids),
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=2,
+        )
+    )
+    # final exact top-k merge per query: the partial set is tiny
+    # (n_batches × K per query), so a driver-side heap is correct here.
+    best: dict[int, list] = {int(q): [] for q in qids}
+    for batch in partials.iter_batches(batch_size=None, batch_format="pandas"):
+        for qid, vec_id, cos in zip(batch["qid"], batch["vec_id"], batch["cos"]):
+            # (cos, -vec_id) so ties break toward the smaller vec_id
+            heapq.heappush(best[int(qid)], (float(cos), -int(vec_id)))
+            if len(best[int(qid)]) > TOP_K:
+                heapq.heappop(best[int(qid)])
+    rows = []
+    for qid, heap in best.items():
+        for cos, nvid in sorted(heap, reverse=True):
+            rows.append({"qid": qid, "vec_id": -nvid})
+    return pa.Table.from_pylist(rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64())]))
+
+
+class _LSHScorer:
+    """SimHash-bucketed ANN: score only vectors whose hyperplane
+    signature matches a query's in >= (bits - slack) positions."""
+
+    def __init__(self, qref, qids, planes_ref, slack=2):
+        self.q = ray.get(qref)
+        self.qids = qids
+        self.planes = ray.get(planes_ref)  # (bits, D)
+        self.qsig = (self.q @ self.planes.T) > 0  # (Q, bits)
+        self.slack = slack
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+        sig = (vecs @ self.planes.T) > 0  # (N, bits)
+        vid = b["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(self.qids):
+            agree = (sig == self.qsig[qi]).sum(axis=1)
+            cand = np.nonzero((agree >= sig.shape[1] - self.slack) & (vid != qid))[0]
+            if cand.size == 0:
+                continue
+            cos = vecs[cand] @ self.q[qi]
+            k = min(TOP_K, cand.size)
+            top = cand[np.argpartition(-cos, k - 1)[:k]]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vid[top],
+                                     "cos": vecs[top] @ self.q[qi]}))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                               "vec_id": pd.Series([], dtype="int64"),
+                               "cos": pd.Series([], dtype="float64")})
+        )
+
+
+def q16_lsh_ann(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
+    qids, qmat = _load_queries(sf_dir)
+    rng = np.random.Generator(np.random.PCG64(7))
+    planes = rng.standard_normal((bits, qmat.shape[1]))
+    qref, pref = ray.put(qmat), ray.put(planes)
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(
+            _LSHScorer,
+            fn_constructor_args=(qref, qids, pref, slack),
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=2,
+        )
+    )
+    best: dict[int, list] = {int(q): [] for q in qids}
+    for batch in partials.iter_batches(batch_size=None, batch_format="pandas"):
+        for qid, vec_id, cos in zip(batch["qid"], batch["vec_id"], batch["cos"]):
+            heapq.heappush(best[int(qid)], (float(cos), -int(vec_id)))
+            if len(best[int(qid)]) > TOP_K:
+                heapq.heappop(best[int(qid)])
+    rows = []
+    for qid, heap in best.items():
+        for cos, nvid in sorted(heap, reverse=True):
+            rows.append({"qid": qid, "vec_id": -nvid, "cos": round(cos, 6)})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())])
+    )

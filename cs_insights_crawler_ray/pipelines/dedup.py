@@ -1,0 +1,294 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All follow the shuffle-frugal shape from the build contract:
+vectorized per-batch sketching inside ``map_batches`` (signatures,
+band rows), then a ``groupby`` whose shuffle moves only (key, id)
+sketch rows — never document payloads.  Exact verification joins
+payloads back for candidate pairs only (a set that is orders of
+magnitude smaller than the corpus).
+
+Reference analog: the corpus-level exact dedup is the md5-keyed
+download cache + defaultdict key-merge (reference
+``dblpclient.py:442-443``, ``s2processor.py:114-118``); everything
+else is new surface required by the training-data contract.
+"""
+
+from __future__ import annotations
+
+import itertools
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+# MinHash parameters (public construction: universal hashing
+# h_i(x) = (a_i x + b_i) mod p over 32-bit shingle hashes).
+# p = 2^31-1 keeps a*x within uint64 (a < 2^31, x < 2^32 -> < 2^63),
+# so the whole signature computation stays in vectorized uint64.
+_P = (1 << 31) - 1
+_K = 128          # signature length
+_BAND_R = 4       # rows per band
+_N_BANDS = _K // _BAND_R
+_SHINGLE_N = 3    # word shingles
+
+
+def _shingle_hashes(text: str, n: int = _SHINGLE_N) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    return np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+
+
+def ngram_jaccard(a: str, b: str, n: int = _SHINGLE_N) -> float:
+    sa = set(_shingle_hashes(a, n).tolist())
+    sb = set(_shingle_hashes(b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+class MinHashStage:
+    """Actor-pool stage: the (a_i, b_i) permutation constants are
+    drawn once per actor from a fixed seed; per batch the signature is
+    a (n_shingles x K) broadcasted min — numpy end to end."""
+
+    def __init__(self, seed: int = 1729):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _P, size=_K, dtype=np.uint64)
+        self.b = rng.integers(0, _P, size=_K, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text)
+        # (n,1)*(K,) + (K,) mod p — all within uint64 by construction
+        vals = (x[:, None] * self.a + self.b) % np.uint64(_P)
+        return np.min(vals, axis=0)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            sig = self.signature(text)
+            bands = sig.reshape(_N_BANDS, _BAND_R)
+            for bi in range(_N_BANDS):
+                doc_ids.append(doc_id)
+                band_ids.append(bi)
+                band_hashes.append(zlib.crc32(bands[bi].tobytes()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "band_id": pd.Series(band_ids, dtype="int32"),
+                "band_hash": pd.Series(band_hashes, dtype="int64"),
+            }
+        )
+
+
+def _typed_pairs(ds: rd.Dataset, cols: tuple) -> pa.Table:
+    """Near-dup pair sets are tiny relative to the corpus (that is the
+    point of dedup) — materialize with an explicit schema so an empty
+    result still has one. Float col only for the 3rd name if present."""
+    schema = pa.schema(
+        [(c, pa.float64() if c in ("jaccard", "cos") else pa.int64()) for c in cols]
+    )
+    dfs = ds.to_pandas()
+    if dfs.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(dfs[list(cols)], schema=schema, preserve_index=False)
+
+
+def _pairs_from_groups(g: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(g["doc_id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    pairs = list(itertools.combinations(ids, 2))
+    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+
+def minhash_lsh_candidates(docs: rd.Dataset) -> rd.Dataset:
+    """documents(doc_id, text) -> distinct candidate pairs (a < b).
+
+    Shuffle keys: (band_id, band_hash) for bucketing, (a, b) for the
+    distinct. Only sketch rows and id pairs cross the exchanges."""
+    bands = docs.map_batches(MinHashStage, batch_format="pandas", concurrency=2)
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _pairs_from_groups, batch_format="pandas"
+    )
+    # distinct (a, b): a pair can match in many bands
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """MinHash-LSH near-dup pairs over documents, exact-verified:
+    candidates -> join texts back (hash join on doc id, payloads move
+    only for candidates) -> exact n-gram Jaccard >= threshold."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(docs)
+    ta = docs.map_batches(
+        lambda t: t.rename_columns(["a", "text_a"]), batch_format="pyarrow"
+    )
+    tb = docs.map_batches(
+        lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
+    )
+    joined = cand.join(ta, join_type="inner", num_partitions=4, on=("a",)).join(
+        tb, join_type="inner", num_partitions=4, on=("b",)
+    )
+
+    def verify(bt: pd.DataFrame) -> pd.DataFrame:
+        jac = [
+            round(ngram_jaccard(x, y), 6) for x, y in zip(bt["text_a"], bt["text_b"])
+        ]
+        out = pd.DataFrame({"a": bt["a"], "b": bt["b"], "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
+
+    out = joined.map_batches(verify, batch_format="pandas")
+    return _typed_pairs(out, ("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text: str) -> int:
+    """Charikar simhash over word features (crc32-hashed, unweighted)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks))
+    # widen to 64 bits by mixing (golden-ratio multiply)
+    with np.errstate(over="ignore"):
+        hs = hs * np.uint64(0x9E3779B97F4A7C15)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    val = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def hamming64_np(a: np.ndarray, b: int) -> np.ndarray:
+    x = (a.astype(np.int64) ^ np.int64(b)).astype(np.uint64)
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def q22_simhash(sf_dir: str) -> rd.Dataset:
+    """Per-document 64-bit simhash (rows-only oracle)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "simhash": [simhash64(t) for t in b["text"]]}
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def simhash_near_dup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by simhash banding: 4 x 16-bit bands (a pair
+    within hamming <= 3 of 64 bits must agree exactly on >= 1 band —
+    pigeonhole), then exact hamming verification inside the group."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        sh = np.array([simhash64(t) for t in b["text"]], dtype=np.int64)
+        rows = []
+        for band in range(4):
+            frag = (sh.astype(np.uint64) >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": b["doc_id"].astype("int64"),
+                        "simhash": sh,
+                        "band_id": np.int32(band),
+                        "band_hash": frag.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(g["doc_id"].tolist(), g["simhash"].tolist())))
+        out = []
+        for (ida, sa), (idb, sb) in itertools.combinations(recs, 2):
+            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                out.append((ida, idb, d))
+        return pd.DataFrame(
+            {
+                "a": pd.Series([o[0] for o in out], dtype="int64"),
+                "b": pd.Series([o[1] for o in out], dtype="int64"),
+                "hamming": pd.Series([o[2] for o in out], dtype="int64"),
+            }
+        )
+
+    return (
+        docs.map_batches(sketch, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (LSH-bucketed)
+# ---------------------------------------------------------------------------
+def q23_embedding_near_dup(sf_dir: str, threshold: float = 0.95, bits: int = 12) -> rd.Dataset:
+    """Vector near-dup: random-hyperplane bucket signature as the
+    groupby key, exact cosine inside each bucket. Pairs straddling a
+    bucket boundary are missed by design (scale/recall trade
+    documented); the brute oracle in tests measures recall."""
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)[
+            "embedding"
+        ][0]
+    )
+    rng = np.random.Generator(np.random.PCG64(11))
+    planes = rng.standard_normal((bits, dim))
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+        sig = ((vecs @ planes.T) > 0).astype(np.uint64)
+        bucket = (sig << np.arange(bits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].astype("int64"), "bucket": bucket, "vec": list(vecs)}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(g["vec"].to_numpy())[order]
+        cos = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cos[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "a": ids[ii[keep]],
+                "b": ids[jj[keep]],
+                "cos": np.round(cos[ii[keep], jj[keep]], 6),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(sketch, batch_format="pandas", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _typed_pairs(out, ("a", "b", "cos"))

@@ -1,0 +1,315 @@
+"""The reference's relational core, re-expressed Ray-Data-first.
+
+Each function implements one operator family from SURVEY.md §2 over the
+driver's deterministic testdata tables and has a DuckDB oracle in
+``__ray_entry__.oracle_sql``.  Reference semantics cited per function.
+
+Scale notes apply throughout:
+- every read prunes columns (``read_parquet(columns=[...])``);
+- filters/projections are vectorized pyarrow kernels inside
+  ``map_batches(batch_format="pyarrow")`` — no Python row loops;
+- small sides are broadcast (``ray.put`` once, read per task), large
+  sides use Ray's hash ``Dataset.join``;
+- aggregates go through ``groupby().aggregate()`` whose hash shuffle
+  pre-combines per block, so only partials cross the exchange.
+
+Float columns that result from re-associated arithmetic (sums/means)
+are rounded to a fixed number of decimals in BOTH the Ray pipeline and
+the oracle SQL so value-hash comparison is insensitive to addition
+order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# Join fan-in for hash joins at test scale; at cluster scale this is
+# sized ~ (cluster cores * 2) so each partition fits a worker heap.
+_NPART = 8
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        t = t.set_column(
+            t.column_names.index(c), c, pc.round(t[c], ndigits=nd)
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/O1 — grouped aggregate (TPC-H Q1 shape)
+# Reference analog: the defaultdict corpusid merge + set-distinct
+# (s2processor.py:55,114-118) generalized to a keyed aggregate.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(sf_dir: str) -> rd.Dataset:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — timestamp filter (reference dblpclient.py:104-123: keep elements
+# with @mdate strictly after from_timestamp).
+# ---------------------------------------------------------------------------
+def q02_timestamp_filter(sf_dir: str) -> rd.Dataset:
+    cutoff = pa.scalar(np.datetime64("2024-01-20T00:00:00", "us"))
+    return _read(sf_dir, "events").map_batches(
+        lambda t: t.filter(pc.greater(t["ts"], cutoff)), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — access filter with default-CLOSED (reference dblpclient.py:126-145:
+# el.get("ee", {"@type": CLOSED}).get("@type") in access_types).
+# coalesce(col, 'closed') IN allowed — vectorized.
+# ---------------------------------------------------------------------------
+def q03_access_filter(sf_dir: str) -> rd.Dataset:
+    allowed = pa.array(["O", "F"], pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        status = pc.coalesce(t["o_orderstatus"], pa.scalar("closed"))
+        return t.filter(pc.is_in(status, value_set=allowed))
+
+    return _read(sf_dir, "orders").map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# F5/D1 — union (OR) source filter (reference s2processor.py:135-150:
+# any(externalids[f] is not None for f in selected)).
+# ---------------------------------------------------------------------------
+def q04_source_filter_union(sf_dir: str) -> rd.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.equal(t["lang"], pa.scalar("en")),
+            pc.is_in(t["source"], value_set=pa.array(["src1", "src2", "src3"])),
+        )
+        return t.filter(mask)
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J1 — semi-join via hash join (reference s2processor.py:55-68,173-174:
+# corpusid membership built from papers pass, applied to metadata pass).
+# Both sides large -> Ray hash join (left_semi), shuffle key l_orderkey.
+# ---------------------------------------------------------------------------
+def q05_semi_join(sf_dir: str) -> rd.Dataset:
+    keys = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400000.0))).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem")
+    return li.join(
+        keys, join_type="left_semi", num_partitions=_NPART,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — semi-join against a DISTINCT key set built from another table
+# (reference s2processor.py:79-94: authors kept if their id appears in
+# any paper's exploded author list). Broadcast pattern: the distinct
+# key set is bounded by the dimension's cardinality -> ray.put once,
+# filter inside map_batches with a vectorized isin. No shuffle.
+# ---------------------------------------------------------------------------
+def q06_exploded_semi_join(sf_dir: str) -> rd.Dataset:
+    purchasers = (
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    key_arr = pa.array(sorted(purchasers), pa.int64())
+    ref = ray.put(key_arr)
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)  # fetched once per actor, zero-copy
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["c_custkey"], value_set=self.keys))
+
+    return _read(sf_dir, "customer").map_batches(SemiFilter, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# J3 — full-outer merge with left-side ("papers") priority on column
+# collision (reference s2processor.py:108-118: dict.update over
+# (metadata, papers) so papers' fields win; rows from either side
+# survive). Shuffle key: the join id.
+# ---------------------------------------------------------------------------
+def q07_outer_merge(sf_dir: str) -> rd.Dataset:
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.not_equal(pc.bit_wise_and(t["o_orderkey"], pa.scalar(3)), pa.scalar(0)))
+        .rename_columns(["o_orderkey", "val", "o_orderstatus"]),
+        batch_format="pyarrow",
+    )
+    right = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Sum("l_extendedprice", alias_name="val"))
+        .map_batches(lambda t: _round_cols(t, {"sum_qty": 2, "val": 2}), batch_format="pyarrow")
+    )
+    joined = left.join(
+        right, join_type="full_outer", num_partitions=_NPART,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+        left_suffix="_l", right_suffix="_r",
+    )
+
+    def coalesce_cols(t: pa.Table) -> pa.Table:
+        # rows may come from either side; left ("papers") value wins on
+        # the collision column, mirroring dict.update order in the ref.
+        # Ray's full_outer join already coalesces the key pair into the
+        # left key's name.
+        orderkey = t["o_orderkey"]
+        val = pc.coalesce(t["val_l"], t["val_r"])
+        return pa.table(
+            {
+                "orderkey": orderkey,
+                "val": val,
+                "o_orderstatus": t["o_orderstatus"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    return joined.map_batches(coalesce_cols, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O2/O4 — global top-k (reference: release sort desc + first,
+# s2client.py:159-173, dblpclient.py:397). sort is a range-partition
+# shuffle; limit(k) prunes early.
+# ---------------------------------------------------------------------------
+def q09_topk(sf_dir: str) -> rd.Dataset:
+    return (
+        _read(sf_dir, "orders")
+        .sort("o_totalprice", descending=True)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2/D3 — exact dedup by content hash (reference: md5-keyed download
+# cache dblpclient.py:442-443; defaultdict key-merge s2processor.py:114).
+# Hash inside map_batches (vectorized pass), then a groupby over the
+# hash — only (hash, min_id, count) partials cross the shuffle.
+# ---------------------------------------------------------------------------
+def q10_dedup_exact(sf_dir: str) -> rd.Dataset:
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pa.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table({"h": h, "doc_id": t["doc_id"]})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dupes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — denylist anti-filter (reference IGNORE_DBLP_KEYS, types.py:91):
+# broadcast denylist, vectorized NOT IN.
+# ---------------------------------------------------------------------------
+DENYLIST = ["src0", "src13", "src7"]
+
+
+def q11_anti_join_denylist(sf_dir: str) -> rd.Dataset:
+    deny = pa.array(DENYLIST)
+    return _read(sf_dir, "documents").map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["source"], value_set=deny))),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregate (new surface; SURVEY.md §2.9 — the reference has no
+# streaming, so windows are expressed as keyed tumbling buckets:
+# groupby (key, floor(ts/width))). The bucket column is computed
+# vectorized; the groupby pre-combines per block before the shuffle.
+# ---------------------------------------------------------------------------
+def q12_window_agg(sf_dir: str) -> rd.Dataset:
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())  # epoch microseconds
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        return pa.table({"user_id": t["user_id"], "hour_bucket": hour, "value": t["value"]})
+
+    return (
+        _read(sf_dir, "events", ["ts", "user_id", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(lambda t: _round_cols(t, {"sum_value": 3}), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join rollup (J3 generalized): fact ⋈ dimension hash join +
+# broadcast tiny dimension, then keyed aggregate. The shape of the
+# reference's papers ⟗ metadata ⟗ authors chain (s2processor.py:96-118)
+# over star-schema tables.
+# ---------------------------------------------------------------------------
+def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=_NPART,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation").take_all()  # 25 rows — broadcast
+    }
+    ref = ray.put(nation)
+
+    class AddNation:
+        def __init__(self):
+            lut = ray.get(ref)
+            size = max(lut) + 1
+            self.names = np.array([lut.get(i, "") for i in range(size)], dtype=object)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            return t.append_column("n_name", pa.array(self.names[nk], pa.string()))
+
+    return (
+        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+    )

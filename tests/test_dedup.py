@@ -1,0 +1,126 @@
+"""Dedup + ANN operators against brute-force oracles on constructed
+fixtures containing REAL near-duplicates (the driver testdata has
+none, by construction of its random generators)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from cs_insights_crawler_ray.pipelines import ann, dedup
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango".split()
+
+
+@pytest.fixture(scope="module")
+def neardup_dir(tmp_path_factory):
+    """documents.parquet with planted near-dup clusters; embeddings
+    with planted near-identical vectors."""
+    d = tmp_path_factory.mktemp("neardup")
+    rng = np.random.Generator(np.random.PCG64(123))
+    docs, doc_id = [], 0
+    originals = []
+    for i in range(30):
+        text = " ".join(rng.choice(WORDS, size=40))
+        originals.append(text)
+        docs.append({"doc_id": doc_id, "text": text}); doc_id += 1
+    # near-dups: perturb 2 tokens of the first 10 originals
+    for i in range(10):
+        toks = originals[i].split()
+        toks[5], toks[20] = "zulu", "yankee"
+        docs.append({"doc_id": doc_id, "text": " ".join(toks)}); doc_id += 1
+    # one exact dup
+    docs.append({"doc_id": doc_id, "text": originals[0]}); doc_id += 1
+    pq.write_table(pa.Table.from_pylist(docs), d / "documents.parquet")
+
+    base = rng.standard_normal((40, 32))
+    vecs = [base[i] for i in range(40)]
+    for i in range(8):  # planted near-identical vectors
+        vecs.append(base[i] + rng.standard_normal(32) * 0.01)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(emb, d / "embeddings.parquet")
+    return str(d)
+
+
+def _true_jaccard_pairs(path, threshold):
+    t = pq.read_table(f"{path}/documents.parquet").to_pylist()
+    out = set()
+    for a, b in itertools.combinations(t, 2):
+        if dedup.ngram_jaccard(a["text"], b["text"]) >= threshold:
+            out.add((min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"])))
+    return out
+
+
+def test_minhash_lsh_finds_neardups(neardup_dir):
+    got = dedup.q17_minhash_dedup(neardup_dir, threshold=0.7).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    truth = _true_jaccard_pairs(neardup_dir, 0.7)
+    assert truth, "fixture must contain true near-dups"
+    # exact verification step guarantees NO false positives
+    assert got_pairs <= truth
+    # LSH with 32 bands of r=4 at jaccard>=0.7: detection prob
+    # 1-(1-0.7^4)^32 ~ 0.9998 per pair -> expect full recall here
+    assert got_pairs == truth
+
+
+def test_simhash_neardup_pairs(neardup_dir):
+    docs = rd.read_parquet(f"{neardup_dir}/documents.parquet")
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    # the exact dup pair must be found (hamming 0) — banding is exhaustive for <= 3
+    assert (0, 40) in got
+    for _, r in pairs.iterrows():
+        assert r["hamming"] <= 3
+
+
+def test_embedding_neardup_vs_bruteforce(neardup_dir):
+    t = pq.read_table(f"{neardup_dir}/embeddings.parquet")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    ii, jj = np.triu_indices(len(m), k=1)
+    truth = {
+        (int(a), int(b))
+        for a, b, c in zip(ii, jj, cos[ii, jj])
+        if c >= 0.95
+    }
+    assert len(truth) >= 6
+    got = dedup.q23_embedding_near_dup(neardup_dir, threshold=0.95).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= truth          # in-bucket exact cos -> no false positives
+    assert len(got_pairs) >= len(truth) * 0.7   # LSH recall bound (12-bit, planted pairs near-identical)
+
+
+def test_ann_brute_matches_numpy(neardup_dir):
+    got = ann.q15_ann_brute(neardup_dir).to_pandas()
+    t = pq.read_table(f"{neardup_dir}/embeddings.parquet")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in range(ann.N_QUERIES):
+        cos = m @ m[qid]
+        cand = [(c, i) for i, c in enumerate(cos) if i != qid]
+        top = sorted(cand, key=lambda x: (-x[0], x[1]))[: ann.TOP_K]
+        want = {i for _, i in top}
+        have = set(got[got["qid"] == qid]["vec_id"])
+        assert have == want, f"qid {qid}"
+
+
+def test_lsh_ann_recall(neardup_dir):
+    brute = ann.q15_ann_brute(neardup_dir).to_pandas()
+    lsh = ann.q16_lsh_ann(neardup_dir, bits=16, slack=8).to_pandas()
+    recall = len(
+        set(zip(lsh["qid"], lsh["vec_id"])) & set(zip(brute["qid"], brute["vec_id"]))
+    ) / len(brute)
+    assert recall >= 0.5, recall

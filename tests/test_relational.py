@@ -1,0 +1,88 @@
+"""Mimics the driver's correctness gate: run each queries() entry and
+its oracle_sql() on the same parquet tables, compare row count, schema
+(column names) and order-insensitive values."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _to_pdf(res) -> pd.DataFrame:
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # pyarrow.Table
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bytes):
+            df[c] = df[c].map(lambda b: b.hex())
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_match(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame):
+    assert len(ray_df) == len(ora_df), f"{name}: rows {len(ray_df)} != {len(ora_df)}"
+    assert sorted(ray_df.columns) == sorted(ora_df.columns), (
+        f"{name}: cols {sorted(ray_df.columns)} != {sorted(ora_df.columns)}"
+    )
+    a, b = _normalize(ray_df), _normalize(ora_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            assert np.allclose(
+                av.astype(float).fillna(-1e18), bv.astype(float).fillna(-1e18),
+                rtol=1e-9, atol=1e-9,
+            ), f"{name}: float col {c} mismatch"
+        else:
+            assert (av.fillna("~N~") == bv.fillna("~N~")).all(), f"{name}: col {c} mismatch"
+
+
+SQL_QUERIES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name):
+    q = entrymod.queries()[name]
+    ray_df = _to_pdf(q(SF_DIR))
+    ora_df = _oracle(entrymod.oracle_sql()[name])
+    assert_match(name, ray_df, ora_df)
+
+
+def test_rows_only_queries_run():
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    for name in qs:
+        if name in sqls:
+            continue
+        df = _to_pdf(qs[name](SF_DIR))
+        assert df is not None
+        assert len(df.columns) > 0, name
+
+
+def test_entry_smoke():
+    df = _to_pdf(entrymod.entry())
+    assert len(df) > 0
+    assert "sum_qty" in df.columns
