@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from cs_insights_crawler_ray.pipelines import ann, dedup, relational as R, textops
+from cs_insights_crawler_ray.pipelines import ann, crawl_queries, dedup, relational as R, textops
 
 
 def entry() -> Any:
@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_minhash_dedup": dedup.q17_minhash_dedup,
         "q22_simhash": dedup.q22_simhash,
         "q23_embedding_near_dup": dedup.q23_embedding_near_dup,
+        # -- crawl engine (parity vs sequential oracle in pytest) ----
+        "q30_crawl_order": crawl_queries.q30_crawl_order,
+        "q31_crawl_payload": crawl_queries.q31_crawl_payload,
     }
 
 

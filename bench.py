@@ -1,0 +1,148 @@
+"""Benchmark driver.
+
+Headline: the crawl engine (frontier -> politeness admission -> fetch
+-> decode-verify -> payload sink -> link discovery -> seen filter) at
+a scale derived from $GRAFT_SF_DIR, plus per-query timings of the
+relational / text / ANN / dedup pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ..., "payload_rows_per_sec": ...}
+
+--scaling: run the same job in fresh processes at num_cpus=8 and 32
+and report throughputs + scaling efficiency (the sandbox evidence for
+the N vs 4N cluster criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir).replace("sf", "")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
+    from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from cs_insights_crawler_ray.pipelines import ann, dedup, relational as R, textops
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "orders", "documents", "embeddings", "events", "customer"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    results: dict[str, float] = {}
+
+    # ---- headline: crawl fetch+ingest throughput --------------------
+    waves = {"0.001": 2, "0.01": 3}.get(sf, 4)
+    wave_size = {"0.001": 256, "0.01": 1024}.get(sf, 4096)
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(seed=42, n_hosts=512, pages_per_host=100_000),
+        n_seeds=512,
+        host_budget=16,
+        wave_size=wave_size,
+        n_waves=waves,
+        max_depth=10,
+        n_shards=max(2, num_cpus // 4),
+        fetch_actors=max(2, num_cpus // 4),
+        fetch_batch=128,
+        decode_batch=128,
+    )
+    out_dir = f"/tmp/bench_crawl_cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    metrics = run_crawl(cfg, out_dir)
+    crawl_sec = time.perf_counter() - t0
+    results["crawl"] = round(crawl_sec, 3)
+    urls = metrics["cumulative"]["fetched"]
+    rows = metrics["cumulative"]["payload_rows"]
+
+    # ---- per-query timings -----------------------------------------
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume lazily-built datasets
+        if hasattr(res, "materialize"):
+            res.materialize()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    timed("q01_pricing_summary", R.q01_pricing_summary)
+    timed("q05_semi_join", R.q05_semi_join)
+    timed("q07_outer_merge", R.q07_outer_merge)
+    timed("q10_dedup_exact", R.q10_dedup_exact)
+    timed("q12_window_agg", R.q12_window_agg)
+    timed("q13_token_stats", textops.q13_token_stats)
+    timed("q14_quality_scores", textops.q14_quality_scores)
+    timed("q15_ann_brute", ann.q15_ann_brute)
+    timed("q17_minhash_dedup", dedup.q17_minhash_dedup)
+    timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
+
+    ray.shutdown()
+    return {
+        "metric": "crawl fetch+ingest wall time (headline) + per-query sec",
+        "value": results["crawl"],
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+        "num_cpus": num_cpus,
+        "urls_fetched": urls,
+        "payload_rows": rows,
+        "urls_per_sec": round(urls / crawl_sec, 1),
+        "payload_rows_per_sec": round(rows / crawl_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32; efficiency =
+    (T8*8)/(T32*32) per the driver instruction."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t8, t32 = lo["value"], hi["value"]
+    eff = (t8 * 8) / (t32 * 32)
+    return {
+        "metric": "scaling efficiency (T8*8)/(T32*32), crawl headline",
+        "sec_8": t8,
+        "sec_32": t32,
+        "urls_per_sec_8": lo["urls_per_sec"],
+        "urls_per_sec_32": hi["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

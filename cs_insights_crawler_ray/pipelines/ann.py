@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.broadcast import bget
+
 N_QUERIES = 3  # queries = embeddings with vec_id < N_QUERIES (deterministic)
 TOP_K = 10
 
@@ -43,11 +45,16 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _BruteScorer:
-    """Actor-pool stage: normalized query matrix fetched once per actor."""
+    """Batch scorer; run as TASKS with the query matrix broadcast via
+    bget (fetched once per worker process) — no pool reservation."""
 
     def __init__(self, qref, qids):
-        self.q = ray.get(qref)  # (Q, D) float64, rows unit-norm
+        self.qref = qref
         self.qids = qids
+
+    @property
+    def q(self):
+        return bget(self.qref)  # (Q, D) float64, rows unit-norm
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
@@ -82,11 +89,9 @@ def q15_ann_brute(sf_dir: str) -> pa.Table:
     partials = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(
-            _BruteScorer,
-            fn_constructor_args=(qref, qids),
+            _BruteScorer(qref, qids),
             batch_format="pandas",
             batch_size=4096,
-            concurrency=2,
         )
     )
     # final exact top-k merge per query: the partial set is tiny
@@ -107,14 +112,25 @@ def q15_ann_brute(sf_dir: str) -> pa.Table:
 
 class _LSHScorer:
     """SimHash-bucketed ANN: score only vectors whose hyperplane
-    signature matches a query's in >= (bits - slack) positions."""
+    signature matches a query's in >= (bits - slack) positions.
+    Run as TASKS; broadcast state resolved lazily per process."""
 
     def __init__(self, qref, qids, planes_ref, slack=2):
-        self.q = ray.get(qref)
+        self.qref, self.planes_ref = qref, planes_ref
         self.qids = qids
-        self.planes = ray.get(planes_ref)  # (bits, D)
-        self.qsig = (self.q @ self.planes.T) > 0  # (Q, bits)
         self.slack = slack
+
+    @property
+    def q(self):
+        return bget(self.qref)
+
+    @property
+    def planes(self):
+        return bget(self.planes_ref)
+
+    @property
+    def qsig(self):
+        return (self.q @ self.planes.T) > 0  # (Q, bits)
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
@@ -149,11 +165,9 @@ def q16_lsh_ann(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
     partials = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(
-            _LSHScorer,
-            fn_constructor_args=(qref, qids, pref, slack),
+            _LSHScorer(qref, qids, pref, slack),
             batch_format="pandas",
             batch_size=4096,
-            concurrency=2,
         )
     )
     best: dict[int, list] = {int(q): [] for q in qids}

@@ -1,0 +1,64 @@
+"""queries() adapters for the crawl engine — run a small
+deterministic crawl (scale derived from the sf_dir name) and expose
+its artifacts as tables (rows-only oracle: the wave scheduler is not
+SQL-expressible; parity is asserted against the sequential simulator
+in tests/test_crawl_parity.py instead).
+
+Results are cached per (sf, config-version) under /tmp so the
+driver's repeated calls don't re-crawl.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..fixtures.content_store import ContentStoreConfig
+from .crawl import CrawlConfig, read_crawl_log, run_crawl
+
+_VERSION = "v1"
+
+
+def _cfg_for(sf_dir: str) -> CrawlConfig:
+    sf = Path(sf_dir).name.replace("sf", "") or "0.01"
+    waves = {"0.001": 3, "0.01": 4, "0.1": 6}.get(sf, 4)
+    return CrawlConfig(
+        store=ContentStoreConfig(seed=42, n_hosts=32, pages_per_host=2000),
+        n_seeds=32,
+        host_budget=4,
+        wave_size=96,
+        n_waves=waves,
+        max_depth=8,
+        n_shards=2,
+        fetch_actors=2,
+    )
+
+
+def _out_dir(sf_dir: str) -> str:
+    sf = Path(sf_dir).name
+    out = f"/tmp/ciq_crawl_{_VERSION}_{sf}"
+    marker = Path(out) / "_complete"
+    if not marker.exists():
+        run_crawl(_cfg_for(sf_dir), out)
+        marker.write_text("ok")
+    return out
+
+
+def q30_crawl_order(sf_dir: str) -> pd.DataFrame:
+    """The deterministic crawl-order log (fetch_seq, url, depth, status)."""
+    return read_crawl_log(_out_dir(sf_dir))
+
+
+def q31_crawl_payload(sf_dir: str) -> pd.DataFrame:
+    """The ingested payload table (input_hint schema) minus raw bytes."""
+    df = pq.read_table(f"{_out_dir(sf_dir)}/payload").to_pandas()
+    if "wave" in df.columns:
+        df = df.drop(columns=["wave"])
+    return (
+        df.drop(columns=["bytes"])
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )

@@ -57,9 +57,12 @@ def ngram_jaccard(a: str, b: str, n: int = _SHINGLE_N) -> float:
 
 
 class MinHashStage:
-    """Actor-pool stage: the (a_i, b_i) permutation constants are
-    drawn once per actor from a fixed seed; per batch the signature is
-    a (n_shingles x K) broadcasted min — numpy end to end."""
+    """MinHash band sketcher. Deliberately usable as a STATELESS task
+    fn (an instance is cheap: the (a_i, b_i) permutation constants are
+    128 uint64 draws from a fixed seed) — running it as tasks instead
+    of an actor pool keeps CPU slots free for the downstream join
+    aggregators on small sessions; per batch the signature is a
+    (n_shingles x K) broadcasted min — numpy end to end."""
 
     def __init__(self, seed: int = 1729):
         rng = np.random.Generator(np.random.PCG64(seed))
@@ -103,6 +106,17 @@ def _typed_pairs(ds: rd.Dataset, cols: tuple) -> pa.Table:
     return pa.Table.from_pandas(dfs[list(cols)], schema=schema, preserve_index=False)
 
 
+_STAGE_CACHE: dict[int, MinHashStage] = {}
+
+
+def _minhash_bands(b: pd.DataFrame, seed: int = 1729) -> pd.DataFrame:
+    """Stateless-task wrapper around MinHashStage with a per-process
+    constant cache (tasks reuse worker processes, so the constants are
+    built once per worker in practice)."""
+    stage = _STAGE_CACHE.setdefault(seed, MinHashStage(seed))
+    return stage(b)
+
+
 def _pairs_from_groups(g: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(set(g["doc_id"].tolist()))
     if len(ids) < 2:
@@ -116,7 +130,7 @@ def minhash_lsh_candidates(docs: rd.Dataset) -> rd.Dataset:
 
     Shuffle keys: (band_id, band_hash) for bucketing, (a, b) for the
     distinct. Only sketch rows and id pairs cross the exchanges."""
-    bands = docs.map_batches(MinHashStage, batch_format="pandas", concurrency=2)
+    bands = docs.map_batches(_minhash_bands, batch_format="pandas")
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_from_groups, batch_format="pandas"
     )
@@ -136,9 +150,11 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     tb = docs.map_batches(
         lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
     )
-    joined = cand.join(ta, join_type="inner", num_partitions=4, on=("a",)).join(
-        tb, join_type="inner", num_partitions=4, on=("b",)
-    )
+    from .relational import JOIN_ARGS
+
+    joined = cand.join(
+        ta, join_type="inner", num_partitions=2, on=("a",), **JOIN_ARGS
+    ).join(tb, join_type="inner", num_partitions=2, on=("b",), **JOIN_ARGS)
 
     def verify(bt: pd.DataFrame) -> pd.DataFrame:
         jac = [

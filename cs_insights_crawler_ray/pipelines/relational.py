@@ -30,9 +30,18 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.broadcast import bget
+
 # Join fan-in for hash joins at test scale; at cluster scale this is
 # sized ~ (cluster cores * 2) so each partition fits a worker heap.
 _NPART = 8
+
+# Hash-join aggregator actors are mostly-idle reducers; give them
+# fractional CPUs so a pool of them can never starve the task
+# scheduler (full-CPU aggregators deadlock a small session: the
+# aggregators hold every slot while a downstream sort waits for its
+# boundary-sampling tasks — observed live, tests/conftest num_cpus=4).
+JOIN_ARGS = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -136,7 +145,7 @@ def q05_semi_join(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem")
     return li.join(
         keys, join_type="left_semi", num_partitions=_NPART,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+        on=("l_orderkey",), right_on=("o_orderkey",), **JOIN_ARGS,
     )
 
 
@@ -154,14 +163,12 @@ def q06_exploded_semi_join(sf_dir: str) -> rd.Dataset:
     key_arr = pa.array(sorted(purchasers), pa.int64())
     ref = ray.put(key_arr)
 
-    class SemiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)  # fetched once per actor, zero-copy
+    def semi_filter(t: pa.Table) -> pa.Table:
+        # broadcast key set: fetched once per worker process (bget),
+        # no actor-pool CPU reservation
+        return t.filter(pc.is_in(t["c_custkey"], value_set=bget(ref)))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["c_custkey"], value_set=self.keys))
-
-    return _read(sf_dir, "customer").map_batches(SemiFilter, batch_format="pyarrow", concurrency=2)
+    return _read(sf_dir, "customer").map_batches(semi_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +192,7 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
     joined = left.join(
         right, join_type="full_outer", num_partitions=_NPART,
         on=("o_orderkey",), right_on=("l_orderkey",),
-        left_suffix="_l", right_suffix="_r",
+        left_suffix="_l", right_suffix="_r", **JOIN_ARGS,
     )
 
     def coalesce_cols(t: pa.Table) -> pa.Table:
@@ -289,26 +296,22 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = orders.join(
         cust, join_type="inner", num_partitions=_NPART,
-        on=("o_custkey",), right_on=("c_custkey",),
+        on=("o_custkey",), right_on=("c_custkey",), **JOIN_ARGS,
     )
     nation = {
         r["n_nationkey"]: r["n_name"]
         for r in _read(sf_dir, "nation").take_all()  # 25 rows — broadcast
     }
-    ref = ray.put(nation)
+    names = np.array([nation.get(i, "") for i in range(max(nation) + 1)], dtype=object)
+    ref = ray.put(names)
 
-    class AddNation:
-        def __init__(self):
-            lut = ray.get(ref)
-            size = max(lut) + 1
-            self.names = np.array([lut.get(i, "") for i in range(size)], dtype=object)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            return t.append_column("n_name", pa.array(self.names[nk], pa.string()))
+    def add_nation(t: pa.Table) -> pa.Table:
+        # broadcast dimension lookup, per-process cached — no pool
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("n_name", pa.array(bget(ref)[nk], pa.string()))
 
     return (
-        joined.map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        joined.map_batches(add_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
         .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Wave-granular checkpoint manifests — the resume mechanism.
+
+Reference analog: file-granular download cache with md5 skip
+(``dblpclient.py:340-350,442-451``).  Here the unit is a WAVE: after
+every wave the driver commits, atomically (tmp + rename), a manifest
+holding the frontier (backlog) parquet path, the per-shard seen-set
+snapshot paths, the next fetch sequence number, and cumulative
+metrics.  ``latest_manifest`` finds the newest committed wave; a
+killed run resumes from it with zero re-fetches because every
+payload/backlog/snapshot referenced by a committed manifest was
+written before the rename.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class WaveManifest:
+    wave: int
+    next_fetch_seq: int
+    backlog_path: str
+    seen_snapshots: list[str]
+    payload_path: str
+    crawl_log_path: str
+    metrics: dict = field(default_factory=dict)
+    cumulative: dict = field(default_factory=dict)
+
+    def path(self, root: str) -> Path:
+        return Path(root) / f"manifest_wave{self.wave:06d}.json"
+
+
+def commit_manifest(root: str, m: WaveManifest) -> str:
+    p = m.path(root)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps(asdict(m), indent=1, sort_keys=True))
+    tmp.rename(p)  # atomic commit point
+    return str(p)
+
+
+def latest_manifest(root: str) -> WaveManifest | None:
+    p = Path(root)
+    if not p.exists():
+        return None
+    files = sorted(p.glob("manifest_wave*.json"))
+    if not files:
+        return None
+    return WaveManifest(**json.loads(files[-1].read_text()))
+
+
+def load_manifest(root: str, wave: int) -> WaveManifest | None:
+    p = Path(root) / f"manifest_wave{wave:06d}.json"
+    if not p.exists():
+        return None
+    return WaveManifest(**json.loads(p.read_text()))

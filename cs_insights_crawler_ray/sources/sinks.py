@@ -1,0 +1,91 @@
+"""Sinks: payload table writer (Lance when available, parquet
+otherwise), jsonl/csv exports.
+
+The payload sink is the analog of the reference's release export
+(``s2processor.py:209-257``: gzip JSONL + flattened CSV) with the
+north_rule's Lance target.  ``pylance`` is not installed in this
+sandbox, so the writer is abstracted: one call site, two backends,
+identical directory layout — one directory per wave/partition so a
+resumed run skips finished partitions (never one giant file).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import ray.data as rd
+
+HAVE_LANCE = importlib.util.find_spec("lance") is not None
+
+# input_hint schema for the payload table
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def write_payload(ds: rd.Dataset, root: str, partition: str) -> str:
+    """Write one payload partition (e.g. ``wave=000003``) under root.
+
+    Parquet backend writes ``{root}/{partition}/`` as a directory of
+    part files (streaming, no driver materialization); the Lance
+    backend appends a versioned fragment — both are idempotent at
+    partition granularity: a re-run REPLACES the partition wholesale
+    (any half-written files from a killed run are cleared first; the
+    manifest referencing the partition is only committed after the
+    write, so a committed wave is never re-run).
+    """
+    out = f"{root}/{partition}"
+    clear_partition(out)
+    if HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
+        import lance
+
+        lance.write_dataset(ds.to_arrow_refs(), out)  # type: ignore[arg-type]
+    else:
+        ds.write_parquet(out)
+    return out
+
+
+def read_payload(root: str) -> rd.Dataset:
+    if HAVE_LANCE:  # pragma: no cover
+        import ray.data as _rd
+
+        return _rd.read_lance(root)
+    return rd.read_parquet(root)
+
+
+def write_jsonl(ds: rd.Dataset, path: str) -> None:
+    """JSONL export (reference to_jsonl, s2processor.py:209-229)."""
+    ds.write_json(path)
+
+
+def write_csv_flat(ds: rd.Dataset, path: str) -> None:
+    """CSV export with nested structs flattened to dotted columns
+    (reference to_csv uses pd.json_normalize, s2processor.py:231-257;
+    pyarrow Table.flatten() gives the same dotted naming)."""
+    ds.map_batches(lambda t: t.flatten(), batch_format="pyarrow").write_csv(path)
+
+
+def clear_partition(path: str) -> None:
+    """Idempotent-partition-write helper: remove a (possibly
+    half-written) partition directory before rewriting it."""
+    p = Path(path)
+    if p.exists():
+        shutil.rmtree(p)
+
+
+def list_partitions(root: str) -> list[str]:
+    p = Path(root)
+    if not p.exists():
+        return []
+    return sorted(d.name for d in p.iterdir() if d.is_dir())

@@ -1,0 +1,58 @@
+"""Politeness admission — per-host token buckets expressed as
+deterministic per-wave budgets.
+
+The reference achieves perfect politeness by being fully sequential
+(exactly one in-flight request, ``s2client.py:153-156``).  The
+parallel restatement: each host's token bucket refills ``host_budget``
+tokens per wave; admission takes each host's ``host_budget``
+longest-waiting pending URLs (by discovery key), scores them, and the
+global wave takes the best ``wave_size`` overall.  Because budgets are
+data-derived (not clock-derived) the admitted set is a pure function
+of the frontier — the property both the oracle simulator and the
+parallel engine compute identically.
+
+Score: ``depth + 0.001 * min(host_rank, 999)`` — BFS order with
+in-host crowding pushed back, so hot hosts cannot monopolize a wave
+even below their budget (SURVEY.md §2.6 O4; diverges from the
+"recency" term in the sketch because recency is clock-derived and
+breaks determinism — documented design decision).
+
+Implementation shape (combiner-then-shuffle, SURVEY.md §7.4):
+``local_host_topk`` runs inside ``map_batches`` to pre-prune every
+block to <= budget rows per host, so the ``groupby(host_hash)``
+exchange moves at most ``budget x n_blocks`` rows per host instead of
+a hot host's entire pending queue.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DISCOVERY_KEY = ["disc_wave", "disc_parent", "disc_link"]
+HOST_RANK_CAP = 999
+
+
+def score_of(depth: np.ndarray, host_rank: np.ndarray) -> np.ndarray:
+    return depth.astype(np.float64) + 0.001 * np.minimum(host_rank, HOST_RANK_CAP)
+
+
+def local_host_topk(batch: pd.DataFrame, host_budget: int) -> pd.DataFrame:
+    """Per-block combiner: keep at most host_budget rows per host,
+    ordered by discovery key. Safe pre-prune: any row outside a
+    block-local top-budget can never be inside the global top-budget
+    for its host (discovery-key order is total)."""
+    return (
+        batch.sort_values(DISCOVERY_KEY, kind="mergesort")
+        .groupby("host_hash", sort=False)
+        .head(host_budget)
+    )
+
+
+def host_admission(group: pd.DataFrame, host_budget: int) -> pd.DataFrame:
+    """Per-host global step (inside groupby(host_hash).map_groups):
+    rank by discovery key, keep the first host_budget, attach score."""
+    g = group.sort_values(DISCOVERY_KEY, kind="mergesort").head(host_budget).copy()
+    host_rank = np.arange(len(g))
+    g["score"] = score_of(g["depth"].to_numpy(), host_rank)
+    return g

@@ -1,0 +1,82 @@
+"""Checkpoint/resume: a run killed after wave k resumes with zero
+re-fetches and produces byte-identical final outputs
+(BASELINE.json north_rule "killed job resumes ... with no re-fetch")."""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import replace
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
+from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, read_crawl_log, run_crawl
+from cs_insights_crawler_ray.sources.checkpoint import latest_manifest
+
+CFG = CrawlConfig(
+    store=ContentStoreConfig(seed=11, n_hosts=12, pages_per_host=400),
+    n_seeds=16,
+    host_budget=3,
+    wave_size=24,
+    n_waves=4,
+    max_depth=6,
+    n_shards=2,
+    fetch_actors=2,
+    fetch_batch=16,
+    decode_batch=16,
+)
+
+
+def _payload_df(out: str) -> pd.DataFrame:
+    df = pq.read_table(f"{out}/payload").to_pandas()
+    if "wave" in df.columns:
+        df = df.drop(columns=["wave"])
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def test_kill_and_resume_identical(tmp_path):
+    full_dir, resumed_dir = str(tmp_path / "full"), str(tmp_path / "resumed")
+
+    # uninterrupted reference run
+    full_metrics = run_crawl(CFG, full_dir)
+
+    # "killed" run: only 2 of 4 waves, then a partial (uncommitted)
+    # wave-2 payload left behind to simulate death mid-wave
+    part1 = run_crawl(replace(CFG, n_waves=2), resumed_dir)
+    junk = Path(resumed_dir) / "payload" / "wave=000002"
+    junk.mkdir(parents=True)
+    (junk / "garbage.parquet").write_bytes(b"not parquet")
+
+    m = latest_manifest(f"{resumed_dir}/checkpoints")
+    assert m is not None and m.wave == 1
+
+    # resume: must skip waves 0-1 (no re-fetch), redo wave 2 cleanly
+    part2 = run_crawl(CFG, resumed_dir, resume=True)
+
+    # no re-fetch: the two phases together fetched exactly the full count
+    fetched_split = part1["cumulative"]["fetched"] + (
+        part2["cumulative"]["fetched"] - part1["cumulative"]["fetched"]
+    )
+    assert part2["cumulative"]["fetched"] == full_metrics["cumulative"]["fetched"]
+    assert fetched_split == full_metrics["cumulative"]["fetched"]
+    # the resumed phase only ran waves 2..3
+    assert sorted(part2["by_wave"].keys()) == [2, 3]
+
+    # byte-identical crawl order
+    log_full = read_crawl_log(full_dir)
+    log_res = read_crawl_log(resumed_dir)
+    pd.testing.assert_frame_equal(log_full, log_res)
+
+    # identical payload (the garbage partial was replaced wholesale)
+    pd.testing.assert_frame_equal(_payload_df(full_dir), _payload_df(resumed_dir))
+
+
+def test_resume_noop_when_complete(tmp_path):
+    out = str(tmp_path / "done")
+    run_crawl(CFG, out)
+    before = read_crawl_log(out)
+    again = run_crawl(CFG, out, resume=True)
+    assert again["by_wave"] == {}          # nothing left to do
+    pd.testing.assert_frame_equal(before, read_crawl_log(out))
