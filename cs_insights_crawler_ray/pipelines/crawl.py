@@ -36,6 +36,8 @@ Per-wave dataflow (all lazy until the wave barrier):
 
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -51,11 +53,9 @@ from ..fixtures.content_store import ContentStoreConfig, robots_allowed, seed_ur
 from ..functions.urls import canonicalize_batch
 from ..sources.checkpoint import WaveManifest, commit_manifest, latest_manifest
 from ..sources.sinks import clear_partition, write_payload
-from ..stages.decode import DecodeVerifyStage
-from ..stages.fetch import FetchStage
-from ..stages.links import RobotsFilterStage, canonicalize_links, explode_links
-from ..stages.seen_filter import SeenFilterStage
-from ..state.politeness import DISCOVERY_KEY, host_admission, local_host_topk
+from ..stages.fetch import fetch_decode_link_task
+from ..stages.links import RobotsFilterStage, explode_prepared
+from ..state.politeness import DISCOVERY_KEY, local_host_topk, partition_admission
 from ..state.seen import ShardedSeenSet
 
 FRONTIER_COLS = [
@@ -77,15 +77,16 @@ class CrawlConfig:
     fetch_batch: int = 64
     decode_batch: int = 64
     seen_capacity: int = 1 << 18
+    extract_features: bool = False  # multimodal feature stage (imagefeat)
 
 
 def _frontier_table(batch: pa.Table) -> pa.Table:
     """Project + order columns to the canonical frontier schema (so
-    union of differently-produced blocks has one schema)."""
-    hexes = pa.array([b.hex() for b in batch["url_sha1"].to_pylist()], pa.string())
-    if "url_hex" in batch.column_names:
-        batch = batch.drop_columns(["url_hex"])
-    batch = batch.append_column("url_hex", hexes)
+    union of differently-produced blocks has one schema). url_hex is
+    only (re)computed when absent — it's a Python-level loop."""
+    if "url_hex" not in batch.column_names:
+        hexes = pa.array([b.hex() for b in batch["url_sha1"].to_pylist()], pa.string())
+        batch = batch.append_column("url_hex", hexes)
     return pa.table(
         {
             "url_canon": batch["url_canon"].cast(pa.string()),
@@ -104,6 +105,74 @@ def _frontier_table(batch: pa.Table) -> pa.Table:
 @ray.remote
 def _nrows(t: pa.Table) -> int:
     return t.num_rows
+
+
+class _FusedWaveTask:
+    """The whole per-row wave as ONE task function: fetch + decode-
+    verify(+features/embedding) + link canonicalize/robots + routing
+    of exploded link slices to the seen-shard mailboxes.
+
+    The shard sends are acknowledged (ray.get) before the task
+    returns, so the fetch barrier doubles as the links barrier — at
+    barrier time every link slice is buffered in its shard.  Retried
+    tasks re-send identical slices; process_wave's dk-sorted
+    drop_duplicates makes that idempotent.  Link list columns are
+    dropped from the returned table (only payload/log columns
+    materialize)."""
+
+    def __init__(self, store, extract, shard_handles, n_shards, wave, max_depth):
+        self.store = store
+        self.extract = extract
+        self.shards = shard_handles
+        self.n_shards = n_shards
+        self.wave = wave
+        self.max_depth = max_depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = fetch_decode_link_task(batch, self.store, self.extract)
+        links = explode_prepared(t, self.wave, self.max_depth)
+        if links.num_rows:
+            sid = (
+                links["host_hash"].to_numpy(zero_copy_only=False)
+                % np.uint64(self.n_shards)
+            ).astype(np.int64)
+            acks = []
+            for s in range(self.n_shards):
+                mask = sid == s
+                if mask.any():
+                    acks.append(
+                        self.shards[s].buffer_links.remote(links.filter(pa.array(mask)))
+                    )
+            ray.get(acks)
+        drop = [c for c in t.column_names if c.startswith("link")]
+        return t.drop_columns(drop)
+
+
+@ray.remote
+def _select_cols(t: pa.Table, cols: list) -> pa.Table:
+    if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+        # empty map_groups output blocks carry no schema
+        return pa.table(
+            {
+                c: pa.array(
+                    [], pa.float64() if c == "score" else (pa.int64() if c == "disc_parent" else pa.int32())
+                )
+                for c in cols
+            }
+        )
+    return t.select(cols)
+
+
+@ray.remote
+def _log_cols(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "fetch_seq": t["fetch_seq"],
+            "url_canon": t["url_canon"],
+            "depth": t["depth"],
+            "status": t["status"],
+        }
+    )
 
 
 @ray.remote
@@ -154,10 +223,6 @@ def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> rd.Dataset:
     return rd.from_arrow(t)
 
 
-def _wave_dedupe(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values(DISCOVERY_KEY, kind="mergesort").head(1)
-
-
 def run_crawl(
     cfg: CrawlConfig,
     out_dir: str,
@@ -195,121 +260,206 @@ def run_crawl(
         metrics_by_wave = {}
 
         for wave in range(start_wave, cfg.n_waves):
+            phase_t: dict[str, float] = {}
+            _t0 = time.perf_counter()
+
+            def _mark(name: str) -> None:
+                nonlocal _t0
+                now = time.perf_counter()
+                phase_t[name] = round(now - _t0, 3)
+                _t0 = now
+
             if backlog.count() == 0:
                 break
-            # ---- politeness admission (combiner -> keyed shuffle) ----
+            # ---- politeness admission (combiner -> keyed shuffle ->
+            # distributed top-k).  Shuffle key: host_hash % n_parts
+            # (hosts never split), so the exchange has n_parts groups
+            # and the per-host ranking runs vectorized inside each
+            # partition.  Each partition returns at most wave_size
+            # best rows; the GLOBAL top-k is then decided driver-side
+            # from the (score, discovery-key) KEYS only — never the
+            # rows — and shipped back as a broadcast key->fetch_seq
+            # frame.  This replaces a full Ray sort+limit+renumber
+            # (~2s/wave of fixed exchange overhead, measured) with one
+            # keyed shuffle + one broadcast merge, and the driver
+            # traffic is bounded by n_parts x wave_size keys.
             B = cfg.host_budget
-            admissible = (
-                backlog.map_batches(
-                    lambda b: local_host_topk(b, B), batch_format="pandas"
-                )
-                .groupby("host_hash")
-                .map_groups(lambda g: host_admission(g, B), batch_format="pandas")
-            )
-            admitted = admissible.sort(["score"] + DISCOVERY_KEY).limit(cfg.wave_size)
-            admitted, next_seq = _assign_fetch_seq(admitted, next_seq)
-            n_admitted = admitted.count()
-            if n_admitted == 0:
-                break
+            n_parts = max(8, cfg.n_shards * 2)
+            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
-            # ---- fetch (actor pool; politeness already enforced) ----
+            def _prune_and_part(b: pd.DataFrame) -> pd.DataFrame:
+                b = local_host_topk(b, B)
+                b["admission_part"] = (
+                    b["host_hash"].to_numpy() % np.uint64(n_parts)
+                ).astype(np.int64)
+                return b
+
+            def _partition_topk(g: pd.DataFrame) -> pd.DataFrame:
+                g = partition_admission(g, B)
+                return g.sort_values(["score"] + DISCOVERY_KEY, kind="mergesort").head(
+                    cfg.wave_size
+                )
+
+            admissible = (
+                backlog.map_batches(_prune_and_part, batch_format="pandas")
+                .groupby("admission_part")
+                .map_groups(_partition_topk, batch_format="pandas")
+                .materialize()
+            )
+            key_cols = ["score"] + DISCOVERY_KEY
+            keys = pa.concat_tables(
+                ray.get(
+                    [_select_cols.remote(r, key_cols) for r in admissible.to_arrow_refs()]
+                )
+            ).to_pandas()
+            keys = keys.sort_values(key_cols, kind="mergesort").head(cfg.wave_size)
+            n_admitted = len(keys)
+            if n_admitted == 0:
+                _mark("admission")
+                break
+            seq_map = keys[DISCOVERY_KEY].copy()
+            seq_map["fetch_seq"] = np.arange(next_seq, next_seq + n_admitted, dtype=np.int64)
+            next_seq += n_admitted
+            seq_ref = ray.put(seq_map)
+
+            def _attach_seq(b: pd.DataFrame) -> pd.DataFrame:
+                from ..functions.broadcast import bget
+
+                m = b.merge(bget(seq_ref), on=DISCOVERY_KEY, how="inner")
+                return m.drop(columns=["score"])
+
+            # repartition: ~2 blocks per core so fetch gets full task
+            # parallelism regardless of admission's block structure
+            # (single-block seed wave fetched near-serially otherwise:
+            # 41s vs 6s for the same width, measured).
+            admitted = (
+                admissible.map_batches(_attach_seq, batch_format="pandas")
+                .repartition(n_blocks)
+                .materialize()
+            )
+            _mark("admission")
+
+            # ---- fetch + decode-verify(+features), FUSED (cached
+            # tasks; politeness already enforced).  One pass per row
+            # produces both payload and link-discovery columns;
+            # fetch/decode as separate passes cost an extra full task
+            # round per wave (~20% of wave wall at 32 CPUs, measured).
+            # Tasks reuse the warm worker pool — no per-wave actor
+            # startup — and hold no standing CPU reservation.
+            # Link routing happens INSIDE the fetch task (actor-mailbox
+            # pattern): each task explodes its page links, partitions
+            # them by seen-shard, and ships the slices to the shard
+            # actors with an acknowledged call — so by the time the
+            # fetch barrier completes, every link slice is buffered and
+            # the links phase is one process_wave() per shard.  (The
+            # previous post-fetch explode+groupby shuffle left all
+            # cores idle for 6-17s/wave at 32 CPUs, measured.)
+            shard_handles = seen.shards
+            n_shards = seen.n_shards
+
             fetched = admitted.map_batches(
-                FetchStage,
-                fn_constructor_args=(cfg.store,),
+                _FusedWaveTask(
+                    cfg.store, cfg.extract_features, shard_handles, n_shards,
+                    wave, cfg.max_depth,
+                ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch,
-                concurrency=cfg.fetch_actors,
             ).materialize()  # wave barrier: fetch exactly once, branch twice
+            _mark("fetch")
 
-            # ---- payload branch: decode-verify -> Lance-style sink ----
-            payload = (
-                fetched.map_batches(
-                    DecodeVerifyStage,
-                    fn_constructor_args=(cfg.store,),
-                    batch_format="pyarrow",
-                    batch_size=cfg.decode_batch,
-                    concurrency=cfg.fetch_actors,
-                )
-                .map_batches(
-                    lambda t: t.filter(t["ok"]).drop_columns(["ok"]),
-                    batch_format="pyarrow",
+            # ---- crawl-order log (the headline determinism artifact).
+            # The admitted set is politeness-bounded, so a single
+            # driver-side parquet write of 4 narrow columns is cheap
+            # and saves a whole Dataset execution per wave.
+            log_path = str(out / "crawl_log" / f"wave={wave:06d}")
+            clear_partition(log_path)
+            log_tbl = pa.concat_tables(
+                ray.get(
+                    [
+                        _log_cols.remote(r)
+                        for r in fetched.to_arrow_refs()
+                    ]
                 )
             )
-            payload_path = write_payload(payload, str(out / "payload"), f"wave={wave:06d}")
+            Path(log_path).mkdir(parents=True, exist_ok=True)
+            pq.write_table(log_tbl, f"{log_path}/log.parquet")
+            _mark("log")
+
+            # ---- payload branch: project the payload columns out of
+            # the fused rows -> Lance-style sink.  Launched on a
+            # thread so the write overlaps the link branch below —
+            # both consume the materialized `fetched`.
+            payload_cols = [
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "ok",
+            ]
+            if cfg.extract_features:
+                from ..functions.imagefeat import FEATURE_COLUMNS
+
+                payload_cols += [name for name, _ in FEATURE_COLUMNS] + ["embedding"]
+            payload = fetched.map_batches(
+                lambda t: t.select(payload_cols).filter(t["ok"]).drop_columns(["ok"]),
+                batch_format="pyarrow",
+            )
+            payload_path = f"{out}/payload/wave={wave:06d}"
+
+            def _write_payload() -> None:
+                write_payload(payload, str(out / "payload"), f"wave={wave:06d}")
+
+            payload_thread = threading.Thread(target=_write_payload)
+            payload_thread.start()
+            _mark("payload_start")
+
+            # ---- link barrier: one deterministic process_wave() per
+            # shard (sort by discovery key, wave-dedupe, seen
+            # test-and-set) over everything the fetch tasks buffered.
+            frontier_refs = [s.process_wave.remote() for s in shard_handles]
+            n_new = sum(ray.get([_nrows.remote(r) for r in frontier_refs]))
+            new_frontier = rd.from_arrow_refs(frontier_refs)
+            _mark("links")
+
+            # join the payload write before the checkpoint barrier
+            payload_thread.join()
             payload_rows = sum(
                 pq.read_metadata(f).num_rows for f in Path(payload_path).glob("*.parquet")
             )
+            _mark("payload_join")
 
-            # ---- crawl-order log (the headline determinism artifact) ----
-            log_path = str(out / "crawl_log" / f"wave={wave:06d}")
-            clear_partition(log_path)
-            fetched.map_batches(
-                lambda t: pa.table(
-                    {
-                        "fetch_seq": t["fetch_seq"],
-                        "url_canon": t["url_canon"],
-                        "depth": t["depth"],
-                        "status": t["status"],
-                    }
-                ),
-                batch_format="pyarrow",
-            ).write_parquet(log_path)
+            # ---- backlog update: broadcast anti-filter of admitted.
+            # Reuses the admission's broadcast seq frame: a backlog
+            # row was admitted iff its (unique) discovery key appears
+            # there — a vectorized pandas anti-merge per batch.
+            def _drop_admitted(b: pd.DataFrame) -> pd.DataFrame:
+                from ..functions.broadcast import bget
 
-            # ---- link branch: explode -> canon -> robots -> dedupe -> seen ----
-            new_frontier = (
-                fetched.map_batches(
-                    lambda t, w=wave: explode_links(
-                        t.filter(pc.equal(t["status"], pa.scalar("200"))), w
-                    ),
-                    batch_format="pyarrow",
+                m = b.merge(
+                    bget(seq_ref)[DISCOVERY_KEY].assign(_adm=1),
+                    on=DISCOVERY_KEY,
+                    how="left",
                 )
-                .map_batches(canonicalize_links, batch_format="pyarrow")
-                .map_batches(
-                    RobotsFilterStage,
-                    fn_constructor_args=(cfg.store,),
-                    batch_format="pyarrow",
-                    concurrency=2,
-                )
-                .map_batches(
-                    lambda t: t.filter(pc.less_equal(t["depth"], pa.scalar(cfg.max_depth, pa.int32()))),
-                    batch_format="pyarrow",
-                )
-                .map_batches(_frontier_table, batch_format="pyarrow")
-                .groupby("url_hex")
-                .map_groups(_wave_dedupe, batch_format="pandas")
-                .map_batches(_frontier_table, batch_format="pyarrow")
-                .map_batches(SeenFilterStage, fn_constructor_args=(seen,), batch_format="pyarrow", concurrency=2)
-                .materialize()
-            )
-            n_new = new_frontier.count()
+                return m[m["_adm"].isna()].drop(columns=["_adm"])
 
-            # ---- backlog update: broadcast anti-filter of admitted ----
-            admitted_hexes = set(
-                pa.concat_tables(ray.get(admitted.to_arrow_refs()))["url_hex"].to_pylist()
-            )
-            href = ray.put(admitted_hexes)
-
-            class _DropAdmitted:
-                def __init__(self):
-                    self.drop = ray.get(href)
-
-                def __call__(self, t: pa.Table) -> pa.Table:
-                    keep = pa.array([h not in self.drop for h in t["url_hex"].to_pylist()])
-                    return t.filter(keep)
-
+            # both sides already carry the canonical frontier schema.
+            # repartition compacts the union's block fragmentation —
+            # without it block count grows every wave (union appends
+            # blocks) and every downstream pass pays per-block costs
+            # (admission grew 1.3s -> 7s over 3 waves, measured).
             backlog = (
-                backlog.map_batches(_DropAdmitted, batch_format="pyarrow", concurrency=2)
-                .union(new_frontier)
+                backlog.map_batches(_drop_admitted, batch_format="pandas")
                 .map_batches(_frontier_table, batch_format="pyarrow")
+                .union(new_frontier)
+                .repartition(max(8, int(ray.cluster_resources().get("CPU", 8))))
                 .materialize()
             )
+            _mark("backlog_update")
 
             # ---- wave barrier: checkpoint commit ----
             backlog_path = str(out / "backlog" / f"wave={wave:06d}")
             clear_partition(backlog_path)
             backlog.write_parquet(backlog_path)
             snaps = seen.snapshot(str(ckpt), wave)
+            _mark("checkpoint")
             wave_metrics = {
+                "phase_sec": phase_t,
                 "admitted": int(n_admitted),
                 "payload_rows": int(payload_rows),
                 "quarantined": int(n_admitted - payload_rows),

@@ -316,3 +316,183 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
         .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# O1 — deterministic global ordering with missing-keys-first + rank
+# (reference s2processor.py:103-106: sorted(key=("corpusid" in x,
+# x.get("corpusid"))) — rows lacking the key sort first). The rank
+# column is assigned by block-offset prefix sums over the sorted
+# dataset (same mechanism as the crawl's fetch_seq), so the ordering
+# is *data*, verifiable by an order-insensitive hash.
+# ---------------------------------------------------------------------------
+def q08_sort_rank(sf_dir: str) -> rd.Dataset:
+    import ray.data as _rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total"))
+        .map_batches(lambda t: _round_cols(t, {"total": 2}), batch_format="pyarrow")
+    )
+    joined = cust.join(
+        agg, join_type="left_outer", num_partitions=_NPART,
+        on=("c_custkey",), right_on=("o_custkey",), **JOIN_ARGS,
+    )
+
+    def sort_keys(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t["total"]).cast(pa.int32())
+        filled = pc.coalesce(t["total"], pa.scalar(-1.0))
+        return t.append_column("has_total", has).append_column("total_filled", filled)
+
+    s = joined.map_batches(sort_keys, batch_format="pyarrow").sort(
+        ["has_total", "total_filled", "c_custkey"]
+    )
+    # block-offset rank assignment (sorted block order == global order)
+    refs = s.to_arrow_refs()
+    counts = ray.get([_nrows_q08.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    out = [_rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return _rd.from_arrow_refs(out)
+
+
+@ray.remote
+def _nrows_q08(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _rank_block(t: pa.Table, offset: int) -> pa.Table:
+    rnk = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64())
+    return pa.table(
+        {"c_custkey": t["c_custkey"], "total": t["total"], "rnk": rnk}
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8/F9 — projection + rename (reference s2processor.py:188-196:
+# author["s2url"] = author.pop("url")).
+# ---------------------------------------------------------------------------
+def q24_projection_rename(sf_dir: str) -> rd.Dataset:
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["c_custkey"],
+                    "name": t["c_name"],
+                    "balance": pc.round(t["c_acctbal"], ndigits=2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — exact distinct (reference set()-collection, s2processor.py:55).
+# ---------------------------------------------------------------------------
+def q25_distinct(sf_dir: str) -> "pa.Table":
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# A3 — multi-aggregate stats per key (reference counters/metrics
+# surface, s2client.py:127-142).
+# ---------------------------------------------------------------------------
+def q26_agg_stats(sf_dir: str) -> rd.Dataset:
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+        .map_batches(
+            lambda t: _round_cols(t, {"min_value": 6, "max_value": 6, "avg_value": 6}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1/C2 — string scalar functions (reference split/partition/
+# endswith family, SURVEY.md §2.8) as vectorized Arrow kernels.
+# ---------------------------------------------------------------------------
+def q27_string_funcs(sf_dir: str) -> rd.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "src_upper": pc.utf8_upper(t["source"]),
+                "src_num": pc.utf8_replace_slice(t["source"], 0, 3, ""),  # strip "src"
+                "is_src1x": pc.starts_with(t["source"], "src1"),
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — keyed gap-based windows over the event log
+# (streaming-shaped op per the build contract; ordering assumption:
+# per-user event-time sort inside the group, ties on equal ts are
+# gap-0 so session counts are tie-order-invariant).
+# ---------------------------------------------------------------------------
+SESSION_GAP_SEC = 1800
+
+
+def q28_sessionize(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        ts = g["ts"].sort_values().to_numpy()
+        # exact microsecond gap compare (matches the SQL oracle's
+        # epoch_us arithmetic — float/floor truncation would disagree
+        # on gaps within 1s of the threshold)
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > SESSION_GAP_SEC * 1_000_000).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
+             "n_events": [len(g)]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of lookup — for each event, the most recent prior 'signup' of the
+# same user (merge_asof semantics inside keyed groups; SURVEY.md §2
+# custom-operator guidance (a): composition of groupby + sorted
+# per-group pandas). Partitioning assumption: one user's events fit a
+# group.
+# ---------------------------------------------------------------------------
+def q29_asof_last_signup(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # forward-fill of the masked signup timestamps == "most recent
+        # prior signup" on the sorted stream (datetime cummax would
+        # propagate NaT, not carry the max — pandas wart)
+        last = g["ts"].where(g["event_type"] == "signup").ffill()
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "last_signup": last}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )

@@ -26,7 +26,7 @@ from ..fixtures.content_store import ContentStoreConfig, fetch_page
 class FetchStage:
     def __init__(self, cfg: ContentStoreConfig):
         self.cfg = cfg
-        self.pmf = cfg.host_pmf()  # computed once per actor
+        self.pmf = cfg.host_pmf()  # computed once per actor/process
         self.n_fetched = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -47,3 +47,89 @@ class FetchStage:
             .append_column("caption", pa.array(captions, pa.string()))
             .append_column("links", pa.array(links, pa.list_(pa.string())))
         )
+
+
+_FETCH_CACHE: dict[ContentStoreConfig, FetchStage] = {}
+
+
+def fetch_task(batch: pa.Table, cfg: ContentStoreConfig) -> pa.Table:
+    """Stateless-TASK entry point with a per-worker-process stage
+    cache.  Preferred over an actor pool here: the per-actor state (a
+    pmf array) is trivially reconstructible, tasks reuse the warm
+    worker pool across waves (an actor pool is re-created on every
+    wave execution — measured ~1-2s startup per stage per wave), and
+    tasks hold no standing CPU reservation."""
+    stage = _FETCH_CACHE.get(cfg)
+    if stage is None:
+        stage = _FETCH_CACHE.setdefault(cfg, FetchStage(cfg))
+    return stage(batch)
+
+
+def fetch_decode_task(batch: pa.Table, cfg: ContentStoreConfig, extract: bool = False) -> pa.Table:
+    """Fused fetch + decode-verify(+features/embedding) task — one pass
+    over the admitted rows producing BOTH the payload columns and the
+    link-discovery columns.  The wave loop materializes this once and
+    branches payload-write / link-explode off it; fusing the two
+    per-row stages halves the task rounds per wave (the second
+    256-task decode wave was ~20% of wave wall at 32 CPUs, measured).
+    """
+    from .decode import decode_verify_task
+
+    fetched = fetch_task(batch, cfg)
+    decoded = decode_verify_task(fetched, cfg, extract)
+    # decoded carries payload cols aligned row-for-row with `fetched`;
+    # combine: payload cols + the frontier/link cols needed downstream
+    keep = [c for c in fetched.column_names if c not in decoded.column_names]
+    out = decoded
+    for c in keep:
+        out = out.append_column(c, fetched[c])
+    return out
+
+
+def fetch_decode_link_task(
+    batch: pa.Table, cfg: ContentStoreConfig, extract: bool = False
+) -> pa.Table:
+    """Fully-fused per-row wave stage: fetch + decode-verify
+    (+features/embedding) + per-link canonicalize/hash/robots.
+
+    All Python-level per-row work of a wave lives in this ONE task
+    chain, so the streaming executor keeps every core on it for the
+    whole fetch phase; the downstream link branch is then a vectorized
+    explode + one keyed shuffle (link prep as a separate pass left
+    cores idle behind the fetch barrier — 6-10s/wave at 32 CPUs,
+    measured).  Out-links are emitted as aligned list columns:
+    link_canon / link_hex / link_sha1 / link_host / link_host_hash /
+    link_allowed (robots verdict via the per-process cached rules).
+    """
+    import hashlib
+
+    from urllib.parse import urlsplit
+
+    from ..functions.urls import canonicalize_url
+    from ..fixtures.content_store import robots_allowed
+
+    out = fetch_decode_task(batch, cfg, extract)
+    all_canon, all_hex, all_sha, all_host, all_hh, all_ok = [], [], [], [], [], []
+    for links in out["links"].to_pylist():
+        canon = [canonicalize_url(u) for u in (links or [])]
+        sha = [hashlib.sha1(c.encode("utf-8")).digest() for c in canon]
+        hosts = [urlsplit(c).netloc for c in canon]
+        hh = [
+            int.from_bytes(hashlib.sha1(h.encode("utf-8")).digest()[:8], "big")
+            for h in hosts
+        ]
+        oks = [robots_allowed(cfg, h, c.split(h, 1)[1]) for c, h in zip(canon, hosts)]
+        all_canon.append(canon)
+        all_hex.append([s.hex() for s in sha])
+        all_sha.append(sha)
+        all_host.append(hosts)
+        all_hh.append(hh)
+        all_ok.append(oks)
+    return (
+        out.append_column("link_canon", pa.array(all_canon, pa.list_(pa.string())))
+        .append_column("link_hex", pa.array(all_hex, pa.list_(pa.string())))
+        .append_column("link_sha1", pa.array(all_sha, pa.list_(pa.binary())))
+        .append_column("link_host", pa.array(all_host, pa.list_(pa.string())))
+        .append_column("link_host_hash", pa.array(all_hh, pa.list_(pa.uint64())))
+        .append_column("link_allowed", pa.array(all_ok, pa.list_(pa.bool_())))
+    )

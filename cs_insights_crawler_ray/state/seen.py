@@ -51,11 +51,87 @@ class _SeenShardImpl:
     def __init__(self, shard_id: int, capacity: int = 1 << 20,
                  fp_rate: float = 1e-3, exact: bool = True):
         self.shard_id = shard_id
-        self.bloom = CountingBloom(capacity, fp_rate)
+        self.capacity = capacity
+        self.fp_rate = fp_rate
+        # scalable-bloom (Almeida et al., public construction): when
+        # the active filter reaches its design capacity, chain a new
+        # one with doubled capacity. A saturated fixed bloom answers
+        # "maybe" for everything, which forced every lookup through
+        # the exact-set Python path (158s/wave observed at 2 shards).
+        self.blooms = [CountingBloom(capacity, fp_rate)]
         self.cuckoo = CuckooFilter(capacity, seed=0x5EED ^ shard_id)
         self.exact: set[bytes] | None = set() if exact else None
         self.n_checked = 0
         self.n_new = 0
+        self.mailbox: list = []  # buffered link slices for the current wave
+
+    # -- wave mailbox -------------------------------------------------
+    # Fetch tasks route their exploded link slices here DURING the
+    # fetch phase (ray.get-acknowledged, so every slice is buffered
+    # before the wave barrier); process_wave then sorts the whole
+    # slice set by discovery key, wave-dedupes, and runs the seen
+    # test-and-set — one deterministic pass per shard per wave.  This
+    # replaces a groupby shuffle + separate seen stage (6-17s/wave of
+    # post-fetch serial time at 32 CPUs, measured) with work that
+    # overlaps the fetch.
+    def buffer_links(self, table) -> int:
+        self.mailbox.append(table)
+        return len(self.mailbox)
+
+    def process_wave(self):
+        """Barrier call: returns the NEW frontier rows (arrow Table,
+        canonical schema; empty when nothing new) from everything
+        buffered this wave."""
+        import pyarrow as _pa
+
+        schema = _pa.schema(
+            [
+                ("url_canon", _pa.string()),
+                ("url_hex", _pa.string()),
+                ("url_sha1", _pa.binary(20)),
+                ("host", _pa.string()),
+                ("host_hash", _pa.uint64()),
+                ("depth", _pa.int32()),
+                ("disc_wave", _pa.int32()),
+                ("disc_parent", _pa.int64()),
+                ("disc_link", _pa.int32()),
+            ]
+        )
+        if not self.mailbox:
+            return schema.empty_table()
+        t = _pa.concat_tables(self.mailbox)
+        self.mailbox = []
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["disc_wave", "disc_parent", "disc_link"], kind="mergesort"
+        ).drop_duplicates("url_hex", keep="first")
+        digests = np.stack([np.frombuffer(b, np.uint8) for b in df["url_sha1"]])
+        mask = self.check_and_add(digests)
+        df = df[mask]
+        out = _pa.Table.from_pandas(df[schema.names], preserve_index=False)
+        return out.cast(schema)
+
+    @property
+    def bloom(self) -> CountingBloom:  # newest filter (adds go here)
+        return self.blooms[-1]
+
+    def _bloom_contains(self, d: np.ndarray) -> np.ndarray:
+        maybe = self.blooms[0].contains(d)
+        for b in self.blooms[1:]:
+            maybe |= b.contains(d)
+        return maybe
+
+    def _bloom_add(self, new: np.ndarray) -> None:
+        if self.bloom.n_added + new.shape[0] > self.bloom_capacity():
+            self.blooms.append(
+                CountingBloom(self.bloom_capacity() * 2, self.fp_rate)
+            )
+        self.bloom.add(new)
+
+    def bloom_capacity(self) -> int:
+        return self.capacity * (2 ** (len(self.blooms) - 1))
 
     def check_and_add(self, digests: np.ndarray) -> np.ndarray:
         """(N,20) uint8 -> (N,) bool, True = previously UNSEEN (and now
@@ -69,7 +145,7 @@ class _SeenShardImpl:
         d = np.ascontiguousarray(digests).reshape(-1, 20)
         self.n_checked += d.shape[0]
         uniq, first_idx = np.unique(d, axis=0, return_index=True)
-        maybe_seen = self.bloom.contains(uniq)
+        maybe_seen = self._bloom_contains(uniq)
         new_uniq = ~maybe_seen
         if self.exact is not None and maybe_seen.any():
             for i in np.nonzero(maybe_seen)[0]:
@@ -77,7 +153,7 @@ class _SeenShardImpl:
                     new_uniq[i] = True
         new = uniq[new_uniq]
         if new.shape[0]:
-            self.bloom.add(new)
+            self._bloom_add(new)
             self.cuckoo.add(new)
             if self.exact is not None:
                 self.exact.update(row.tobytes() for row in new)
@@ -88,7 +164,7 @@ class _SeenShardImpl:
 
     def contains(self, digests: np.ndarray) -> np.ndarray:
         d = np.ascontiguousarray(digests).reshape(-1, 20)
-        maybe = self.bloom.contains(d)
+        maybe = self._bloom_contains(d)
         if self.exact is None:
             return maybe
         out = maybe.copy()
@@ -101,7 +177,7 @@ class _SeenShardImpl:
             "shard": self.shard_id,
             "checked": self.n_checked,
             "new": self.n_new,
-            "bloom_added": self.bloom.n_added,
+            "bloom_added": sum(b.n_added for b in self.blooms),
             "cuckoo_added": self.cuckoo.n_added,
             "exact_size": len(self.exact) if self.exact is not None else -1,
         }
@@ -115,7 +191,9 @@ class _SeenShardImpl:
         p.parent.mkdir(parents=True, exist_ok=True)
         state = {
             "shard_id": self.shard_id,
-            "bloom": self.bloom.dump(),
+            "capacity": self.capacity,
+            "fp_rate": self.fp_rate,
+            "blooms": [b.dump() for b in self.blooms],
             "cuckoo": self.cuckoo.dump(),
             "exact": self.exact,
             "n_checked": self.n_checked,
@@ -131,14 +209,20 @@ class _SeenShardImpl:
         with open(path, "rb") as f:
             state = pickle.load(f)
         self.shard_id = state["shard_id"]
-        self.bloom = CountingBloom.load(state["bloom"])
+        self.capacity = state["capacity"]
+        self.fp_rate = state["fp_rate"]
+        self.blooms = [CountingBloom.load(b) for b in state["blooms"]]
         self.cuckoo = CuckooFilter.load(state["cuckoo"])
         self.exact = state["exact"]
         self.n_checked = state["n_checked"]
         self.n_new = state["n_new"]
 
 
-SeenShard = ray.remote(_SeenShardImpl)
+# num_cpus=0: shard actors do brief vectorized work at wave barriers
+# and sit idle during fetch; a default 1-CPU reservation per shard
+# silently removed n_shards task slots from every wave (measured as a
+# ~25% fetch-slot loss at 8 shards on 32 CPUs).
+SeenShard = ray.remote(num_cpus=0)(_SeenShardImpl)
 
 
 class ShardedSeenSet:
