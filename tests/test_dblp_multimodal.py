@@ -1,0 +1,112 @@
+"""DBLP filter-chain parity + multimodal stage plumbing."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cs_insights_crawler_ray.pipelines import dblp
+from cs_insights_crawler_ray.stages import multimodal as mm
+
+ELEMENTS = [
+    {"@key": "conf/x/1", "@mdate": "2021-06-01", "ee": {"@type": "oa", "#text": "u1"}},
+    {"@key": "conf/x/2", "@mdate": "2019-01-01", "ee": {"@type": "oa", "#text": "u2"}},
+    {"@key": "conf/x/3", "@mdate": "2022-03-04", "ee": {"@type": "closed", "#text": "u3"}},
+    {"@key": "conf/x/4", "@mdate": "2023-05-06"},                      # no ee -> CLOSED
+    {"@key": "dblpnote/error", "@mdate": "2022-01-01", "ee": {"@type": "oa", "#text": "u5"}},
+]
+
+
+def _oracle(elements, from_ts, access):
+    """Sequential reference semantics (dblpclient.py:104-145)."""
+    out = []
+    for el in elements:
+        if datetime.strptime(el["@mdate"], "%Y-%m-%d") <= from_ts:
+            continue
+        if el.get("ee", {"@type": "closed"}).get("@type") not in access:
+            continue
+        out.append(el["@key"])
+    return out
+
+
+def test_dblp_filter_chain_parity():
+    ds = dblp.load_dblp_elements(ELEMENTS)
+    got = dblp.apply_filters(
+        ds,
+        dblp.timestamp_filter(datetime(2020, 1, 1)),
+        dblp.access_filter({"oa"}),
+    )
+    keys = sorted(r["@key"] for r in got.take_all())
+    assert keys == sorted(_oracle(ELEMENTS, datetime(2020, 1, 1), {"oa"}))
+
+
+def test_dblp_denylist_and_strict():
+    ds = dblp.load_dblp_elements(ELEMENTS)
+    keys = sorted(
+        r["@key"]
+        for r in dblp.apply_filters(ds, dblp.denylist_filter()).take_all()
+    )
+    assert "dblpnote/error" not in keys and len(keys) == 4
+
+    bad = dblp.load_dblp_elements([{"@key": "x", "@mdate": None}])
+    with pytest.raises(Exception):  # reference raises on missing @mdate too
+        dblp.apply_filters(bad, dblp.timestamp_filter(datetime(2020, 1, 1))).take_all()
+
+    with pytest.raises(NotImplementedError):
+        dblp.parse_dblp_xml("/tmp/nope.xml.gz")
+
+
+def _audio_clip(seed, n=8000, rate=16000):
+    # pure 440 Hz tone (wideband noise would dominate the magnitude-
+    # weighted centroid); seed only varies the phase
+    t = np.arange(n) / rate
+    wave = (np.sin(2 * np.pi * 440 * t + seed) * 12000).astype(np.int16)
+    return mm.encode_audio(np.stack([wave, wave], axis=1), rate)
+
+
+def test_audio_stage_roundtrip_and_features():
+    t = pa.table(
+        {
+            "clip_id": ["a", "b", "bad"],
+            "bytes": [_audio_clip(1), _audio_clip(2), b"junk"],
+            "sample_rate": pa.array([16000, 16000, 0], pa.int32()),
+            "n_samples": pa.array([8000, 8000, 0], pa.int64()),
+            "channels": pa.array([2, 2, 0], pa.int32()),
+        }
+    )
+    out = rd.from_arrow(t).map_batches(mm.audio_features_stage, batch_format="pyarrow").to_pandas()
+    assert list(out["ok"]) == [True, True, False]
+    ok = out[out["ok"]]
+    # a 440 Hz tone: centroid near 440, rms near 12000/32768*0.707
+    assert (ok["spectral_centroid"].between(300, 900)).all()
+    assert (ok["rms"].between(0.2, 0.4)).all()
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio_with_library(b"")
+
+
+def test_video_frame_sample_stage():
+    rng = np.random.Generator(np.random.PCG64(3))
+    frames = rng.integers(0, 256, size=(12, 32, 32, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "video_id": ["v1", "bad"],
+            "bytes": [mm.encode_video(frames, 24.0), b"junk"],
+            "w": pa.array([32, 0], pa.int32()),
+            "h": pa.array([32, 0], pa.int32()),
+            "n_frames": pa.array([12, 0], pa.int32()),
+            "fps": pa.array([24.0, 0.0], pa.float32()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(mm.video_frame_sample_stage, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert list(out["frame_idx"]) == [0, 5, 10]   # every_n=5 over 12 frames
+    assert (out["video_id"] == "v1").all()
+    dec, fps = mm.decode_video(mm.encode_video(frames, 24.0))
+    assert np.array_equal(dec, frames) and fps == 24.0
