@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- crawl engine (parity vs sequential oracle in pytest) ----
         "q30_crawl_order": crawl_queries.q30_crawl_order,
         "q31_crawl_payload": crawl_queries.q31_crawl_payload,
+        "q32_payload_neardup": crawl_queries.q32_payload_neardup,
     }
 
 

@@ -62,3 +62,32 @@ def q31_crawl_payload(sf_dir: str) -> pd.DataFrame:
         .sort_values("image_id")
         .reset_index(drop=True)
     )
+
+
+def q32_payload_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """phash-hamming near-dup pairs over the crawled payload table —
+    the input_hint's ``phash:int64`` column doing its job (SURVEY.md
+    §2.7 D5). Banding: 4 x 16-bit fragments (pigeonhole-exhaustive
+    for hamming <= 3; wider radii trade recall, documented)."""
+    import itertools
+
+    import numpy as np
+
+    df = q31_crawl_payload(sf_dir)[["image_id", "phash"]]
+    ph = df["phash"].to_numpy().astype(np.int64)
+    ids = df["image_id"].to_numpy()
+    buckets: dict = {}
+    for band in range(4):
+        frag = (ph.astype(np.uint64) >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        for i, f in enumerate(frag):
+            buckets.setdefault((band, int(f)), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for a, b in itertools.combinations(members, 2):
+            d = bin((int(ph[a]) ^ int(ph[b])) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                pairs.add((min(ids[a], ids[b]), max(ids[a], ids[b]), d))
+    out = pd.DataFrame(sorted(pairs), columns=["a", "b", "hamming"])
+    return out.astype({"a": "string", "b": "string", "hamming": "int64"})

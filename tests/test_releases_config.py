@@ -1,0 +1,82 @@
+"""Release-selection logic (S4/S5/S6) + config validation (F11/F12)
++ text-function properties."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cs_insights_crawler_ray.config import IngestConfig
+from cs_insights_crawler_ray.functions import text as T
+from cs_insights_crawler_ray.sources.releases import (
+    filter_release_artifacts,
+    latest_release_file,
+    stable_release_version,
+)
+
+LISTING = [
+    "dblp-2024-03-01.xml.gz", "dblp-2024-03-01.xml.gz.md5", "dblp-2024-03-01.dtd",
+    "dblp-2024-02-01.xml.gz", "dblp-2024-02-01.xml.gz.md5",
+    "dblp-2023-12-01.xml.gz", "index.html", "logo.png",
+]
+
+
+def test_filter_and_nth_newest():
+    arts = filter_release_artifacts(LISTING)
+    assert "index.html" not in arts and "logo.png" not in arts
+    assert arts[0].startswith("dblp-2024-03")          # desc order
+    assert latest_release_file(LISTING, ".xml.gz") == "dblp-2024-03-01.xml.gz"
+    assert latest_release_file(LISTING, ".xml.gz", skip=2) == "dblp-2024-02-01.xml.gz"
+    with pytest.raises(ValueError):
+        latest_release_file(LISTING, ".xml.gz", skip=9)
+
+
+def test_stable_release_month_skip():
+    # reference semantics: drop EVERYTHING in the newest month
+    vs = ["2024-03-05", "2024-03-01", "2024-02-20", "2024-02-01"]
+    assert stable_release_version(vs) == "2024-02-20"
+    with pytest.raises(ValueError):
+        stable_release_version(["2024-03-05", "2024-03-01"])
+    with pytest.raises(ValueError):
+        stable_release_version([])
+
+
+def test_config_validation():
+    IngestConfig(use_tables=("papers",), s2_filters=("DBLP", "ACL")).validate()
+    with pytest.raises(NotImplementedError):
+        IngestConfig(use_tables=("papers", "citations")).validate()
+    with pytest.raises(NotImplementedError):
+        IngestConfig(s2_filters=("MAG",)).validate()
+    with pytest.raises(ValueError):
+        IngestConfig(use_tables=("nonsense",)).validate()
+
+
+def test_lang_id_heuristic():
+    s = pd.Series(
+        [
+            "the cat and the dog are in the house with a hat",
+            "der Hund und die Katze sind nicht in den Haus",
+            "le chat et le chien sont dans la maison pour un jour",
+            "el gato y el perro en la casa con los amigos",
+            "这是一个中文句子 关于爬虫和数据处理的测试",
+            "",
+        ]
+    )
+    assert list(T.lang_id(s)) == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprint_stability_and_locality():
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    s = pd.Series([base, base, base.replace("kilo", "zulu")])
+    fps = list(T.fingerprint64(s))
+    assert fps[0] == fps[1]                  # deterministic
+    # winnowing: an edit OUTSIDE the minimizing window often keeps the
+    # fingerprint; at minimum the function stays deterministic and
+    # int64-ranged
+    assert all(-(2**63) <= f < 2**63 for f in fps)
+
+
+def test_token_counts_edgecases():
+    s = pd.Series(["a b  c", "  x ", "single"])
+    assert list(T.token_counts(s)) == [3, 1, 1]
+    assert list(T.bpe_ish_token_counts(pd.Series(["don't stop, now!"]))) == [7]  # don / ' / t / stop / , / now / !
