@@ -138,20 +138,65 @@ def minhash_lsh_candidates(docs: rd.Dataset) -> rd.Dataset:
     return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+# above this many candidate pairs, fetch texts via hash joins; below
+# it, broadcast the candidate texts (two hash joins cost ~4-8s of
+# aggregator-actor startup — wasteful when the candidate set is tiny)
+BROADCAST_PAIR_LIMIT = 200_000
+
+
 def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
-    """MinHash-LSH near-dup pairs over documents, exact-verified:
-    candidates -> join texts back (hash join on doc id, payloads move
-    only for candidates) -> exact n-gram Jaccard >= threshold."""
+    """MinHash-LSH near-dup pairs over documents, exact-verified with
+    n-gram Jaccard >= threshold.
+
+    Text fetch for verification is adaptive: small candidate sets
+    broadcast the candidate texts (one filtered pass over docs, zero
+    shuffles); large sets use two hash joins so payloads only ever
+    move for candidates (the 100 TB path)."""
+    import ray
+
+    from ..functions.broadcast import bget
+    from .relational import JOIN_ARGS
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = minhash_lsh_candidates(docs)
+    cand = minhash_lsh_candidates(docs).materialize()
+    n_pairs = cand.count()
+
+    if n_pairs == 0:
+        return _typed_pairs(cand, ("a", "b", "jaccard"))
+
+    if n_pairs <= BROADCAST_PAIR_LIMIT:
+        ids = set()
+        for row in cand.take_all():
+            ids.add(row["a"]); ids.add(row["b"])
+        id_ref = ray.put(ids)
+        texts = {}
+        for bt in docs.map_batches(
+            lambda t: t.filter(
+                pa.array([i in bget(id_ref) for i in t["doc_id"].to_pylist()])
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pandas"):
+            texts.update(zip(bt["doc_id"], bt["text"]))
+        text_ref = ray.put(texts)
+
+        def verify_b(bt: pd.DataFrame) -> pd.DataFrame:
+            lut = bget(text_ref)
+            jac = [
+                round(ngram_jaccard(lut[a], lut[b]), 6)
+                for a, b in zip(bt["a"], bt["b"])
+            ]
+            out = pd.DataFrame({"a": bt["a"], "b": bt["b"], "jaccard": jac})
+            return out[out["jaccard"] >= threshold]
+
+        out = cand.map_batches(verify_b, batch_format="pandas")
+        return _typed_pairs(out, ("a", "b", "jaccard"))
+
     ta = docs.map_batches(
         lambda t: t.rename_columns(["a", "text_a"]), batch_format="pyarrow"
     )
     tb = docs.map_batches(
         lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
     )
-    from .relational import JOIN_ARGS
-
     joined = cand.join(
         ta, join_type="inner", num_partitions=2, on=("a",), **JOIN_ARGS
     ).join(tb, join_type="inner", num_partitions=2, on=("b",), **JOIN_ARGS)

@@ -1,0 +1,99 @@
+"""Politeness invariants under hot-host skew (north_rule: "hot-host
+skew handled explicitly")."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
+from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, read_crawl_log, run_crawl
+from cs_insights_crawler_ray.state.politeness import (
+    DISCOVERY_KEY,
+    local_host_topk,
+    partition_admission,
+)
+
+
+def _frontier_df(n_hosts, rows_per_host, seed=1):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    seq = 0
+    for h in range(n_hosts):
+        # host 0 is extremely hot (zipf head)
+        n = rows_per_host * (50 if h == 0 else 1)
+        for i in range(n):
+            rows.append(
+                dict(
+                    host_hash=np.uint64(h * 2654435761 % (1 << 63)),
+                    depth=int(rng.integers(0, 4)),
+                    disc_wave=0,
+                    disc_parent=seq,
+                    disc_link=i,
+                )
+            )
+            seq += 1
+    df = pd.DataFrame(rows)
+    df["host_hash"] = df["host_hash"].astype("uint64")
+    return df
+
+
+def test_local_topk_is_safe_prune():
+    """Rows outside a block-local per-host top-B can never be in the
+    global per-host top-B (total order on the discovery key)."""
+    df = _frontier_df(4, 6)
+    B = 3
+    blocks = np.array_split(df.sample(frac=1.0, random_state=7), 5)
+    pruned = pd.concat([local_host_topk(b, B) for b in blocks])
+    pruned["admission_part"] = 0
+    got = partition_admission(pruned, B)
+    full = df.copy()
+    full["admission_part"] = 0
+    want = partition_admission(full, B)
+    key = DISCOVERY_KEY
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key + ["score"]],
+        want.sort_values(key).reset_index(drop=True)[key + ["score"]],
+    )
+
+
+def test_partition_admission_budget_invariant():
+    df = _frontier_df(6, 4)
+    df["admission_part"] = 0
+    B = 5
+    out = partition_admission(df, B)
+    per_host = out.groupby("host_hash").size()
+    assert (per_host <= B).all()
+    # the hot host is capped at B despite having 50x the rows
+    hot = df.groupby("host_hash").size().idxmax()
+    assert per_host.get(hot, 0) == B
+
+
+def test_crawl_respects_budget_per_wave(tmp_path):
+    """End-to-end: no wave's crawl log contains more than host_budget
+    fetches of any single host."""
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(seed=5, n_hosts=6, pages_per_host=400, zipf_a=2.0),
+        n_seeds=24,
+        host_budget=2,
+        wave_size=10,
+        n_waves=3,
+        n_shards=2,
+    )
+    out = str(tmp_path)
+    run_crawl(cfg, out)
+    log = read_crawl_log(out)
+    log["host"] = log["url_canon"].str.extract(r"https://([^/]+)/")[0]
+    # reconstruct waves from manifests' fetch_seq ranges
+    import json
+    from pathlib import Path
+
+    manifests = sorted(Path(out, "checkpoints").glob("manifest_wave*.json"))
+    lo = 0
+    for mp in manifests:
+        m = json.loads(mp.read_text())
+        hi = m["next_fetch_seq"]
+        wave_hosts = log[(log["fetch_seq"] >= lo) & (log["fetch_seq"] < hi)]["host"]
+        assert wave_hosts.value_counts().max() <= cfg.host_budget
+        lo = hi

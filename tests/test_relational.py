@@ -16,7 +16,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
