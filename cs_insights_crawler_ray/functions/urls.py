@@ -82,6 +82,16 @@ def host_hash64(host: str) -> int:
     return int.from_bytes(hashlib.sha1(host.encode("utf-8")).digest()[:8], "big")
 
 
+def resolve_link(base: str, href: str) -> str:
+    """C7 (reference ``s2client.py:132,150,161``: urljoin for release/
+    dataset URLs): resolve a possibly-relative href against its page
+    URL and canonicalize.  Handles absolute URLs, protocol-relative
+    (//host/p), root-relative (/p), and relative (p, ../p) forms."""
+    from urllib.parse import urljoin
+
+    return canonicalize_url(urljoin(base, href))
+
+
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Stateless map_batches kernel: add url_canon, url_sha1, host,
     host_hash columns.

@@ -50,3 +50,15 @@ def test_canonicalize_batch_columns():
     assert out["host"].to_pylist() == ["h0.test", "h1.test"]
     assert out.schema.field("url_sha1").type == pa.binary(20)
     assert out.schema.field("host_hash").type == pa.uint64()
+
+
+def test_resolve_link_relative_forms():
+    from cs_insights_crawler_ray.functions.urls import resolve_link
+
+    base = "https://h0001.test/a/b/page"
+    assert resolve_link(base, "https://other.test/x") == "https://other.test/x"
+    assert resolve_link(base, "//cdn.test/img") == "https://cdn.test/img"
+    assert resolve_link(base, "/p/9") == "https://h0001.test/p/9"
+    assert resolve_link(base, "sib") == "https://h0001.test/a/b/sib"
+    assert resolve_link(base, "../up") == "https://h0001.test/a/up"
+    assert resolve_link(base, "x#frag") == "https://h0001.test/a/b/x"
