@@ -201,7 +201,9 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END AS new_s
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-            SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+            SELECT user_id,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM d GROUP BY user_id
         """,
         "q29_asof_last_signup": """
