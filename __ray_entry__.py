@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q27_string_funcs": R.q27_string_funcs,
         "q28_sessionize": R.q28_sessionize,
         "q29_asof_last_signup": R.q29_asof_last_signup,
+        "q33_union": R.q33_union,
+        "q34_grouped_topk": R.q34_grouped_topk,
+        "q35_count_distinct": R.q35_count_distinct,
         # -- text analysis ------------------------------------------
         "q13_token_stats": textops.q13_token_stats,
         "q14_quality_scores": textops.q14_quality_scores,
@@ -205,6 +208,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_s) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "q33_union": """
+            SELECT o_orderkey, o_totalprice, 'high' AS bucket
+            FROM orders WHERE o_totalprice > 450000.0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, 'low' AS bucket
+            FROM orders WHERE o_totalprice < 2000.0
+        """,
+        "q34_grouped_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+            FROM orders
+            QUALIFY rnk <= 3
+        """,
+        "q35_count_distinct": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q29_asof_last_signup": """
             SELECT e.event_id, max(s.ts) AS last_signup

@@ -248,7 +248,8 @@ def run_crawl(
         cumulative = {"fetched": 0, "payload_rows": 0, "quarantined": 0, "new_urls": 0}
         manifest = latest_manifest(str(ckpt)) if resume else None
         if manifest is not None:
-            seen.restore(manifest.seen_snapshots)
+            # delta-log replay of every committed wave's snapshot
+            seen.restore_from_dir(str(ckpt), manifest.wave)
             backlog = rd.read_parquet(manifest.backlog_path).map_batches(
                 _frontier_table, batch_format="pyarrow"
             ).materialize()

@@ -496,3 +496,76 @@ def q29_asof_last_signup(sf_dir: str) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set op: union (reference D1 union surface generalized to row union).
+# ---------------------------------------------------------------------------
+def q33_union(sf_dir: str) -> rd.Dataset:
+    def bucketize(mask_fn, label):
+        def f(t: pa.Table) -> pa.Table:
+            kept = t.filter(mask_fn(t))
+            return kept.append_column(
+                "bucket", pa.array([label] * kept.num_rows, pa.string())
+            )
+
+        return f
+
+    orders = lambda: _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])  # noqa: E731
+    hi = orders().map_batches(
+        bucketize(lambda t: pc.greater(t["o_totalprice"], pa.scalar(450000.0)), "high"),
+        batch_format="pyarrow",
+    )
+    lo = orders().map_batches(
+        bucketize(lambda t: pc.less(t["o_totalprice"], pa.scalar(2000.0)), "low"),
+        batch_format="pyarrow",
+    )
+    return hi.union(lo)
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (windowed rank per key): top-3 orders per customer.
+# groupby(key).map_groups with a vectorized head — the keyed analog of
+# the reference's per-release nth-newest pick (O2/O3) at table scale.
+# ---------------------------------------------------------------------------
+def q34_grouped_topk(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.copy()
+        g["rnk"] = range(1, len(g) + 1)
+        return g
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct-count per key (A1 at aggregation granularity).
+# Two-phase: per-batch (key, value) dedupe partials -> groupby count —
+# only distinct pairs cross the shuffle.
+# ---------------------------------------------------------------------------
+def q35_count_distinct(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def local_pairs(b: "pd.DataFrame") -> "pd.DataFrame":
+        return b.drop_duplicates(["l_returnflag", "l_partkey"])
+
+    def count_unique(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "n_parts": [int(g["l_partkey"].nunique())],
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+        .map_batches(local_pairs, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(count_unique, batch_format="pandas")
+    )

@@ -64,6 +64,7 @@ class _SeenShardImpl:
         self.n_checked = 0
         self.n_new = 0
         self.mailbox: list = []  # buffered link slices for the current wave
+        self._pending_deltas: list = []  # new digests since last snapshot
 
     # -- wave mailbox -------------------------------------------------
     # Fetch tasks route their exploded link slices here DURING the
@@ -157,6 +158,7 @@ class _SeenShardImpl:
             self.cuckoo.add(new)
             if self.exact is not None:
                 self.exact.update(row.tobytes() for row in new)
+            self._pending_deltas.append(new.copy())
         new_mask = np.zeros(d.shape[0], dtype=bool)
         new_mask[first_idx[new_uniq]] = True
         self.n_new += int(new_mask.sum())
@@ -184,18 +186,29 @@ class _SeenShardImpl:
 
     # -- wave-barrier snapshots (checkpoint/resume) -------------------
     def snapshot(self, path: str) -> str:
-        """Atomic write (tmp + rename) of full shard state; called at
-        the wave barrier together with the frontier offset commit so
-        seen-membership and frontier position can never diverge."""
+        """Atomic DELTA snapshot (tmp + rename): writes only the
+        digests added since the previous snapshot plus the counters —
+        an append-only log.  Called at the wave barrier together with
+        the frontier offset commit so seen-membership and frontier
+        position can never diverge.
+
+        A full-state snapshot every wave is O(seen) writes per wave —
+        6 MB/shard/wave at just 10^5 URLs, measured, and unworkable at
+        10^10; the delta log is O(new-this-wave), and resume replays
+        the sorted log once to rebuild the sketches + exact authority.
+        """
         p = Path(path)
         p.parent.mkdir(parents=True, exist_ok=True)
+        deltas = (
+            np.concatenate(self._pending_deltas)
+            if self._pending_deltas
+            else np.zeros((0, 20), dtype=np.uint8)
+        )
         state = {
             "shard_id": self.shard_id,
             "capacity": self.capacity,
             "fp_rate": self.fp_rate,
-            "blooms": [b.dump() for b in self.blooms],
-            "cuckoo": self.cuckoo.dump(),
-            "exact": self.exact,
+            "deltas": deltas,
             "n_checked": self.n_checked,
             "n_new": self.n_new,
         }
@@ -203,19 +216,39 @@ class _SeenShardImpl:
         with open(tmp, "wb") as f:
             pickle.dump(state, f, protocol=4)
         tmp.rename(p)
+        self._pending_deltas = []
         return str(p)
 
-    def restore(self, path: str) -> None:
-        with open(path, "rb") as f:
-            state = pickle.load(f)
-        self.shard_id = state["shard_id"]
-        self.capacity = state["capacity"]
-        self.fp_rate = state["fp_rate"]
-        self.blooms = [CountingBloom.load(b) for b in state["blooms"]]
-        self.cuckoo = CuckooFilter.load(state["cuckoo"])
-        self.exact = state["exact"]
-        self.n_checked = state["n_checked"]
-        self.n_new = state["n_new"]
+    def restore(self, paths: list[str] | str) -> None:
+        """Rebuild full state by replaying delta snapshots in order.
+
+        ``paths`` is the ordered list of this shard's delta files up
+        to the resume wave (a single path is accepted for
+        compatibility)."""
+        if isinstance(paths, str):
+            paths = [paths]
+        first = True
+        for path in paths:
+            with open(path, "rb") as f:
+                state = pickle.load(f)
+            if first:
+                self.shard_id = state["shard_id"]
+                self.capacity = state["capacity"]
+                self.fp_rate = state["fp_rate"]
+                self.blooms = [CountingBloom(self.capacity, self.fp_rate)]
+                self.cuckoo = CuckooFilter(self.capacity, seed=0x5EED ^ self.shard_id)
+                if self.exact is not None:
+                    self.exact = set()
+                first = False
+            d = np.asarray(state["deltas"], dtype=np.uint8).reshape(-1, 20)
+            if d.shape[0]:
+                self._bloom_add(d)
+                self.cuckoo.add(d)
+                if self.exact is not None:
+                    self.exact.update(row.tobytes() for row in d)
+            self.n_checked = state["n_checked"]
+            self.n_new = state["n_new"]
+        self._pending_deltas = []
 
 
 # num_cpus=0: shard actors do brief vectorized work at wave barriers
@@ -277,6 +310,20 @@ class ShardedSeenSet:
         return ray.get(
             [a.snapshot.remote(p) for a, p in zip(self.shards, paths)]
         )
+
+    def restore_from_dir(self, directory: str, upto_wave: int) -> None:
+        """Resume path: replay each shard's delta-snapshot log for all
+        committed waves <= upto_wave (files from a killed later wave
+        are ignored — they were never referenced by a manifest)."""
+        refs = []
+        for m, a in enumerate(self.shards):
+            files = sorted(
+                str(p)
+                for p in Path(directory).glob(f"seen_shard{m:04d}_wave*.pkl")
+                if int(p.stem.rsplit("wave", 1)[1]) <= upto_wave
+            )
+            refs.append(a.restore.remote(files))
+        ray.get(refs)
 
     def restore(self, paths: list[str]) -> None:
         ray.get([a.restore.remote(p) for a, p in zip(self.shards, paths)])

@@ -97,3 +97,36 @@ def test_crawl_respects_budget_per_wave(tmp_path):
         wave_hosts = log[(log["fetch_seq"] >= lo) & (log["fetch_seq"] < hi)]["host"]
         assert wave_hosts.value_counts().max() <= cfg.host_budget
         lo = hi
+
+
+def test_salted_aggregate_matches_plain():
+    """Salted two-phase aggregation == plain groupby on a zipf-skewed
+    key (90% of rows share one key)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from cs_insights_crawler_ray.functions.skew import salted_aggregate
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = 20000
+    keys = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 50, n))
+    vals = rng.random(n) * 10
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals}))
+
+    got = (
+        salted_aggregate(ds, "k", "v", n_salts=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.groupby("k")
+        .aggregate(Sum("v", alias_name="sum_value"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["sum_value"].round(6), atol=1e-5)
+    assert got[got["k"] == 0]["n"].iloc[0] > 15000   # the hot key really is hot
