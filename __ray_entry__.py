@@ -15,7 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from cs_insights_crawler_ray.pipelines import ann, crawl_queries, dedup, relational as R, textops
+from cs_insights_crawler_ray.pipelines import (
+    ann, crawl_queries, dedup, multimodal_queries, relational as R, textops)
 
 
 def entry() -> Any:
@@ -67,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_crawl_order": crawl_queries.q30_crawl_order,
         "q31_crawl_payload": crawl_queries.q31_crawl_payload,
         "q32_payload_neardup": crawl_queries.q32_payload_neardup,
+        # -- multimodal stages (stub codecs; pytest oracles) ---------
+        "q36_audio_features": multimodal_queries.q36_audio_features,
+        "q37_video_frame_phashes": multimodal_queries.q37_video_frame_phashes,
     }
 
 

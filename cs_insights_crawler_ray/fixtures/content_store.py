@@ -50,6 +50,9 @@ class ContentStoreConfig:
     img_max: int = 56
     robots_host_mod: int = 4     # 1 in N hosts has robots rules
     robots_path_mod: int = 7     # which paths those hosts disallow
+    dead_link_rate: float = 0.0  # fraction of out-links pointing past
+    # pages_per_host -> deterministic 404s (exercises the quarantine
+    # path end-to-end; 0 keeps legacy fixtures byte-identical)
     # precomputed zipf pmf over hosts (cached per-process via __post_init__-free design)
     _pmf: tuple = field(default=(), repr=False, compare=False)
 
@@ -114,13 +117,18 @@ def page_meta(cfg: ContentStoreConfig, url_canon: str) -> tuple[str, str]:
 
 
 def page_links(cfg: ContentStoreConfig, url_canon: str, pmf: np.ndarray | None = None) -> list[str]:
-    """Outgoing links of a page — zipf host targets, uniform pages."""
+    """Outgoing links of a page — zipf host targets, uniform pages;
+    a ``dead_link_rate`` fraction target pages past ``pages_per_host``
+    (deterministic 404s)."""
     rng = _rng_for(url_canon, cfg.seed, b"link")
     k = int(rng.integers(cfg.links_min, cfg.links_max + 1))
     if pmf is None:
         pmf = cfg.host_pmf()
     hosts = rng.choice(cfg.n_hosts, size=k, p=pmf)
     pages = rng.integers(0, cfg.pages_per_host, size=k)
+    if cfg.dead_link_rate > 0:
+        dead = rng.random(k) < cfg.dead_link_rate
+        pages = np.where(dead, pages + cfg.pages_per_host, pages)
     return [cfg.url(int(hi), int(p)) for hi, p in zip(hosts, pages)]
 
 
