@@ -113,3 +113,56 @@ def test_wave_metrics_parity(engine_run):
     for w in em:
         for k in ("admitted", "payload_rows", "new_urls", "backlog"):
             assert em[w][k] == om[w][k], f"wave {w} metric {k}: {em[w][k]} != {om[w][k]}"
+
+
+def test_crawl_to_exhaustion_reaches_closure(tmp_path):
+    """On a tiny universe, crawling until the frontier empties must
+    fetch exactly the robots-allowed reachable set (BFS closure of the
+    link graph from the seeds) — no page missed, none fetched twice."""
+    from collections import deque
+
+    from cs_insights_crawler_ray.fixtures.content_store import (
+        fetch_page, robots_allowed, seed_urls)
+    from cs_insights_crawler_ray.functions.urls import canonicalize_url, host_of
+
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(seed=77, n_hosts=4, pages_per_host=25),
+        n_seeds=6,
+        host_budget=4,
+        wave_size=40,
+        n_waves=50,          # far more than needed; loop exits on empty frontier
+        max_depth=50,
+        n_shards=2,
+    )
+    out = str(tmp_path)
+    run_crawl(cfg, out)
+    log = read_crawl_log(out)
+
+    # independent BFS closure over the pure-function web
+    store, pmf = cfg.store, cfg.store.host_pmf()
+    seen, order = set(), []
+    q = deque()
+    for u in seed_urls(store, cfg.n_seeds):
+        c = canonicalize_url(u)
+        h = host_of(c)
+        if robots_allowed(store, h, c.split(h, 1)[1]) and c not in seen:
+            seen.add(c); q.append(c)
+    while q:
+        u = q.popleft()
+        order.append(u)
+        page = fetch_page(store, u, pmf)
+        if page["status"] != "200":
+            continue
+        for raw in page["links"]:
+            c = canonicalize_url(raw)
+            h = host_of(c)
+            if not robots_allowed(store, h, c.split(h, 1)[1]):
+                continue
+            if c not in seen:
+                seen.add(c); q.append(c)
+
+    fetched = list(log["url_canon"])
+    assert len(fetched) == len(set(fetched)), "a page was fetched twice"
+    assert set(fetched) == set(order), (
+        f"closure mismatch: engine {len(set(fetched))} vs BFS {len(set(order))}"
+    )
