@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_minhash_dedup": dedup.q17_minhash_dedup,
         "q22_simhash": dedup.q22_simhash,
         "q23_embedding_near_dup": dedup.q23_embedding_near_dup,
+        "q38_dup_groups": dedup.q38_dup_groups,
         # -- crawl engine (parity vs sequential oracle in pytest) ----
         "q30_crawl_order": crawl_queries.q30_crawl_order,
         "q31_crawl_payload": crawl_queries.q31_crawl_payload,

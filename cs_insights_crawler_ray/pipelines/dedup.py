@@ -117,11 +117,24 @@ def _minhash_bands(b: pd.DataFrame, seed: int = 1729) -> pd.DataFrame:
     return stage(b)
 
 
+# Buckets larger than this emit STAR pairs (min-id x each member)
+# instead of all O(k^2) combinations: a degenerate bucket of 10k
+# near-identical docs would otherwise produce 50M candidate pairs.
+# Star pairs preserve cluster CONNECTIVITY (what connected_components
+# needs to form dup groups) at O(k); only pairwise similarity scores
+# between non-representative members are lost — and those pairs are
+# recovered transitively through the group.
+_STAR_BUCKET_SIZE = 256
+
+
 def _pairs_from_groups(g: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(set(g["doc_id"].tolist()))
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    pairs = list(itertools.combinations(ids, 2))
+    if len(ids) > _STAR_BUCKET_SIZE:
+        pairs = [(ids[0], other) for other in ids[1:]]
+    else:
+        pairs = list(itertools.combinations(ids, 2))
     return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
 
@@ -353,3 +366,85 @@ def q23_embedding_near_dup(sf_dir: str, threshold: float = 0.95, bits: int = 12)
         .map_groups(pairs, batch_format="pandas")
     )
     return _typed_pairs(out, ("a", "b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs -> dup GROUPS
+# ---------------------------------------------------------------------------
+def connected_components(pairs: rd.Dataset | pa.Table, max_iters: int = 50) -> pa.Table:
+    """(a, b) edge list -> (doc_id, group_id) with group_id = the min
+    doc id reachable through the near-dup graph — the canonical
+    representative each duplicate collapses to.
+
+    Distributed min-label propagation: each round, every node adopts
+    the smallest label among itself and its neighbors
+    (groupby(node).min over the edge-expanded label table), iterated
+    to fixpoint.  Rounds = graph diameter (near-dup clusters are
+    shallow, typically 2-4); each round is one keyed shuffle of
+    (node, label) pairs — never the document payloads.  Union-find on
+    the driver would be O(edges) driver memory; this stays distributed.
+    """
+    edges = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    if hasattr(edges, "to_pandas"):  # pyarrow Table
+        edges = edges.to_pandas()
+    edges = edges[["a", "b"]].astype("int64")
+    if len(edges) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())}
+        )
+    # label table: every endpoint starts labeled with itself
+    nodes = pd.unique(pd.concat([edges["a"], edges["b"]], ignore_index=True))
+    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    sym = pd.concat(
+        [
+            edges.rename(columns={"a": "node", "b": "peer"}),
+            edges.rename(columns={"b": "node", "a": "peer"}),
+        ],
+        ignore_index=True,
+    )
+    ds_edges = rd.from_pandas(sym)
+    ds_labels = rd.from_pandas(labels).materialize()
+    from ray.data.aggregate import Min
+
+    for _ in range(max_iters):
+        # join edge peers with current labels (broadcast: the label
+        # table is (node,label) ints — tiny relative to the corpus;
+        # at extreme scale this becomes a hash join on `peer`)
+        import ray
+
+        from ..functions.broadcast import bget
+
+        lab_map = dict(
+            zip(*(lambda df: (df["node"], df["label"]))(ds_labels.to_pandas()))
+        )
+        ref = ray.put(lab_map)
+
+        def peer_label(b: pd.DataFrame) -> pd.DataFrame:
+            lut = bget(ref)
+            return pd.DataFrame(
+                {"node": b["node"], "label": b["peer"].map(lut)}
+            )
+
+        candidates = ds_edges.map_batches(peer_label, batch_format="pandas").union(
+            ds_labels
+        )
+        new_labels = (
+            candidates.groupby("node").aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        new_df = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        old_df = ds_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        ds_labels = new_labels
+        if (new_df["label"].to_numpy() == old_df["label"].to_numpy()).all():
+            break
+    out = ds_labels.to_pandas().rename(columns={"node": "doc_id", "label": "group_id"})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_id", "group_id"]], preserve_index=False)
+
+
+def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """End-to-end dedup: MinHash-LSH candidates -> exact verification
+    -> connected components -> (doc_id, group_id) canonical-dup
+    assignment (rows-only oracle; component semantics tested against
+    hand-built graphs in tests/test_dedup.py)."""
+    verified = q17_minhash_dedup(sf_dir, threshold)
+    return connected_components(verified)

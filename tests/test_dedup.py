@@ -124,3 +124,32 @@ def test_lsh_ann_recall(neardup_dir):
         set(zip(lsh["qid"], lsh["vec_id"])) & set(zip(brute["qid"], brute["vec_id"]))
     ) / len(brute)
     assert recall >= 0.5, recall
+
+
+def test_connected_components_groups():
+    import pyarrow as pa
+
+    from cs_insights_crawler_ray.pipelines.dedup import connected_components
+
+    # two chains + a singleton edge: {1-2-3-4}, {10-11}, {20-21}
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 3, 10, 20], pa.int64()),
+         "b": pa.array([2, 3, 4, 11, 21], pa.int64())}
+    )
+    got = connected_components(pairs).to_pandas()
+    groups = dict(zip(got["doc_id"], got["group_id"]))
+    assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_star_bucket_cap_preserves_connectivity():
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import dedup
+
+    big = pd.DataFrame({"doc_id": list(range(1000))})
+    pairs = dedup._pairs_from_groups(big)
+    assert len(pairs) == 999                      # star, not 499500 combos
+    got = dedup.connected_components(
+        __import__("pyarrow").Table.from_pandas(pairs)
+    ).to_pandas()
+    assert (got["group_id"] == 0).all()           # one component, min id 0
