@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_crawl_order": crawl_queries.q30_crawl_order,
         "q31_crawl_payload": crawl_queries.q31_crawl_payload,
         "q32_payload_neardup": crawl_queries.q32_payload_neardup,
+        "q39_payload_ann": crawl_queries.q39_payload_ann,
         # -- multimodal stages (stub codecs; pytest oracles) ---------
         "q36_audio_features": multimodal_queries.q36_audio_features,
         "q37_video_frame_phashes": multimodal_queries.q37_video_frame_phashes,

@@ -19,7 +19,7 @@ import pyarrow.parquet as pq
 from ..fixtures.content_store import ContentStoreConfig
 from .crawl import CrawlConfig, read_crawl_log, run_crawl
 
-_VERSION = "v1"
+_VERSION = "v2"  # bump when _cfg_for changes (cache key)
 
 
 def _cfg_for(sf_dir: str) -> CrawlConfig:
@@ -34,6 +34,7 @@ def _cfg_for(sf_dir: str) -> CrawlConfig:
         max_depth=8,
         n_shards=2,
         fetch_actors=2,
+        extract_features=True,  # payload carries feature/embedding cols
     )
 
 
@@ -91,3 +92,25 @@ def q32_payload_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
                 pairs.add((min(ids[a], ids[b]), max(ids[a], ids[b]), d))
     out = pd.DataFrame(sorted(pairs), columns=["a", "b", "hamming"])
     return out.astype({"a": "string", "b": "string", "hamming": "int64"})
+
+
+def q39_payload_ann(sf_dir: str, k: int = 5, n_queries: int = 3) -> pd.DataFrame:
+    """ANN over the CRAWLED payload's own embedding column (the
+    multimodal stage feeding similarity search): brute-force cosine
+    top-k of the first n_queries images against the rest (rows-only
+    oracle; the brute-force path itself is SQL-oracled on the
+    embeddings table as q15)."""
+    import numpy as np
+
+    df = q31_crawl_payload(sf_dir)[["image_id", "embedding"]]
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    ids = df["image_id"].to_numpy()
+    out = []
+    for qi in range(min(n_queries, len(ids))):
+        cos = mat @ mat[qi]
+        order = np.argsort(-cos)
+        picked = [j for j in order if j != qi][:k]
+        for rank, j in enumerate(picked):
+            out.append((ids[qi], ids[j], rank + 1, round(float(cos[j]), 6)))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cos"])

@@ -110,3 +110,30 @@ def test_video_frame_sample_stage():
     assert (out["video_id"] == "v1").all()
     dec, fps = mm.decode_video(mm.encode_video(frames, 24.0))
     assert np.array_equal(dec, frames) and fps == 24.0
+
+
+def test_extractor_plugin_surface():
+    import pyarrow as pa
+
+    from cs_insights_crawler_ray.stages import extract as ex
+
+    with pytest.raises(NotImplementedError):
+        ex.extraction_stage(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "pdf_bytes": [b"%PDF-"]}),
+            ex.ExtractorType.GROBID,
+        )
+
+    def fake(blob: bytes) -> dict:
+        if not blob.startswith(b"%PDF"):
+            raise ValueError("not a pdf")
+        return {"text": f"extracted {len(blob)} bytes"}
+
+    ex.register_extractor(ex.ExtractorType.RULEBASED, fake)
+    out = ex.extraction_stage(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "pdf_bytes": [b"%PDF-1.5 body", b"junk"]}),
+        ex.ExtractorType.RULEBASED,
+    )
+    assert out["ok"].to_pylist() == [True, False]   # poison row, no raise
+    assert "extracted" in out["text"][0].as_py()
