@@ -24,14 +24,18 @@ restatement:
   a killed run restarts from the last committed wave with zero
   re-fetches (tests/test_resume.py asserts this).
 
-Per-wave dataflow (all lazy until the wave barrier):
+Per-wave dataflow:
 
-    backlog ── local_host_topk (combiner) ─ groupby(host_hash) admission
-            ─ sort(score, dk) ─ limit(wave_size) ─ fetch_seq assignment
-            ─ FetchStage actor pool ─┬─ DecodeVerifyStage ─ payload sink
-                                     └─ explode ─ canonicalize ─ robots
-                                        ─ wave-dedupe ─ seen-filter ─┐
-    backlog' = (backlog ∖ admitted) ∪ new ◄──────────────────────────┘
+    backlog ─ local_host_topk (combiner) ─ groupby(host_hash % parts)
+            ─ per-partition vectorized per-host ranking + local top-k
+            ─ driver-side key-only global top-k -> broadcast dk->seq
+            ─ FUSED task: fetch + decode-verify(+features/embedding)
+              + link canonicalize/robots, slices mailed to seen shards
+            ─┬─ payload projection ─ Lance-style sink (thread)
+              └─ crawl log (driver write of bounded admitted set)
+    links barrier: per-shard process_wave (sort by discovery key,
+    wave-dedupe, bloom+exact test-and-set) -> new frontier
+    backlog' = (backlog ∖ admitted) ∪ new  ─ checkpoint manifest commit
 """
 
 from __future__ import annotations
@@ -173,25 +177,6 @@ def _log_cols(t: pa.Table) -> pa.Table:
             "status": t["status"],
         }
     )
-
-
-@ray.remote
-def _with_seq(t: pa.Table, offset: int) -> pa.Table:
-    return t.append_column(
-        "fetch_seq", pa.array(np.arange(offset, offset + t.num_rows), pa.int64())
-    )
-
-
-def _assign_fetch_seq(ds: rd.Dataset, start: int) -> tuple[rd.Dataset, int]:
-    """Global consecutive numbering of the (bounded) admitted set via
-    per-block offsets: block order after sort IS the global order, so
-    an exclusive prefix-sum of block row counts gives each block its
-    offset. Only counts travel to the driver."""
-    refs = ds.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in refs])
-    offsets = start + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
-    out = [_with_seq.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return rd.from_arrow_refs(out), start + int(sum(counts))
 
 
 def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> rd.Dataset:

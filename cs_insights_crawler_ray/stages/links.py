@@ -15,31 +15,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..fixtures.content_store import ContentStoreConfig, robots_allowed
-from ..functions.urls import canonicalize_batch
-
-
-def explode_links(batch: pa.Table, wave: int) -> pa.Table:
-    """fetched rows -> one row per out-link, carrying the full
-    discovery key (disc_wave = wave the parent was fetched in,
-    disc_parent = parent's fetch_seq, disc_link = position in the
-    page's link list — the parallel-safe restatement of the
-    reference's listing order, ``s2client.py:153``)."""
-    links = batch["links"]
-    parent_seq = batch["fetch_seq"].to_numpy(zero_copy_only=False)
-    depth = batch["depth"].to_numpy(zero_copy_only=False)
-    counts = np.asarray([len(x) if x is not None else 0 for x in links.to_pylist()], dtype=np.int64)
-    flat_urls = [u for page in links.to_pylist() if page for u in page]
-    n = int(counts.sum())
-    link_idx = np.concatenate([np.arange(c) for c in counts]) if n else np.array([], dtype=np.int64)
-    return pa.table(
-        {
-            "url": pa.array(flat_urls, pa.string()),
-            "disc_wave": pa.array(np.full(n, wave, dtype=np.int32), pa.int32()),
-            "disc_parent": pa.array(np.repeat(parent_seq, counts), pa.int64()),
-            "disc_link": pa.array(link_idx.astype(np.int32), pa.int32()),
-            "depth": pa.array(np.repeat(depth + 1, counts), pa.int32()),
-        }
-    )
 
 
 class RobotsFilterStage:
@@ -65,22 +40,6 @@ class RobotsFilterStage:
             pa.bool_(),
         )
         return batch.filter(mask)
-
-
-def canonicalize_links(batch: pa.Table) -> pa.Table:
-    return canonicalize_batch(batch, url_col="url")
-
-
-_ROBOTS_CACHE: dict[ContentStoreConfig, RobotsFilterStage] = {}
-
-
-def robots_filter_task(batch: pa.Table, cfg: ContentStoreConfig) -> pa.Table:
-    """Stateless-TASK wrapper; the per-host robots rule cache lives per
-    worker process instead of per actor (same memoization, no pool)."""
-    stage = _ROBOTS_CACHE.get(cfg)
-    if stage is None:
-        stage = _ROBOTS_CACHE.setdefault(cfg, RobotsFilterStage(cfg))
-    return stage(batch)
 
 
 def explode_prepared(batch: pa.Table, wave: int, max_depth: int) -> pa.Table:
