@@ -166,3 +166,30 @@ def test_crawl_to_exhaustion_reaches_closure(tmp_path):
     assert set(fetched) == set(order), (
         f"closure mismatch: engine {len(set(fetched))} vs BFS {len(set(order))}"
     )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_parity_across_universes(seed, tmp_path):
+    """Byte-identical ordering must hold for arbitrary content-store
+    seeds and odd config shapes, not just the fixture above."""
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(
+            seed=seed,
+            n_hosts=5 + seed % 13,
+            pages_per_host=120 + seed % 77,
+            zipf_a=1.1 + (seed % 3) * 0.4,
+            dead_link_rate=0.1 if seed % 2 else 0.0,
+        ),
+        n_seeds=8 + seed % 9,
+        host_budget=2 + seed % 3,
+        wave_size=15 + seed % 10,
+        n_waves=3,
+        max_depth=4 + seed % 3,
+        n_shards=1 + seed % 3,
+    )
+    out = str(tmp_path)
+    run_crawl(cfg, out)
+    log = read_crawl_log(out)
+    sim = simulate(cfg)
+    eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
+    assert eng == sim.crawl_log, f"seed {seed}: order diverged"
