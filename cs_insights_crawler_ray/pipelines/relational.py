@@ -330,23 +330,30 @@ def q08_sort_rank(sf_dir: str) -> rd.Dataset:
     import ray.data as _rd
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
+    # per-customer totals are bounded by the customer dimension ->
+    # broadcast lookup instead of a hash join (a dimension-side join
+    # paid ~4s of aggregator-actor startup per query, measured)
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="total"))
         .map_batches(lambda t: _round_cols(t, {"total": 2}), batch_format="pyarrow")
     )
-    joined = cust.join(
-        agg, join_type="left_outer", num_partitions=_NPART,
-        on=("c_custkey",), right_on=("o_custkey",), **JOIN_ARGS,
-    )
+    lut = {r["o_custkey"]: r["total"] for r in agg.take_all()}
+    ref = ray.put(lut)
 
     def sort_keys(t: pa.Table) -> pa.Table:
-        has = pc.is_valid(t["total"]).cast(pa.int32())
-        filled = pc.coalesce(t["total"], pa.scalar(-1.0))
-        return t.append_column("has_total", has).append_column("total_filled", filled)
+        totals = [bget(ref).get(k) for k in t["c_custkey"].to_pylist()]
+        total = pa.array(totals, pa.float64())
+        has = pc.is_valid(total).cast(pa.int32())
+        filled = pc.coalesce(total, pa.scalar(-1.0))
+        return (
+            t.append_column("total", total)
+            .append_column("has_total", has)
+            .append_column("total_filled", filled)
+        )
 
-    s = joined.map_batches(sort_keys, batch_format="pyarrow").sort(
+    s = cust.map_batches(sort_keys, batch_format="pyarrow").sort(
         ["has_total", "total_filled", "c_custkey"]
     )
     # block-offset rank assignment (sorted block order == global order)
