@@ -145,8 +145,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q13_token_stats": """
             SELECT doc_id,
-                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                   length(replace(text, ' ', ''))                       AS n_chars_nospace
+                   array_length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   length(replace(text, ' ', ''))                 AS n_chars_nospace
             FROM documents
         """,
         "q15_ann_brute": """

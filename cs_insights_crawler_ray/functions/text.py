@@ -31,9 +31,15 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
 
 
 def token_counts(texts: pd.Series) -> pd.Series:
-    """Whitespace token count (matches SQL
-    ``array_length(string_split_regex(trim(text),'\\s+'))``)."""
-    return texts.str.strip().str.split().str.len().astype("int64")
+    """Whitespace token count = number of ``\\S+`` runs (matches SQL
+    ``array_length(regexp_extract_all(text, '\\S+'))``).
+
+    Edge cases aligned explicitly with the oracle (ADVICE r01): empty
+    and whitespace-only text count 0 on both sides, and tabs/newlines
+    are token separators on both sides (DuckDB ``trim()`` only strips
+    spaces, so the previous trim+split formulation diverged on
+    tab/newline-padded documents)."""
+    return texts.str.count(r"\S+").astype("int64")
 
 
 def bpe_ish_token_counts(texts: pd.Series) -> pd.Series:

@@ -388,8 +388,18 @@ def run_crawl(
             )
             payload_path = f"{out}/payload/wave={wave:06d}"
 
+            # exceptions must propagate: a silently-failed payload
+            # write + committed manifest = permanent data loss (resume
+            # never re-fetches committed waves), so the thread stores
+            # its exception and the join below re-raises BEFORE the
+            # checkpoint barrier can commit the wave.
+            payload_err: list[BaseException] = []
+
             def _write_payload() -> None:
-                write_payload(payload, str(out / "payload"), f"wave={wave:06d}")
+                try:
+                    write_payload(payload, str(out / "payload"), f"wave={wave:06d}")
+                except BaseException as e:  # noqa: BLE001 - re-raised on join
+                    payload_err.append(e)
 
             payload_thread = threading.Thread(target=_write_payload)
             payload_thread.start()
@@ -405,6 +415,11 @@ def run_crawl(
 
             # join the payload write before the checkpoint barrier
             payload_thread.join()
+            if payload_err:
+                raise RuntimeError(
+                    f"payload write failed for wave {wave}; aborting before "
+                    "manifest commit so resume re-runs this wave"
+                ) from payload_err[0]
             payload_rows = sum(
                 pq.read_metadata(f).num_rows for f in Path(payload_path).glob("*.parquet")
             )

@@ -489,7 +489,17 @@ def q29_asof_last_signup(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
     def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # sort signups BEFORE other events within an equal ts: the
+        # oracle's semantics are s.ts <= e.ts, so an event tied with a
+        # signup at the same timestamp must see it — a plain
+        # (ts, event_id) sort could order the signup after the tied
+        # event and ffill would miss it (data-dependent latent break).
+        is_not_signup = (g["event_type"] != "signup").astype("int8")
+        g = (
+            g.assign(_ns=is_not_signup)
+            .sort_values(["ts", "_ns", "event_id"], kind="mergesort")
+            .drop(columns=["_ns"])
+        )
         # forward-fill of the masked signup timestamps == "most recent
         # prior signup" on the sorted stream (datetime cummax would
         # propagate NaT, not carry the max — pandas wart)

@@ -52,9 +52,16 @@ class CountingBloom:
 
     def add(self, digests: np.ndarray) -> None:
         idx = self._indices(digests)
-        for row in idx:  # k rows (<=4), each a vectorized scatter-add
-            np.add.at(self.cells, row, 1)
-        np.minimum(self.cells, 255, out=self.cells)  # saturate
+        for row in idx:  # k rows (<=4), each a vectorized saturating add
+            # uint8 wraps 255->0 inside np.add.at (and duplicate indices
+            # within one batch can carry a cell past 255 in a single
+            # call), so a post-hoc np.minimum cannot enforce saturation
+            # — a wrapped cell would be a bloom false NEGATIVE.  Do the
+            # arithmetic wide instead: unique indices + per-index
+            # counts, add in int64, clamp, write back.
+            uniq, cnt = np.unique(row, return_counts=True)
+            new = self.cells[uniq].astype(np.int64) + cnt
+            self.cells[uniq] = np.minimum(new, 255).astype(np.uint8)
         self.n_added += digests.shape[0]
 
     def remove(self, digests: np.ndarray) -> None:

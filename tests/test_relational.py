@@ -83,6 +83,35 @@ def test_rows_only_queries_run():
         assert len(df.columns) > 0, name
 
 
+def test_q29_tied_signup_timestamp(tmp_path):
+    # ADVICE r01: a signup sharing its timestamp with another event of
+    # the same user must be visible to that event (oracle semantics:
+    # s.ts <= e.ts).  The fixture events table has no (user_id, ts)
+    # duplicates, so force the tie explicitly here.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-02 00:00:00"]
+    )
+    # event_id orders the tied pair so the non-signup sorts FIRST by id
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["click", "signup", "click"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.q29_asof_last_signup(str(tmp_path)).to_pandas()
+    out = out.set_index("event_id")["last_signup"]
+    assert out[1] == ts[0]  # tied event sees the same-ts signup
+    assert out[2] == ts[0]
+    assert out[3] == ts[0]
+
+
 def test_entry_smoke():
     df = _to_pdf(entrymod.entry())
     assert len(df) > 0

@@ -80,3 +80,22 @@ def test_token_counts_edgecases():
     s = pd.Series(["a b  c", "  x ", "single"])
     assert list(T.token_counts(s)) == [3, 1, 1]
     assert list(T.bpe_ish_token_counts(pd.Series(["don't stop, now!"]))) == [7]  # don / ' / t / stop / , / now / !
+
+
+def test_token_counts_empty_text_matches_duckdb():
+    # n_tokens is defined as the number of \S+ runs on BOTH sides
+    # (ADVICE r01: the previous trim+split formulation disagreed on
+    # empty and on tab/newline-padded documents — DuckDB trim() only
+    # strips spaces).
+    import duckdb
+
+    cases = ["", "   ", "\t\n", "one", " a  b ", "a\tb\nc"]
+    ours = list(T.token_counts(pd.Series(cases)))
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT coalesce(array_length(regexp_extract_all(s, '\\S+')), 0) "
+            "FROM (SELECT unnest(?) AS s)", params=[cases]
+        ).fetchall()
+    ]
+    assert ours == duck == [0, 0, 0, 1, 2, 3]

@@ -27,6 +27,25 @@ def test_bloom_no_false_negatives_and_low_fp():
     assert b.contains(others).mean() < 0.01               # fp well under 1%
 
 
+def test_bloom_saturation_no_wraparound():
+    # ADVICE r01: uint8 cells must saturate at 255, not wrap 255->0 —
+    # a wrapped cell is a bloom false negative.  Drive one digest's
+    # cells past 255 via repeated adds AND via duplicate indices
+    # within a single batch; membership must survive both.
+    b = CountingBloom(capacity=64)
+    d = _digests(1, b"x")
+    for _ in range(300):          # across calls
+        b.add(d)
+    assert b.contains(d).all()
+    big = np.repeat(d, 300, axis=0)  # dupes inside ONE scatter-add call
+    b2 = CountingBloom(capacity=64)
+    b2.add(big)
+    b2.add(big)
+    assert b2.contains(d).all()
+    idx = b2._indices(d)
+    assert (b2.cells[idx] == 255).all()  # saturated, not wrapped
+
+
 def test_bloom_remove_and_snapshot():
     b = CountingBloom(capacity=1000)
     d = _digests(100)
