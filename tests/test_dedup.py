@@ -146,8 +146,10 @@ def test_star_bucket_cap_preserves_connectivity():
 
     from cs_insights_crawler_ray.pipelines import dedup
 
-    big = pd.DataFrame({"doc_id": list(range(1000))})
-    pairs = dedup._pairs_from_groups(big)
+    big = pd.DataFrame(
+        {"doc_id": list(range(1000)), "band_id": 0, "band_hash": 42}
+    )
+    pairs = dedup._pairs_from_partition(big)
     assert len(pairs) == 999                      # star, not 499500 combos
     got = dedup.connected_components(
         __import__("pyarrow").Table.from_pandas(pairs)
