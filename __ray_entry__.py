@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_minhash_dedup": dedup.q17_minhash_dedup,
         "q22_simhash": dedup.q22_simhash,
         "q23_embedding_near_dup": dedup.q23_embedding_near_dup,
+        "q23b_embedding_neardup_exact": dedup.q23b_embedding_neardup_exact,
         "q38_dup_groups": dedup.q38_dup_groups,
         # -- crawl engine (parity vs sequential oracle in pytest) ----
         "q30_crawl_order": crawl_queries.q30_crawl_order,
@@ -74,6 +75,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_audio_features": multimodal_queries.q36_audio_features,
         "q37_video_frame_phashes": multimodal_queries.q37_video_frame_phashes,
     }
+
+
+# Shared CTE prefix: exact trigram-jaccard pair computation over
+# documents — tokens are \S+ runs (same as the Python kernels), grams
+# are distinct word trigrams (docs shorter than 3 tokens contribute
+# the whole text as one gram, mirroring dedup._shingle_hashes).
+_JACCARD_CTE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 3
+                  THEN list_transform(generate_series(1, len(ts)-2),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  ELSE [array_to_string(ts, ' ')]
+             END AS gs
+      FROM toks),
+    gset AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM gset GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM gset x JOIN gset y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+"""
+
+
+def _crawl_payload_glob() -> str:
+    """Deterministic /tmp location of the crawl payload parquet the
+    q30/q31/q32/q39 callables produce (cached per sf).  The driver
+    compares at sf0.01; tests override via GRAFT_ORACLE_SF to match
+    their sf_dir."""
+    import os
+
+    from cs_insights_crawler_ray.pipelines.crawl_queries import _VERSION
+
+    sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
+    return f"/tmp/ciq_crawl_{_VERSION}_{sf}/payload/*/*.parquet"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -244,9 +282,76 @@ def oracle_sql() -> dict[str, str]:
              AND s.ts <= e.ts
             GROUP BY e.event_id
         """,
-        # q14_quality_scores, q16_lsh_ann, q17_minhash_dedup,
-        # q19_lang_id, q20_fingerprint, q22_simhash,
-        # q23_embedding_near_dup: not SQL-expressible (regex/unicode
-        # semantics, sketches, heuristics) -> rows-only check; pytest
-        # holds their oracles (tests/test_relational.py, test_dedup.py).
+        # q17: the LSH candidate step is a recall filter only — at the
+        # driver's scale its detection prob per true pair is ~0.9998^-
+        # free (1-(1-0.7^4)^32), so the verified output equals the
+        # brute-force "all pairs with trigram jaccard >= 0.7", which IS
+        # SQL-expressible (jaccard over distinct word-trigram sets;
+        # shorter-than-3-token docs hash the whole text as one gram,
+        # mirroring _shingle_hashes).
+        "q17_minhash_dedup": _JACCARD_CTE + """
+            SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+                       JOIN sizes sb ON sb.doc_id = b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+        """,
+        # q38: recursive min-label propagation (transitive closure) over
+        # the same jaccard-verified edge set.
+        "q38_dup_groups": _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ") + """,
+            edges AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a
+                         JOIN sizes sb ON sb.doc_id = b
+              WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+            sym AS (SELECT a AS node, b AS peer FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            walk(node, label) AS (
+              SELECT DISTINCT node, node FROM sym
+              UNION
+              SELECT s.node, w.label FROM sym s JOIN walk w ON w.node = s.peer)
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS group_id
+            FROM walk GROUP BY node
+        """,
+        # cast to DOUBLE so DuckDB's cosine runs in float64 like the
+        # numpy kernel (FLOAT-list arithmetic flips the 6th decimal)
+        "q23b_embedding_neardup_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                       FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # q32/q39 run over the crawl's OWN payload table (written by the
+        # queries() callable to a deterministic /tmp path); the oracle
+        # reads the same parquet with DuckDB's brute-force form.
+        # max_hamming=3 keeps the Ray-side 4x16-bit banding
+        # pigeonhole-exact, so banding == brute force.
+        "q32_payload_neardup": f"""
+            WITH p AS (SELECT image_id, phash
+                       FROM read_parquet('{_crawl_payload_glob()}'))
+            SELECT a.image_id AS a, b.image_id AS b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM p a JOIN p b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "q39_payload_ann": f"""
+            WITH p AS (SELECT image_id, embedding
+                       FROM read_parquet('{_crawl_payload_glob()}')),
+            q AS (SELECT image_id AS query_id, embedding AS qe
+                  FROM p ORDER BY image_id LIMIT 3),
+            s AS (SELECT q.query_id, p.image_id AS neighbor_id,
+                         list_cosine_similarity(q.qe, p.embedding) AS cos
+                  FROM q CROSS JOIN p WHERE p.image_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
+        # q14_quality_scores, q16_lsh_ann, q19_lang_id, q20_fingerprint,
+        # q22_simhash, q23_embedding_near_dup: not SQL-expressible
+        # (regex/unicode semantics, sketches, heuristics, sub-1 recall
+        # by design) -> rows-only check; pytest holds their oracles
+        # (tests/test_relational.py, test_dedup.py).
     }

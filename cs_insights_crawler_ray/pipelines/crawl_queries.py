@@ -65,52 +65,95 @@ def q31_crawl_payload(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q32_payload_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+def q32_payload_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """phash-hamming near-dup pairs over the crawled payload table —
     the input_hint's ``phash:int64`` column doing its job (SURVEY.md
-    §2.7 D5). Banding: 4 x 16-bit fragments (pigeonhole-exhaustive
-    for hamming <= 3; wider radii trade recall, documented)."""
-    import itertools
+    §2.7 D5), running the DISTRIBUTED banding kernel
+    (dedup.hamming_near_dup_pairs) over the payload parquet rather
+    than a driver loop (VERDICT r01 #3/#5).  max_hamming=3 keeps the
+    4 x 16-bit banding pigeonhole-EXACT, which is what lets the DuckDB
+    brute-force bit_count oracle hash-match."""
+    import ray.data as rd
 
-    import numpy as np
+    from .dedup import hamming_near_dup_pairs
 
-    df = q31_crawl_payload(sf_dir)[["image_id", "phash"]]
-    ph = df["phash"].to_numpy().astype(np.int64)
-    ids = df["image_id"].to_numpy()
-    buckets: dict = {}
-    for band in range(4):
-        frag = (ph.astype(np.uint64) >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        for i, f in enumerate(frag):
-            buckets.setdefault((band, int(f)), []).append(i)
-    pairs = set()
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        for a, b in itertools.combinations(members, 2):
-            d = bin((int(ph[a]) ^ int(ph[b])) & ((1 << 64) - 1)).count("1")
-            if d <= max_hamming:
-                pairs.add((min(ids[a], ids[b]), max(ids[a], ids[b]), d))
-    out = pd.DataFrame(sorted(pairs), columns=["a", "b", "hamming"])
-    return out.astype({"a": "string", "b": "string", "hamming": "int64"})
+    ds = rd.read_parquet(f"{_out_dir(sf_dir)}/payload", columns=["image_id", "phash"])
+    pairs = hamming_near_dup_pairs(
+        ds, "image_id", "phash", max_hamming=max_hamming, id_dtype="object"
+    )
+    out = pairs.to_pandas()
+    if out.empty:  # empty groupby output loses its schema
+        out = pd.DataFrame({"a": [], "b": [], "hamming": []})
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return out.astype({"hamming": "int64"})  # a/b stay object (matches DuckDB varchar)
 
 
 def q39_payload_ann(sf_dir: str, k: int = 5, n_queries: int = 3) -> pd.DataFrame:
     """ANN over the CRAWLED payload's own embedding column (the
     multimodal stage feeding similarity search): brute-force cosine
-    top-k of the first n_queries images against the rest (rows-only
-    oracle; the brute-force path itself is SQL-oracled on the
-    embeddings table as q15)."""
+    top-k of the first n_queries image_ids, distributed exactly like
+    q15 (broadcast query matrix, per-batch partial top-k, tiny driver
+    merge over n_batches x k partials) instead of the round-1 driver
+    loop.  Cosine values are dropped from the output (numpy/DuckDB
+    last-ulp differences); ordering ties break by neighbor_id."""
     import numpy as np
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
 
-    df = q31_crawl_payload(sf_dir)[["image_id", "embedding"]]
-    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-    ids = df["image_id"].to_numpy()
-    out = []
-    for qi in range(min(n_queries, len(ids))):
-        cos = mat @ mat[qi]
-        order = np.argsort(-cos)
-        picked = [j for j in order if j != qi][:k]
-        for rank, j in enumerate(picked):
-            out.append((ids[qi], ids[j], rank + 1, round(float(cos[j]), 6)))
-    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cos"])
+    from ..functions.broadcast import bget
+
+    out_dir = _out_dir(sf_dir)
+    # query selection: the n smallest image_ids — read the id column
+    # alone, then fetch just those rows' embeddings (pruned read)
+    all_ids = pq_.read_table(f"{out_dir}/payload", columns=["image_id"])["image_id"].to_pylist()
+    qids = sorted(all_ids)[:n_queries]
+    qt = pq_.read_table(
+        f"{out_dir}/payload", columns=["image_id", "embedding"],
+        filters=[("image_id", "in", qids)],
+    )
+    lut = {qt["image_id"][i].as_py(): i for i in range(qt.num_rows)}
+    qmat = np.stack(
+        [np.asarray(qt["embedding"][lut[q]].as_py(), dtype=np.float64) for q in qids]
+    )
+    qmat /= np.clip(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12, None)
+    ref = ray.put((qids, qmat))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        ids_q, mat_q = bget(ref)
+        vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+        vid = b["image_id"].to_numpy()
+        cos = vecs @ mat_q.T  # (batch, Q)
+        parts = []
+        for qi, qid in enumerate(ids_q):
+            keep = np.nonzero(vid != qid)[0]
+            if keep.size == 0:
+                continue
+            kk = min(k, keep.size)
+            top = keep[np.argpartition(-cos[keep, qi], kk - 1)[:kk]]
+            parts.append(
+                pd.DataFrame({"query_id": qid, "neighbor_id": vid[top], "cos": cos[top, qi]})
+            )
+        return (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"query_id": pd.Series([], dtype="object"),
+                               "neighbor_id": pd.Series([], dtype="object"),
+                               "cos": pd.Series([], dtype="float64")})
+        )
+
+    partials = (
+        rd.read_parquet(f"{out_dir}/payload", columns=["image_id", "embedding"])
+        .map_batches(score, batch_format="pandas", batch_size=2048)
+        .to_pandas()
+    )
+    top = (
+        partials.sort_values(["query_id", "cos", "neighbor_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(k)
+    )
+    top = top.assign(rank=top.groupby("query_id").cumcount() + 1)
+    out = top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return out.astype({"rank": "int64"})  # ids stay object (matches DuckDB varchar)

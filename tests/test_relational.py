@@ -18,6 +18,9 @@ import __ray_entry__ as entrymod
 
 import os
 SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# point the payload-parquet oracles (q32/q39) at this sf's crawl cache
+# BEFORE oracle_sql() is first called below
+os.environ["GRAFT_ORACLE_SF"] = Path(SF_DIR).name
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
