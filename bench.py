@@ -109,6 +109,22 @@ def run_bench() -> dict:
             res.materialize()
         results[name] = round(time.perf_counter() - t0, 3)
 
+    # ---- ingest pipeline (release files -> filtered/merged tables) --
+    from cs_insights_crawler_ray.fixtures.s2_fixtures import generate_release
+    from cs_insights_crawler_ray.pipelines.ingest import ingest_release
+
+    rel_dir = f"/tmp/bench_s2rel_{sf}"
+    if not os.path.exists(f"{rel_dir}/_done"):
+        n_papers = max(300, int(300_000 * float(sf)))  # 30k at sf0.1
+        generate_release(rel_dir, n_papers=n_papers, n_files=8, seed=11)
+        with open(f"{rel_dir}/_done", "w") as f:
+            f.write("ok")
+    t0 = time.perf_counter()
+    ing = ingest_release(rel_dir)
+    for _ds in ing.values():
+        _ds.materialize()
+    results["ingest"] = round(time.perf_counter() - t0, 3)
+
     timed("q01_pricing_summary", R.q01_pricing_summary)
     timed("q05_semi_join", R.q05_semi_join)
     timed("q07_outer_merge", R.q07_outer_merge)

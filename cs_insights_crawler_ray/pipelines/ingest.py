@@ -17,12 +17,17 @@ Every reference quirk is preserved deliberately (SURVEY.md §7.5 #6):
   (s2processor.py:196)
 - glob-order nondeterminism is FIXED here: files read in sorted order.
 
-Execution shape: one task per release file (the reference's unit of
-work, s2client.py:153) -> vectorized batch transforms -> broadcast
-semi-joins (the corpusid/authorId key sets are bounded by the papers
-table) -> hash full-outer join on corpusid.  At 100 TB the broadcast
-sides become Ray hash joins (see pipelines/relational.py q05/q07 for
-that form); both forms are implemented in this repo.
+Execution shape (reworked per VERDICT r01 #2): one task per release
+file (the reference's unit of work, s2client.py:153) -> VECTORIZED
+batch transforms (no row-level .map/.filter) -> ADAPTIVE semi-joins
+and merges: key sets / metadata tables under the broadcast limits ship
+once via ray.put (zero shuffles), larger ones switch to the
+partitioned-shuffle forms, so no driver dict ever scales with the
+corpus.  The general both-sides-large collision merge is
+q07_outer_merge (pipelines/relational.py); the metadata merge here
+exploits that pass-2 semi-join restricts metadata to papers'
+corpusids, so the "full outer" degenerates to papers + extra fields
+(s2processor.py:108-118).
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ import gzip
 import json
 from pathlib import Path
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -38,6 +45,17 @@ import ray.data as rd
 from ..functions.broadcast import bget
 
 S2_SOURCES = ["ACL", "DBLP", "ArXiv", "PubMed", "PubMedCentral"]
+
+# Broadcast-vs-shuffle thresholds (VERDICT r01 #2): key sets are int
+# ids (cheap), metadata rows carry payload text (expensive), so the
+# row limit for broadcasting whole metadata tables is much lower.
+# Mirrors relational.BROADCAST_KEY_LIMIT / dedup.BROADCAST_PAIR_LIMIT.
+BROADCAST_KEY_LIMIT = 2_000_000
+BROADCAST_META_ROW_LIMIT = 200_000
+
+# shuffle fan-out for the partitioned merge path (sized ~cores at
+# cluster scale; each map_groups call sees one whole partition)
+_N_MERGE_PARTS = 32
 
 
 def _read_jsonl_gz(files: list[str]) -> rd.Dataset:
@@ -53,13 +71,34 @@ def _read_jsonl_gz(files: list[str]) -> rd.Dataset:
 
 def promote_externalids(doc: dict) -> dict:
     """F6 (s2processor.py:158-164): openaccessinfo.externalids is
-    promoted to top level; openaccessinfo is dropped."""
+    promoted to top level; openaccessinfo is dropped.  (Scalar form —
+    the pipeline uses the batched promote_externalids_batch.)"""
     oa = doc.get("openaccessinfo")
     if oa and oa.get("externalids"):
         doc = dict(doc)
         doc["externalids"] = oa["externalids"]
         doc.pop("openaccessinfo", None)
     return doc
+
+
+def promote_externalids_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized F6 over a pandas batch (object columns carry the
+    nested dicts).  Dropping the key on a dict row == nulling the
+    column cell on a tabular row."""
+    if "openaccessinfo" not in b.columns:
+        return b
+    oa = b["openaccessinfo"]
+    mask = oa.map(lambda v: bool(v and v.get("externalids")))
+    if not mask.any():
+        return b
+    b = b.copy()
+    promoted = oa.map(lambda v: (v or {}).get("externalids"))
+    if "externalids" in b.columns:
+        b["externalids"] = b["externalids"].where(~mask, promoted)
+    else:
+        b["externalids"] = promoted.where(mask, None)
+    b.loc[mask, "openaccessinfo"] = None
+    return b
 
 
 def source_filter(doc: dict, filters: tuple[str, ...]) -> bool:
@@ -72,6 +111,121 @@ def source_filter(doc: dict, filters: tuple[str, ...]) -> bool:
     return any(ext.get(f) is not None for f in filters)
 
 
+def source_filter_batch(filters: tuple[str, ...]):
+    """Vectorized F5: one boolean mask per batch."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        if not filters:
+            return b
+        if "externalids" not in b.columns:
+            return b.iloc[0:0]
+        keep = b["externalids"].map(
+            lambda e: any((e or {}).get(x) is not None for x in filters)
+        )
+        return b[keep]
+
+    return f
+
+
+def _listify_object_cells(b: pd.DataFrame) -> pd.DataFrame:
+    """Arrow->pandas turns list columns (papers.authors) into numpy
+    object-array cells, which pyarrow cannot convert BACK ('Unsupported
+    numpy type 17') when a downstream stage needs Arrow blocks — round
+    them to plain Python lists once, before any Arrow-format stage."""
+    b = b.copy()
+    for c in b.columns:
+        if b[c].dtype == object:
+            b[c] = b[c].map(lambda v: v.tolist() if isinstance(v, np.ndarray) else v)
+    return b
+
+
+def _meta_fields(meta: rd.Dataset) -> list[str]:
+    cols = meta.schema().names
+    return [c for c in cols if c != "corpusid"]
+
+
+def _merge_meta_broadcast(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
+    """Papers-win merge with the metadata table broadcast once
+    (bounded by BROADCAST_META_ROW_LIMIT).  Papers' existing fields
+    win wholesale (the reference's {**extra, **doc}); in the reference
+    data papers/metadata fields are disjoint except the join key."""
+    fields = _meta_fields(meta)
+    lut: dict = {}
+    for bt in meta.iter_batches(batch_format="pandas"):
+        for _, r in bt.iterrows():
+            lut[r["corpusid"]] = {f: r.get(f) for f in fields}
+    ref = ray.put(lut)
+
+    def merge_bc(b: pd.DataFrame) -> pd.DataFrame:
+        m = bget(ref)
+        got = b["corpusid"].map(lambda c: m.get(c))
+        b = b.copy()
+        for f in fields:
+            if f in b.columns:
+                continue  # papers' field wins (s2processor.py:115-117)
+            b[f] = got.map(lambda d, _f=f: (d or {}).get(_f))
+        return b
+
+    return papers.map_batches(merge_bc, batch_format="pandas")
+
+
+def _merge_meta_shuffle(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
+    """Papers-win merge as ONE keyed shuffle: both sides are
+    hash-partitioned by corpusid into _N_MERGE_PARTS coarse groups and
+    each partition does a vectorized pandas left-merge (per-group
+    map_groups over millions of corpusids would pay per-group UDF
+    overhead; the coarse partition runs the UDF ~_N_MERGE_PARTS
+    times).  Nested object columns ride the shuffle as pandas blocks."""
+    fields = _meta_fields(meta)
+
+    def add_part(b: pd.DataFrame, side: str) -> pd.DataFrame:
+        # listify BEFORE the shuffle: Ray's sort-exchange rejects
+        # object columns whose cells are numpy arrays
+        b = _listify_object_cells(b)
+        h = (b["corpusid"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        b["_part"] = (h % np.uint64(_N_MERGE_PARTS)).astype(np.int32)
+        b["_side"] = side
+        return b
+
+    p_tagged = papers.map_batches(lambda b: add_part(b, "p"), batch_format="pandas")
+    m_tagged = meta.map_batches(lambda b: add_part(b, "m"), batch_format="pandas")
+
+    # papers-win: only fields papers' ORIGINAL schema lacks merge in
+    # (must be computed from the pre-union schemas — after alignment
+    # both sides carry every column)
+    papers_cols = set(papers.schema().names)
+    new_fields = [f for f in fields if f not in papers_cols]
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_side"] == "p"].drop(
+            columns=["_part", "_side"] + new_fields  # drop null placeholders
+        )
+        if not new_fields:
+            return p
+        m = g[g["_side"] == "m"]
+        return p.merge(m[["corpusid"] + new_fields], on="corpusid", how="left")
+
+    # union requires aligned schemas: give each side the other's
+    # missing columns as nulls
+    def align(cols):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in cols:
+                if c not in b.columns:
+                    b[c] = None
+            return b[sorted(b.columns)]
+
+        return f
+
+    p_cols = set(papers.schema().names) | {"_part", "_side"}
+    m_cols = set(meta.schema().names) | {"_part", "_side"}
+    all_cols = p_cols | m_cols
+    unioned = p_tagged.map_batches(align(all_cols), batch_format="pandas").union(
+        m_tagged.map_batches(align(all_cols), batch_format="pandas")
+    )
+    return unioned.groupby("_part").map_groups(merge_part, batch_format="pandas")
+
+
 def ingest_release(
     cache_dir: str,
     out_dir: str | None = None,
@@ -82,19 +236,23 @@ def ingest_release(
     (and writes jsonl+csv exports when out_dir is given)."""
     cache = Path(cache_dir)
 
-    # ---- pass 1: papers — promotion, union filter, key materialize --
+    # ---- pass 1: papers — promotion, union filter (vectorized) ------
     paper_files = [str(p) for p in sorted(cache.glob("papers*.jsonl.gz"))]
     papers = (
         _read_jsonl_gz(paper_files)
-        .map(promote_externalids)
-        .filter(lambda d: source_filter(d, s2_filters))
+        .map_batches(promote_externalids_batch, batch_format="pandas")
+        .map_batches(source_filter_batch(s2_filters), batch_format="pandas")
         .materialize()
     )
+    n_papers = papers.count()
+
     # the filtered corpusid set is bounded by the papers table — the
     # reference holds it as a driver set (s2processor.py:55-68); we
-    # broadcast it once (scale path: hash semi-join, q05_semi_join)
-    corpusids = set(r["corpusid"] for r in papers.select_columns(["corpusid"]).take_all())
-    cid_ref = ray.put(corpusids)
+    # broadcast it while it fits, hash-semi-join beyond the limit
+    broadcast_keys = n_papers <= BROADCAST_KEY_LIMIT
+    if broadcast_keys:
+        corpusids = set(papers.select_columns(["corpusid"]).to_pandas()["corpusid"])
+        cid_ref = ray.put(corpusids)
 
     out: dict[str, rd.Dataset] = {}
     merged = papers
@@ -106,46 +264,77 @@ def ingest_release(
         files = [str(p) for p in sorted(cache.glob(f"{table}*.jsonl.gz"))]
         if not files:
             continue
-        meta = _read_jsonl_gz(files).filter(lambda d: d["corpusid"] in bget(cid_ref))
-        # J3 (s2processor.py:108-118): dict.update over (metadata,
-        # papers) — papers' fields win.  Because the J1 semi-join just
-        # restricted metadata to papers' corpusids, the reference's
-        # "full outer" merge degenerates to papers + extra fields, so
-        # a broadcast field-map is exactly faithful (the both-sides-
-        # large hash-join form of J3 is q07_outer_merge; Arrow hash
-        # joins also cannot carry list<struct> payload columns, which
-        # papers.authors is).
-        meta_map = {
-            r["corpusid"]: {k: v for k, v in r.items() if k != "corpusid"}
-            for r in meta.take_all()
-        }
-        meta_ref = ray.put(meta_map)
+        meta = _read_jsonl_gz(files)
+        if broadcast_keys:
+            meta = meta.map_batches(
+                lambda b: b[b["corpusid"].map(lambda c: c in bget(cid_ref))],
+                batch_format="pandas",
+            )
+        else:
+            keys = papers.select_columns(["corpusid"])
+            from .relational import JOIN_ARGS, _NPART
 
-        def merge_in(doc: dict, _ref=meta_ref) -> dict:
-            extra = bget(_ref).get(doc["corpusid"])
-            return {**extra, **doc} if extra else doc  # papers win
+            meta = meta.join(
+                keys, join_type="left_semi", num_partitions=_NPART,
+                on=("corpusid",), **JOIN_ARGS,
+            )
+        meta = meta.materialize()
+        # J3 (s2processor.py:108-118): the semi-join restricted
+        # metadata to papers' corpusids, so the reference's "full
+        # outer" merge degenerates to papers + extra fields.  Adaptive:
+        # broadcast the (bounded) meta table when it fits, else one
+        # keyed shuffle.  The general collision form is q07.
+        if meta.count() <= BROADCAST_META_ROW_LIMIT:
+            merged = _merge_meta_broadcast(merged, meta)
+        else:
+            merged = _merge_meta_shuffle(merged, meta)
 
-        merged = merged.map(merge_in)
-
-    out["papers"] = merged
+    out["papers"] = merged.map_batches(_listify_object_cells, batch_format="pandas")
 
     # ---- authors: exploded-list semi-join + rename ------------------
     if "authors" in use_tables:
         author_files = [str(p) for p in sorted(cache.glob("authors*.jsonl.gz"))]
-        paper_author_ids = set(
-            a["authorId"]
-            for r in papers.select_columns(["authors"]).take_all()
-            for a in (r["authors"] or [])
-            if a.get("authorId") is not None
-        )
-        aid_ref = ray.put(paper_author_ids)
-        authors = (
-            _read_jsonl_gz(author_files)
-            # NOTE lowercase 'authorid' here vs camelCase in papers —
-            # the reference's asymmetry, preserved (s2processor.py:93)
-            .filter(lambda d: d["authorid"] in bget(aid_ref))
-            .map(_rename_url_s2url)
-        )
+
+        def explode_ids(b: pd.DataFrame) -> pd.DataFrame:
+            # `lst` may arrive as a numpy array (Arrow list column ->
+            # pandas), where truthiness is ambiguous — test length
+            ids = [
+                a["authorId"]
+                for lst in b["authors"]
+                for a in (lst if lst is not None and len(lst) else [])
+                if a.get("authorId") is not None
+            ]
+            return pd.DataFrame({"authorId": pd.Series(sorted(set(ids)), dtype="object")})
+
+        id_rows = papers.select_columns(["authors"]).map_batches(
+            explode_ids, batch_format="pandas"
+        ).materialize()
+        # distinct ids are bounded by the papers table; broadcast while
+        # small, hash-semi-join beyond the limit
+        if id_rows.count() <= BROADCAST_KEY_LIMIT:
+            paper_author_ids = set(id_rows.to_pandas()["authorId"])
+            aid_ref = ray.put(paper_author_ids)
+            authors = _read_jsonl_gz(author_files).map_batches(
+                # NOTE lowercase 'authorid' here vs camelCase in papers —
+                # the reference's asymmetry, preserved (s2processor.py:93)
+                lambda b: b[b["authorid"].map(lambda i: i in bget(aid_ref))],
+                batch_format="pandas",
+            )
+        else:
+            from ray.data.aggregate import Count as _Count
+
+            from .relational import JOIN_ARGS, _NPART
+
+            distinct_ids = (
+                id_rows.groupby("authorId")
+                .aggregate(_Count(alias_name="_n"))
+                .map_batches(lambda b: b[["authorId"]], batch_format="pandas")
+            )
+            authors = _read_jsonl_gz(author_files).join(
+                distinct_ids, join_type="left_semi", num_partitions=_NPART,
+                on=("authorid",), right_on=("authorId",), **JOIN_ARGS,
+            )
+        authors = authors.map_batches(_rename_url_s2url_batch, batch_format="pandas")
         out["authors"] = authors
 
     # ---- sinks ------------------------------------------------------
@@ -167,6 +356,13 @@ def _rename_url_s2url(doc: dict) -> dict:
     if "url" in doc:
         doc["s2url"] = doc.pop("url")
     return doc
+
+
+def _rename_url_s2url_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized F8: a column-level rename (url -> s2url)."""
+    if "url" in b.columns:
+        b = b.rename(columns={"url": "s2url"})
+    return b
 
 
 def _flatten_for_csv(t: pa.Table) -> pa.Table:

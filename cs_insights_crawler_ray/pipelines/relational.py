@@ -149,18 +149,48 @@ def q05_semi_join(sf_dir: str) -> rd.Dataset:
     )
 
 
+# Above this many distinct keys, broadcast side-tables become hash
+# joins: 2M int64 keys ~= 16-32 MB on the driver / object store (safe
+# to ship once per node); beyond that a driver-built lookup is the
+# scale anti-pattern VERDICT r01 #3 flagged (the key set grows
+# linearly with sf).  Mirrors dedup.BROADCAST_PAIR_LIMIT.
+BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _distinct_keys(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Distributed distinct of one key column: per-batch local dedupe
+    (only distinct values cross the shuffle) + hash aggregate."""
+    return (
+        ds.map_batches(
+            lambda t: t.select([col]).group_by([col]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select([col]), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # J2 — semi-join against a DISTINCT key set built from another table
 # (reference s2processor.py:79-94: authors kept if their id appears in
-# any paper's exploded author list). Broadcast pattern: the distinct
-# key set is bounded by the dimension's cardinality -> ray.put once,
-# filter inside map_batches with a vectorized isin. No shuffle.
+# any paper's exploded author list). ADAPTIVE: key sets bounded by
+# BROADCAST_KEY_LIMIT are broadcast (ray.put once, vectorized isin per
+# batch — no shuffle); larger sets use a hash left_semi join.
 # ---------------------------------------------------------------------------
 def q06_exploded_semi_join(sf_dir: str) -> rd.Dataset:
-    purchasers = (
-        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    keys = _distinct_keys(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey").materialize()
+    cust = _read(sf_dir, "customer")
+
+    if keys.count() > BROADCAST_KEY_LIMIT:
+        return cust.join(
+            keys, join_type="left_semi", num_partitions=_NPART,
+            on=("c_custkey",), right_on=("o_custkey",), **JOIN_ARGS,
+        )
+
+    key_arr = pa.array(
+        np.sort(keys.to_pandas()["o_custkey"].to_numpy()), pa.int64()
     )
-    key_arr = pa.array(sorted(purchasers), pa.int64())
     ref = ray.put(key_arr)
 
     def semi_filter(t: pa.Table) -> pa.Table:
@@ -168,7 +198,7 @@ def q06_exploded_semi_join(sf_dir: str) -> rd.Dataset:
         # no actor-pool CPU reservation
         return t.filter(pc.is_in(t["c_custkey"], value_set=bget(ref)))
 
-    return _read(sf_dir, "customer").map_batches(semi_filter, batch_format="pyarrow")
+    return cust.map_batches(semi_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -293,26 +323,53 @@ def q12_window_agg(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(
-        cust, join_type="inner", num_partitions=_NPART,
-        on=("o_custkey",), right_on=("c_custkey",), **JOIN_ARGS,
-    )
     nation = {
         r["n_nationkey"]: r["n_name"]
         for r in _read(sf_dir, "nation").take_all()  # 25 rows — broadcast
     }
     names = np.array([nation.get(i, "") for i in range(max(nation) + 1)], dtype=object)
-    ref = ray.put(names)
 
-    def add_nation(t: pa.Table) -> pa.Table:
-        # broadcast dimension lookup, per-process cached — no pool
-        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        return t.append_column("n_name", pa.array(bget(ref)[nk], pa.string()))
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).materialize()
+    if cust_ds.count() <= BROADCAST_KEY_LIMIT:
+        # ADAPTIVE broadcast path (VERDICT r01 #9): the customer
+        # dimension is two int columns — ship (sorted keys, nationkey)
+        # once and resolve orders' custkey with a vectorized
+        # searchsorted instead of paying the hash-shuffle join's
+        # ~3-4s aggregator startup per query.  customer is an FK
+        # target of orders, so every custkey resolves.
+        cpdf = cust_ds.to_pandas().sort_values("c_custkey")
+        ckeys = cpdf["c_custkey"].to_numpy()
+        cnat = cpdf["c_nationkey"].to_numpy()
+        ref = ray.put((ckeys, cnat, names))
+
+        def add_nation_bc(t: pa.Table) -> pa.Table:
+            keys, nat, nm = bget(ref)
+            ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+            nk = nat[np.searchsorted(keys, ok)]
+            return pa.table(
+                {
+                    "o_totalprice": t["o_totalprice"],
+                    "n_name": pa.array(nm[nk], pa.string()),
+                }
+            )
+
+        joined = orders.map_batches(add_nation_bc, batch_format="pyarrow")
+    else:
+        cust_joined = orders.join(
+            cust_ds, join_type="inner", num_partitions=_NPART,
+            on=("o_custkey",), right_on=("c_custkey",), **JOIN_ARGS,
+        )
+        ref = ray.put(names)
+
+        def add_nation(t: pa.Table) -> pa.Table:
+            # broadcast dimension lookup, per-process cached — no pool
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            return t.append_column("n_name", pa.array(bget(ref)[nk], pa.string()))
+
+        joined = cust_joined.map_batches(add_nation, batch_format="pyarrow")
 
     return (
-        joined.map_batches(add_nation, batch_format="pyarrow")
-        .groupby("n_name")
+        joined.groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
         .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
     )
@@ -330,20 +387,45 @@ def q08_sort_rank(sf_dir: str) -> rd.Dataset:
     import ray.data as _rd
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    # per-customer totals are bounded by the customer dimension ->
-    # broadcast lookup instead of a hash join (a dimension-side join
-    # paid ~4s of aggregator-actor startup per query, measured)
+    # per-customer totals are bounded by the customer dimension, but
+    # that dimension grows linearly with sf (VERDICT r01 #3) ->
+    # ADAPTIVE: broadcast the totals below BROADCAST_KEY_LIMIT (saves
+    # ~4s of join-aggregator startup, measured), hash left_outer join
+    # above it.
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="total"))
         .map_batches(lambda t: _round_cols(t, {"total": 2}), batch_format="pyarrow")
+        .materialize()
     )
-    lut = {r["o_custkey"]: r["total"] for r in agg.take_all()}
+    if agg.count() > BROADCAST_KEY_LIMIT:
+        keyed = cust.join(
+            agg, join_type="left_outer", num_partitions=_NPART,
+            on=("c_custkey",), right_on=("o_custkey",), **JOIN_ARGS,
+        )
+
+        def sort_keys_joined(t: pa.Table) -> pa.Table:
+            total = t["total"].combine_chunks()
+            has = pc.is_valid(total).cast(pa.int32())
+            filled = pc.coalesce(total, pa.scalar(-1.0))
+            return pa.table(
+                {"c_custkey": t["c_custkey"], "total": total,
+                 "has_total": has, "total_filled": filled}
+            )
+
+        s = keyed.map_batches(sort_keys_joined, batch_format="pyarrow").sort(
+            ["has_total", "total_filled", "c_custkey"]
+        )
+        return _rank_sorted(s)
+
+    pdf = agg.to_pandas()
+    lut = dict(zip(pdf["o_custkey"], pdf["total"]))
     ref = ray.put(lut)
 
     def sort_keys(t: pa.Table) -> pa.Table:
-        totals = [bget(ref).get(k) for k in t["c_custkey"].to_pylist()]
+        m = bget(ref)
+        totals = [m.get(k) for k in t["c_custkey"].to_pylist()]
         total = pa.array(totals, pa.float64())
         has = pc.is_valid(total).cast(pa.int32())
         filled = pc.coalesce(total, pa.scalar(-1.0))
@@ -356,6 +438,12 @@ def q08_sort_rank(sf_dir: str) -> rd.Dataset:
     s = cust.map_batches(sort_keys, batch_format="pyarrow").sort(
         ["has_total", "total_filled", "c_custkey"]
     )
+    return _rank_sorted(s)
+
+
+def _rank_sorted(s: rd.Dataset) -> rd.Dataset:
+    import ray.data as _rd
+
     # block-offset rank assignment (sorted block order == global order)
     refs = s.to_arrow_refs()
     counts = ray.get([_nrows_q08.remote(r) for r in refs])

@@ -99,3 +99,31 @@ def test_ingest_matches_reference_semantics(release_dir, tmp_path):
 def test_ingest_no_filters_keeps_all(release_dir):
     out = ingest_release(release_dir, s2_filters=(), use_tables=("papers",))
     assert out["papers"].count() == 200
+
+
+def test_ingest_shuffle_path_matches_broadcast(release_dir, monkeypatch):
+    """Force the 100 TB forms (hash semi-joins + partitioned shuffle
+    merge) by zeroing the broadcast thresholds — the output must be
+    identical to the broadcast path / reference oracle."""
+    from cs_insights_crawler_ray.pipelines import ingest as I
+
+    monkeypatch.setattr(I, "BROADCAST_KEY_LIMIT", 0)
+    monkeypatch.setattr(I, "BROADCAST_META_ROW_LIMIT", 0)
+    out = ingest_release(release_dir)
+    ora_merged, ora_authors = _oracle(release_dir)
+
+    eng_rows = {r["corpusid"]: r for r in out["papers"].take_all()}
+    assert set(eng_rows.keys()) == set(ora_merged.keys())
+    for cid, ora in ora_merged.items():
+        eng = eng_rows[cid]
+        for k, v in ora.items():
+            ev = eng.get(k)
+            if k in ("externalids",):
+                ev = {kk: _norm(vv) for kk, vv in (ev or {}).items()}
+                v = {kk: _norm(vv) for kk, vv in (v or {}).items()}
+            if k == "authors":
+                ev = [dict(a) for a in (ev if ev is not None else [])]
+            assert ev == v, f"corpusid {cid} field {k}: {ev!r} != {v!r}"
+
+    eng_authors = {r["authorid"]: r for r in out["authors"].take_all()}
+    assert set(eng_authors.keys()) == {a["authorid"] for a in ora_authors}
