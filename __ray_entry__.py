@@ -16,7 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
-    ann, crawl_queries, dedup, multimodal_queries, relational as R, textops)
+    ann, crawl_queries, dblp, dedup, multimodal_queries, relational as R, textops)
 
 
 def entry() -> Any:
@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_embedding_near_dup": dedup.q23_embedding_near_dup,
         "q23b_embedding_neardup_exact": dedup.q23b_embedding_neardup_exact,
         "q38_dup_groups": dedup.q38_dup_groups,
+        # -- DBLP release explode (S9/S10 real iterparse path) -------
+        "q40_dblp_explode": dblp.q40_dblp_explode,
         # -- crawl engine (parity vs sequential oracle in pytest) ----
         "q30_crawl_order": crawl_queries.q30_crawl_order,
         "q31_crawl_payload": crawl_queries.q31_crawl_payload,
@@ -321,6 +323,24 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # q40: every field of the xml.gz fixture is a pure SQL-
+        # expressible function of documents rows (fixtures/dblp_xml.py
+        # keeps the derivations in sync), so the value hash checks the
+        # XML encode -> gzip -> iterparse -> filter-chain round-trip.
+        "q40_dblp_explode": """
+            WITH d AS (
+              SELECT doc_id,
+                     'doc/' || CAST(doc_id AS VARCHAR) AS key,
+                     DATE '2020-01-01' + CAST(doc_id % 1500 AS INT) AS mdate_d,
+                     CASE WHEN lang = 'en' THEN 'oa' ELSE 'closed' END AS access,
+                     array_to_string(regexp_extract_all(text, '\\S+')[1:5], ' ') AS title,
+                     CAST(1990 + doc_id % 35 AS BIGINT) AS year,
+                     CAST(1 + doc_id % 4 AS BIGINT) AS n_authors
+              FROM documents)
+            SELECT key, strftime(mdate_d, '%Y-%m-%d') AS mdate, access,
+                   title, year, n_authors
+            FROM d WHERE mdate_d > DATE '2020-09-01' AND access = 'oa'
         """,
         # q32/q39 run over the crawl's OWN payload table (written by the
         # queries() callable to a deterministic /tmp path); the oracle

@@ -30,6 +30,23 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--filter", action="append", default=None,
                      help="source filter, union semantics (ACL/DBLP/ArXiv/...); repeatable")
 
+    db = sub.add_parser(
+        "dblp", help="DBLP release explode + filter (reference dblpclient path)"
+    )
+    db.add_argument("--release-dir", required=True,
+                    help="directory holding the release artifacts "
+                         "(dblp-*.xml.gz + .md5); stands in for the "
+                         "reference's HTTPS listing")
+    db.add_argument("--cache-dir", required=True)
+    db.add_argument("--from-timestamp", default="1970-01-01",
+                    help="F1 cutoff (keep @mdate strictly after)")
+    db.add_argument("--access", action="append", default=None,
+                    help="F2 access type to keep (oa/closed); repeatable; "
+                         "omit to skip the access filter")
+    db.add_argument("--skip", type=int, default=1,
+                    help="nth-newest release to pick (1 = newest)")
+    db.add_argument("--out-dir", default=None)
+
     cr = sub.add_parser("crawl", help="URL-frontier crawl over the synthetic web")
     cr.add_argument("--out-dir", required=True)
     cr.add_argument("--resume", action="store_true")
@@ -68,6 +85,29 @@ def main(argv: list[str] | None = None) -> int:
                 s2_filters=cfg.s2_filters, use_tables=cfg.use_tables,
             )
             print(json.dumps({k: ds.count() for k, ds in out.items()}))
+        elif args.cmd == "dblp":
+            from datetime import datetime as _dt
+            from pathlib import Path
+
+            from .pipelines.dblp import download_and_filter_release
+
+            rel = Path(args.release_dir)
+            listing = sorted(p.name for p in rel.iterdir() if p.is_file())
+            ds = download_and_filter_release(
+                listing,
+                fetch=lambda name: (rel / name).read_bytes(),
+                cache_dir=args.cache_dir,
+                from_timestamp=_dt.fromisoformat(args.from_timestamp),
+                access_types=set(args.access) if args.access else None,
+                skip=args.skip,
+            )
+            if args.out_dir:
+                from .sources.sinks import clear_partition
+
+                ds = ds.materialize()
+                clear_partition(args.out_dir)
+                ds.write_json(args.out_dir)
+            print(json.dumps({"rows": ds.count()}))
         else:
             from .fixtures.content_store import ContentStoreConfig
             from .pipelines.crawl import CrawlConfig, run_crawl

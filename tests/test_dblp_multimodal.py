@@ -56,8 +56,116 @@ def test_dblp_denylist_and_strict():
     with pytest.raises(Exception):  # reference raises on missing @mdate too
         dblp.apply_filters(bad, dblp.timestamp_filter(datetime(2020, 1, 1))).take_all()
 
-    with pytest.raises(NotImplementedError):
-        dblp.parse_dblp_xml("/tmp/nope.xml.gz")
+    with pytest.raises(NotImplementedError):  # DTD validation stays stubbed
+        dblp.parse_dblp_xml("/tmp/nope.xml.gz", validate_dtd=True)
+
+
+def _write_xml_gz(path, body: str) -> str:
+    import gzip
+
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write(body)
+    return str(path)
+
+
+_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<dblp>
+  <article key="conf/x/1" mdate="2021-06-01">
+    <author>Ann A</author><author>Bob B</author>
+    <title>Learning <i>fast</i> &amp; slow</title>
+    <year>2020</year>
+    <ee type="oa">https://x/1</ee>
+    <ee>https://mirror/1</ee>
+  </article>
+  <inproceedings key="conf/x/2" mdate="2019-01-01">
+    <author>Cid C</author>
+    <title>Only one</title>
+    <year>2019</year>
+  </inproceedings>
+  <www key="homepages/x" mdate="2022-02-02"><title>Home</title></www>
+</dblp>
+"""
+
+
+def test_parse_dblp_xml_explode(tmp_path):
+    """S9/S10: iterparse explode — nested title markup flattened,
+    entity unescaped, author lists normalized, first-ee struct, no-ee
+    -> None (default-CLOSED downstream), one row per depth-1 element."""
+    p = _write_xml_gz(tmp_path / "dblp-t.xml.gz", _XML)
+    rows = {r["@key"]: r for r in dblp.parse_dblp_xml(p).take_all()}
+    assert set(rows) == {"conf/x/1", "conf/x/2", "homepages/x"}
+    r1 = rows["conf/x/1"]
+    assert r1["_type"] == "article"
+    assert list(r1["author"]) == ["Ann A", "Bob B"]
+    assert r1["title"] == "Learning fast & slow"   # markup + entity
+    assert r1["year"] == "2020"
+    assert r1["ee"]["@type"] == "oa" and r1["ee"]["#text"] == "https://x/1"
+    r2 = rows["conf/x/2"]
+    assert r2["ee"] is None and list(r2["author"]) == ["Cid C"]
+    assert rows["homepages/x"]["_type"] == "www"
+
+
+def test_parse_feeds_filter_chain(tmp_path):
+    p = _write_xml_gz(tmp_path / "dblp-t.xml.gz", _XML)
+    got = dblp.apply_filters(
+        dblp.parse_dblp_xml(p),
+        dblp.timestamp_filter(datetime(2020, 1, 1)),
+        dblp.access_filter({"oa"}),
+    )
+    assert [r["@key"] for r in got.take_all()] == ["conf/x/1"]
+
+
+def test_download_and_filter_release(tmp_path):
+    """End-to-end reference dblpclient.py:252-306 semantics: newest
+    release picked from the listing, md5-verified download cached
+    (zero re-fetch on the second run), corrupt md5 raises."""
+    import hashlib
+
+    rel = tmp_path / "releases"
+    rel.mkdir()
+    old = _write_xml_gz(rel / "dblp-2023-01-01.xml.gz", "<dblp></dblp>")
+    new = _write_xml_gz(rel / "dblp-2024-02-02.xml.gz", _XML)
+    for p in (old, new):
+        blob = open(p, "rb").read()
+        with open(p + ".md5", "w") as f:
+            f.write(f"{hashlib.md5(blob).hexdigest()}  {p.split('/')[-1]}\n")
+
+    listing = sorted(p.name for p in rel.iterdir())
+    fetches = []
+
+    def fetch(name):
+        fetches.append(name)
+        return (rel / name).read_bytes()
+
+    cache = tmp_path / "cache"
+    ds = dblp.download_and_filter_release(
+        listing, fetch, str(cache), datetime(2020, 1, 1), {"oa"}
+    )
+    assert [r["@key"] for r in ds.take_all()] == ["conf/x/1"]  # newest release
+    assert "dblp-2024-02-02.xml.gz" in fetches
+
+    # second run: md5 matches the cached copy -> only the .md5 is fetched
+    n_before = len([f for f in fetches if f.endswith(".xml.gz")])
+    dblp.download_and_filter_release(
+        listing, fetch, str(cache), datetime(2020, 1, 1), {"oa"}
+    ).take_all()
+    assert len([f for f in fetches if f.endswith(".xml.gz")]) == n_before
+
+    # corrupt cached copy: re-fetched and verified (not trusted)
+    (cache / "dblp-2024-02-02.xml.gz").write_bytes(b"garbage")
+    dblp.download_and_filter_release(
+        listing, fetch, str(cache), datetime(2020, 1, 1), {"oa"}
+    ).take_all()
+    assert len([f for f in fetches if f.endswith(".xml.gz")]) == n_before + 1
+
+    # md5 artifact that does not match the download: hard error
+    with open(str(rel / "dblp-2024-02-02.xml.gz") + ".md5", "w") as f:
+        f.write("0" * 32 + "  dblp-2024-02-02.xml.gz\n")
+    (cache / "dblp-2024-02-02.xml.gz").unlink()
+    with pytest.raises(ValueError, match="md5 mismatch"):
+        dblp.download_and_filter_release(
+            listing, fetch, str(cache), datetime(2020, 1, 1), {"oa"}
+        )
 
 
 def _audio_clip(seed, n=8000, rate=16000):
