@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_quality_scores": textops.q14_quality_scores,
         "q19_lang_id": textops.q19_lang_id,
         "q20_fingerprint": textops.q20_fingerprint,
+        "q20p_fingerprint_parity": textops.q20p_fingerprint_parity,
+        "q22p_simhash_parity": textops.q22p_simhash_parity,
         # -- similarity search --------------------------------------
         "q15_ann_brute": ann.q15_ann_brute,
         "q16_lsh_ann": ann.q16_lsh_ann,
@@ -114,6 +116,23 @@ def _crawl_payload_glob() -> str:
 
     sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
     return f"/tmp/ciq_crawl_{_VERSION}_{sf}/payload/*/*.parquet"
+
+
+def _stoplist_sql(lang: str) -> str:
+    """SQL literal list of a language's stopwords, generated from the
+    canonical profiles in functions/text.py so SQL and kernel cannot
+    drift."""
+    from cs_insights_crawler_ray.functions.text import _LANG_PROFILES
+
+    return ", ".join(repr(w) for w in sorted(_LANG_PROFILES[lang]))
+
+
+def _lang_hits_sql() -> str:
+    """Per-language stopword hit counts (same source of truth)."""
+    return ",\n".join(
+        f"len(list_filter(ws, x -> x IN ({_stoplist_sql(lang)}))) AS h_{lang}"
+        for lang in ("en", "de", "fr", "es")
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -369,9 +388,76 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM s QUALIFY rank <= 5
         """,
-        # q14_quality_scores, q16_lsh_ann, q19_lang_id, q20_fingerprint,
-        # q22_simhash, q23_embedding_near_dup: not SQL-expressible
-        # (regex/unicode semantics, sketches, heuristics, sub-1 recall
-        # by design) -> rows-only check; pytest holds their oracles
+        # q14: ratios are floor-truncated to 6 decimals on BOTH sides
+        # (functions/text._floor6) with identical IEEE op order
+        # (divide, then *1e6, then floor) — round() would diverge on
+        # ties like 1/128 (numpy banker's vs DuckDB half-away).
+        "q14_quality_scores": f"""
+            WITH w AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     regexp_extract_all(lower(text), '\\w+') AS ws,
+                     length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+              FROM documents)
+            SELECT doc_id, n_chars,
+                   floor((punct * 1.0 / greatest(n_chars, 1)) * 1000000.0)
+                       / 1000000.0 AS punct_ratio,
+                   floor((len(list_filter(ws, x -> x IN ({_stoplist_sql('en')}))) * 1.0
+                          / greatest(len(ws), 1)) * 1000000.0)
+                       / 1000000.0 AS stop_ratio_en,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE floor((list_aggregate(
+                                        list_transform(ws, x -> length(x)), 'sum')
+                                    * 1.0 / len(ws)) * 1000000.0) / 1000000.0
+                   END AS mean_word_len
+            FROM w
+        """,
+        # q19: the stopword-profile argmax with fixed tie order
+        # (en > de > fr > es, strictly-greater to displace) and the CJK
+        # codepoint-ratio rule, transcribed; hit counts generated from
+        # the same profile constants the kernel uses.
+        "q19_lang_id": f"""
+            WITH w AS (
+              SELECT doc_id, lang AS lang_true, length(text) AS n,
+                     length(regexp_replace(
+                         text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+                     regexp_extract_all(lower(text), '\\w+') AS ws
+              FROM documents),
+            h AS (SELECT *, {_lang_hits_sql()} FROM w)
+            SELECT doc_id,
+              CASE WHEN n = 0 THEN 'und'
+                   WHEN cjk * 1.0 / greatest(n, 1) > 0.05 THEN 'zh'
+                   WHEN len(ws) = 0 THEN 'und'
+                   WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                   WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                   WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
+                   WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
+                   ELSE 'und' END AS lang_pred,
+              lang_true
+            FROM h
+        """,
+        # q20p/q22p: kernel-vs-independent-reimplementation agreement
+        # counters — the Ray side compares the vectorized numpy kernel
+        # against a pure-Python-int recompute per document and reports
+        # (n_docs, n_agree); the oracle asserts FULL agreement by
+        # computing both as count(*).  This is the driver-checkable
+        # form for sketches whose values SQL cannot express.
+        "q20p_fingerprint_parity": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_agree
+            FROM documents
+        """,
+        "q22p_simhash_parity": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_agree
+            FROM documents
+        """,
+        # q16_lsh_ann, q20_fingerprint, q22_simhash,
+        # q23_embedding_near_dup: value-level SQL oracles impossible
+        # (sketch internals / sub-1 recall by design) -> rows-only
+        # plus the q20p/q22p agreement counters and pytest oracles
         # (tests/test_relational.py, test_dedup.py).
+        # q30/q31 (crawl artifacts): byte-identical parity vs the
+        # sequential simulator in tests/test_crawl_parity.py.
+        # q36/q37 (audio/video): deterministic fixture tables, codec
+        # round-trips verified in tests/test_dblp_multimodal.py.
     }

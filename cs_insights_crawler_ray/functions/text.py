@@ -50,9 +50,19 @@ def bpe_ish_token_counts(texts: pd.Series) -> pd.Series:
     return texts.map(lambda s: len(pat.findall(s))).astype("int64")
 
 
+def _floor6(s) -> pd.Series:
+    """Truncate to 6 decimals via floor(x*1e6)/1e6 — unlike round(),
+    identical between numpy (banker's) and DuckDB (half-away) because
+    there is no tie to break; both sides run the same IEEE double ops.
+    (A ratio like 1/128 = 0.0078125 rounds differently under the two
+    conventions — floor sidesteps the whole class.)"""
+    return pd.Series(np.floor(np.asarray(s, dtype=np.float64) * 1e6) / 1e6)
+
+
 def quality_scores(texts: pd.Series) -> pd.DataFrame:
     """Heuristic doc-quality features: length, punctuation ratio,
-    stopword(en) ratio, mean word length."""
+    stopword(en) ratio, mean word length.  Ratios are floor-truncated
+    to 6 decimals (see _floor6) so the q14 SQL oracle hash-matches."""
     n_chars = texts.str.len().astype("int64")
     words = texts.str.lower().str.findall(_WORD_RE)
     n_words = words.str.len().clip(lower=1)
@@ -63,9 +73,9 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_chars": n_chars,
-            "punct_ratio": (punct / n_chars.clip(lower=1)).round(6),
-            "stop_ratio_en": stop_ratio.round(6),
-            "mean_word_len": pd.Series(mean_wlen).round(6),
+            "punct_ratio": _floor6((punct / n_chars.clip(lower=1)).to_numpy()),
+            "stop_ratio_en": _floor6(stop_ratio.to_numpy()),
+            "mean_word_len": _floor6(mean_wlen.to_numpy()),
         }
     )
 

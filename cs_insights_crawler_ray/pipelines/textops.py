@@ -9,6 +9,7 @@ small — text only — because the read prunes everything else).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -75,7 +76,7 @@ def q19_lang_id(sf_dir: str) -> rd.Dataset:
 
 def q20_fingerprint(sf_dir: str) -> rd.Dataset:
     """Winnowing-style rolling-hash fingerprint per document
-    (rows-only oracle)."""
+    (rows-only oracle; q20p holds the agreement check)."""
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -87,3 +88,93 @@ def q20_fingerprint(sf_dir: str) -> rd.Dataset:
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Parity counters: the numpy kernels vs independent pure-Python-int
+# reimplementations, reduced to (n_docs, n_agree).  The SQL oracle
+# asserts n_agree == n_docs == count(*), giving the driver a
+# hash-checkable gate over sketches whose VALUES SQL cannot compute
+# (catches uint64-wraparound / dtype bugs in the vectorized paths).
+# ---------------------------------------------------------------------------
+_M64 = 1 << 64
+
+
+def _naive_fingerprint64(s: str, window: int = 8) -> int:
+    """fingerprint64 re-derived with Python ints only (no numpy)."""
+    toks = s.split()
+    if not toks:
+        return 0
+    B = 1099511628211
+    hs = []
+    for t in toks:
+        h = 14695981039346656037
+        for byte in t.encode("utf-8"):
+            h = ((h ^ byte) * B) % _M64
+        hs.append(h)
+    if len(hs) <= window:
+        acc = 0
+        for h in hs:
+            acc = (acc * B + h) % _M64
+        val = acc
+    else:
+        vals = []
+        for i in range(len(hs) - window + 1):
+            acc = 0
+            for h in hs[i : i + window]:
+                acc = (acc * B + h) % _M64
+            vals.append(acc)
+        val = min(vals)
+    return val - _M64 if val >= 1 << 63 else val
+
+
+def _naive_simhash64(s: str) -> int:
+    """simhash64 re-derived with Python ints only."""
+    import zlib
+
+    toks = s.split()
+    if not toks:
+        return 0
+    v = [0] * 64
+    for t in toks:
+        h = (zlib.crc32(t.encode()) * 0x9E3779B97F4A7C15) % _M64
+        for bit in range(64):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    val = sum(1 << b for b in range(64) if v[b] > 0)
+    return val - _M64 if val >= 1 << 63 else val
+
+
+def _parity_query(sf_dir: str, kernel, naive) -> "pa.Table":
+    import pyarrow as pa
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        got = kernel(b["text"]).to_numpy()
+        want = np.array([naive(t) for t in b["text"]], dtype=np.int64)
+        return pd.DataFrame(
+            {"n_docs": [len(b)], "n_agree": [int((got == want).sum())]}
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+            "n_agree": pa.array([int(parts["n_agree"].sum())], pa.int64()),
+        }
+    )
+
+
+def q20p_fingerprint_parity(sf_dir: str) -> "pa.Table":
+    return _parity_query(sf_dir, T.fingerprint64, _naive_fingerprint64)
+
+
+def q22p_simhash_parity(sf_dir: str) -> "pa.Table":
+    from ..pipelines.dedup import simhash64
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash64(t) for t in texts], dtype="int64")
+
+    return _parity_query(sf_dir, kernel, _naive_simhash64)
