@@ -29,6 +29,10 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir).replace("sf", "")
+    # scaling children measure ONLY the crawl headline (the scaling
+    # criterion's job) — re-running every query per parallelism level
+    # would triple the wall time without adding evidence
+    only_crawl = os.environ.get("GRAFT_BENCH_ONLY") == "crawl"
 
     import ray
 
@@ -109,34 +113,46 @@ def run_bench() -> dict:
             res.materialize()
         results[name] = round(time.perf_counter() - t0, 3)
 
-    # ---- ingest pipeline (release files -> filtered/merged tables) --
-    from cs_insights_crawler_ray.fixtures.s2_fixtures import generate_release
-    from cs_insights_crawler_ray.pipelines.ingest import ingest_release
+    if not only_crawl:
+        # ---- ingest pipeline (release files -> merged tables) -------
+        from cs_insights_crawler_ray.fixtures.s2_fixtures import generate_release
+        from cs_insights_crawler_ray.pipelines.ingest import ingest_release
 
-    rel_dir = f"/tmp/bench_s2rel_{sf}"
-    if not os.path.exists(f"{rel_dir}/_done"):
-        n_papers = max(300, int(300_000 * float(sf)))  # 30k at sf0.1
-        generate_release(rel_dir, n_papers=n_papers, n_files=8, seed=11)
-        with open(f"{rel_dir}/_done", "w") as f:
-            f.write("ok")
-    t0 = time.perf_counter()
-    ing = ingest_release(rel_dir)
-    for _ds in ing.values():
-        _ds.materialize()
-    results["ingest"] = round(time.perf_counter() - t0, 3)
+        rel_dir = f"/tmp/bench_s2rel_{sf}"
+        if not os.path.exists(f"{rel_dir}/_done"):
+            n_papers = max(300, int(300_000 * float(sf)))  # 30k at sf0.1
+            generate_release(rel_dir, n_papers=n_papers, n_files=8, seed=11)
+            with open(f"{rel_dir}/_done", "w") as f:
+                f.write("ok")
+        t0 = time.perf_counter()
+        ing = ingest_release(rel_dir)
+        for _ds in ing.values():
+            _ds.materialize()
+        results["ingest"] = round(time.perf_counter() - t0, 3)
 
-    timed("q01_pricing_summary", R.q01_pricing_summary)
-    timed("q05_semi_join", R.q05_semi_join)
-    timed("q07_outer_merge", R.q07_outer_merge)
-    timed("q10_dedup_exact", R.q10_dedup_exact)
-    timed("q12_window_agg", R.q12_window_agg)
-    timed("q13_token_stats", textops.q13_token_stats)
-    timed("q14_quality_scores", textops.q14_quality_scores)
-    timed("q15_ann_brute", ann.q15_ann_brute)
-    timed("q17_minhash_dedup", dedup.q17_minhash_dedup)
-    timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
+        timed("q01_pricing_summary", R.q01_pricing_summary)
+        timed("q05_semi_join", R.q05_semi_join)
+        timed("q07_outer_merge", R.q07_outer_merge)
+        timed("q10_dedup_exact", R.q10_dedup_exact)
+        timed("q12_window_agg", R.q12_window_agg)
+        timed("q13_token_stats", textops.q13_token_stats)
+        timed("q14_quality_scores", textops.q14_quality_scores)
+        timed("q15_ann_brute", ann.q15_ann_brute)
+        timed("q17_minhash_dedup", dedup.q17_minhash_dedup)
+        timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
 
     ray.shutdown()
+
+    # ---- embed the 4v16 scaling pair (VERDICT r01 #10) --------------
+    # Runs once in the top-level invocation only (children set
+    # GRAFT_SCALING_CHILD); disable with GRAFT_EMBED_SCALING=0.
+    scaling = None
+    if (
+        os.environ.get("GRAFT_SCALING_CHILD") != "1"
+        and os.environ.get("GRAFT_EMBED_SCALING", "1") != "0"
+    ):
+        scaling = run_scaling(4, 16)
+
     return {
         "metric": "crawl fetch+ingest wall time (headline) + per-query sec",
         "value": results["crawl"],
@@ -148,6 +164,7 @@ def run_bench() -> dict:
         "payload_rows": rows,
         "urls_per_sec": round(urls / crawl_sec, 1),
         "payload_rows_per_sec": round(rows / crawl_sec, 1),
+        **({"scaling_4v16": scaling} if scaling else {}),
     }
 
 
@@ -211,7 +228,12 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     scaling can be read independently of the platform's own limits."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SCALING_CHILD="1",   # no recursive scaling embed
+            GRAFT_BENCH_ONLY="crawl",  # children measure the headline only
+        )
         out = subprocess.run(
             [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
             check=True, cwd=os.path.dirname(os.path.abspath(__file__)),

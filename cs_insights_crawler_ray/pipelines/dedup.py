@@ -422,12 +422,48 @@ def hamming64_np(a: np.ndarray, b: int) -> np.ndarray:
     return cnt
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Batch-vectorized simhash64 (bit-identical to the scalar form;
+    tests/test_dedup assert it, q22p guards the scalar itself): crc32
+    only touches the batch's UNIQUE tokens, the per-bit +/-1 votes are
+    summed per doc with one np.add.reduceat over the flat token-hash
+    array."""
+    tok_lists = [t.split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(tok_lists))
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not flat:
+        return out
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (zlib.crc32(u.encode()) for u in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    with np.errstate(over="ignore"):
+        th = (uh * np.uint64(0x9E3779B97F4A7C15))[inv]
+    ar = np.arange(64, dtype=np.uint64)
+    contrib = (((th[:, None] >> ar) & np.uint64(1)).astype(np.int32) * 2 - 1)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # reduceat quirks: an empty segment (start == next start) returns
+    # the single element at start, and a TRAILING empty doc's start
+    # equals len (out of range).  Pad one all-zero vote row so index
+    # len is valid — it only ever contributes 0 to an add — and
+    # overwrite empty docs with simhash 0 below.
+    contrib = np.vstack([contrib, np.zeros((1, 64), dtype=np.int32)])
+    sums = np.add.reduceat(contrib, starts, axis=0)
+    vals = ((sums > 0).astype(np.uint64) << ar).sum(axis=1, dtype=np.uint64)
+    out = vals.astype(np.int64)  # C cast, wraps like the scalar path
+    out[counts == 0] = 0
+    return out
+
+
 def q22_simhash(sf_dir: str) -> rd.Dataset:
-    """Per-document 64-bit simhash (rows-only oracle)."""
+    """Per-document 64-bit simhash (rows-only oracle; q22p holds the
+    scalar-vs-naive agreement gate, test_dedup the batch-vs-scalar)."""
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "simhash": [simhash64(t) for t in b["text"]]}
+            {"doc_id": b["doc_id"], "simhash": simhash64_batch(b["text"].tolist())}
         )
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
@@ -504,7 +540,7 @@ def simhash_near_dup_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].astype("int64"),
-                "simhash": np.array([simhash64(t) for t in b["text"]], dtype=np.int64),
+                "simhash": simhash64_batch(b["text"].tolist()),
             }
         )
 

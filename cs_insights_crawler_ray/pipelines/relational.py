@@ -48,6 +48,45 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# Coarse shuffle fan-out for high-cardinality grouped sums (sized
+# ~cluster cores at scale; each map_groups call sees one partition)
+_N_AGG_PARTS = 32
+
+
+def _grouped_sum_parts(
+    ds: rd.Dataset, key: str, sums: dict[str, str], n_parts: int = _N_AGG_PARTS
+) -> rd.Dataset:
+    """Keyed multi-column Sum for HIGH-CARDINALITY keys: per-block
+    pandas pre-combine -> hash-partition the partials into n_parts
+    coarse groups -> vectorized within-partition groupby.sum.
+
+    Ray's ``groupby(key).aggregate(Sum(...))`` pays per-GROUP overhead
+    (9.7s for the 147k-group lineitem rollup at sf0.1, measured);
+    this form is one n_parts-group sort shuffle + two vectorized
+    pandas groupbys (~2s same input).  Only pre-combined partials
+    cross the exchange.  Use the plain aggregate for low-cardinality
+    keys (q01's 6 groups) where it is already optimal."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).agg(
+            **{o: (i, "sum") for o, i in sums.items()}
+        )
+        h = g[key].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+        g["_part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False)[list(sums)].sum()
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
     for c, nd in cols.items():
         t = t.set_column(
@@ -212,36 +251,77 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(pc.not_equal(pc.bit_wise_and(t["o_orderkey"], pa.scalar(3)), pa.scalar(0)))
         .rename_columns(["o_orderkey", "val", "o_orderstatus"]),
         batch_format="pyarrow",
-    )
-    right = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
-        .groupby("l_orderkey")
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Sum("l_extendedprice", alias_name="val"))
-        .map_batches(lambda t: _round_cols(t, {"sum_qty": 2, "val": 2}), batch_format="pyarrow")
-    )
-    joined = left.join(
-        right, join_type="full_outer", num_partitions=_NPART,
-        on=("o_orderkey",), right_on=("l_orderkey",),
-        left_suffix="_l", right_suffix="_r", **JOIN_ARGS,
-    )
+    ).materialize()
+    right = _grouped_sum_parts(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]),
+        "l_orderkey",
+        {"sum_qty": "l_quantity", "val": "l_extendedprice"},
+    ).map_batches(lambda t: _round_cols(t, {"sum_qty": 2, "val": 2}), batch_format="pyarrow")
 
-    def coalesce_cols(t: pa.Table) -> pa.Table:
-        # rows may come from either side; left ("papers") value wins on
-        # the collision column, mirroring dict.update order in the ref.
-        # Ray's full_outer join already coalesces the key pair into the
-        # left key's name.
-        orderkey = t["o_orderkey"]
-        val = pc.coalesce(t["val_l"], t["val_r"])
+    if left.count() > BROADCAST_KEY_LIMIT:
+        # both-sides-large form: hash full_outer (the 100 TB path)
+        joined = left.join(
+            right, join_type="full_outer", num_partitions=_NPART,
+            on=("o_orderkey",), right_on=("l_orderkey",),
+            left_suffix="_l", right_suffix="_r", **JOIN_ARGS,
+        )
+
+        def coalesce_cols(t: pa.Table) -> pa.Table:
+            # rows may come from either side; left ("papers") value wins
+            # on the collision column, mirroring dict.update order in
+            # the ref.  Ray's full_outer join already coalesces the key
+            # pair into the left key's name.
+            orderkey = t["o_orderkey"]
+            val = pc.coalesce(t["val_l"], t["val_r"])
+            return pa.table(
+                {
+                    "orderkey": orderkey,
+                    "val": val,
+                    "o_orderstatus": t["o_orderstatus"],
+                    "sum_qty": t["sum_qty"],
+                }
+            )
+
+        return joined.map_batches(coalesce_cols, batch_format="pyarrow")
+
+    # ADAPTIVE broadcast outer-merge (left is dimension-bounded; the
+    # hash join's ~4s aggregator startup dominated this query at test
+    # scale): broadcast the left rows, stream the aggregated right
+    # through a lookup that applies left-wins coalescing, then append
+    # the left-only rows (left keys minus the right's key column —
+    # both bounded) as one extra block.
+    lpdf = left.to_pandas().set_index("o_orderkey")
+    lref = ray.put((lpdf["val"].to_dict(), lpdf["o_orderstatus"].to_dict()))
+    right = right.materialize()
+
+    def merge_right(t: pa.Table) -> pa.Table:
+        lval, lstat = bget(lref)
+        keys = t["l_orderkey"].to_pylist()
+        val_l = pa.array([lval.get(k) for k in keys], pa.float64())
+        stat = pa.array([lstat.get(k) for k in keys], pa.string())
         return pa.table(
             {
-                "orderkey": orderkey,
-                "val": val,
-                "o_orderstatus": t["o_orderstatus"],
+                "orderkey": t["l_orderkey"],
+                "val": pc.coalesce(val_l, t["val"]),  # left wins
+                "o_orderstatus": stat,
                 "sum_qty": t["sum_qty"],
             }
         )
 
-    return joined.map_batches(coalesce_cols, batch_format="pyarrow")
+    merged = right.map_batches(merge_right, batch_format="pyarrow")
+    right_keys = set(
+        right.select_columns(["l_orderkey"]).to_pandas()["l_orderkey"]
+    )
+    left_only = lpdf[~lpdf.index.isin(right_keys)].reset_index()
+    extra = pa.table(
+        {
+            "orderkey": pa.array(left_only["o_orderkey"], pa.int64()),
+            "val": pa.array(left_only["val"], pa.float64()),
+            "o_orderstatus": pa.array(left_only["o_orderstatus"], pa.string()),
+            "sum_qty": pa.array([None] * len(left_only), pa.float64()),
+        }
+    )
+    return merged.union(rd.from_arrow(extra))
 
 
 # ---------------------------------------------------------------------------

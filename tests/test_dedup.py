@@ -126,6 +126,16 @@ def test_lsh_ann_recall(neardup_dir):
     assert recall >= 0.5, recall
 
 
+def test_simhash_batch_matches_scalar():
+    rng = np.random.Generator(np.random.PCG64(9))
+    texts = [
+        " ".join(rng.choice(WORDS, size=int(k))) for k in rng.integers(0, 60, 150)
+    ] + ["", "one", "", "two words", ""]
+    batch = dedup.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert batch[i] == dedup.simhash64(t), (i, t)
+
+
 def test_connected_components_groups():
     import pyarrow as pa
 
