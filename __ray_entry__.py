@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search --------------------------------------
         "q15_ann_brute": ann.q15_ann_brute,
         "q16_lsh_ann": ann.q16_lsh_ann,
+        "q41_ivf_ann": ann.q41_ivf_ann,
         # -- dedup family -------------------------------------------
         "q10b_dedup_exact": R.q10_dedup_exact,
         "q17_minhash_dedup": dedup.q17_minhash_dedup,

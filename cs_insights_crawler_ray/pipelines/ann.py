@@ -157,6 +157,99 @@ class _LSHScorer:
         )
 
 
+class _IVFScorer:
+    """IVF-flat scorer: each vector is assigned to its nearest
+    centroid (argmax cosine) inside the batch; only vectors whose cell
+    is among a query's nprobe probed cells are scored.  Run as TASKS;
+    centroid matrix + probe sets broadcast once per worker."""
+
+    def __init__(self, qref, qids, cent_ref, probes_ref):
+        self.qref, self.cent_ref, self.probes_ref = qref, cent_ref, probes_ref
+        self.qids = qids
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        q = bget(self.qref)
+        cents = bget(self.cent_ref)          # (C, D) unit rows
+        probes = bget(self.probes_ref)       # (Q, nprobe) centroid ids
+        vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+        assign = np.argmax(vecs @ cents.T, axis=1)  # (N,)
+        vid = b["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(self.qids):
+            cand = np.nonzero(np.isin(assign, probes[qi]) & (vid != qid))[0]
+            if cand.size == 0:
+                continue
+            cos = vecs[cand] @ q[qi]
+            k = min(TOP_K, cand.size)
+            top = cand[np.argpartition(-cos, k - 1)[:k]]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vid[top],
+                                     "cos": vecs[top] @ q[qi]}))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                               "vec_id": pd.Series([], dtype="int64"),
+                               "cos": pd.Series([], dtype="float64")})
+        )
+
+
+def q41_ivf_ann(sf_dir: str, n_centroids: int = 64, nprobe: int = 8) -> pa.Table:
+    """IVF-flat ANN — the coarse-quantizer scale path beside q16's
+    hyperplane LSH: deterministic centroids (evenly-spaced vec_ids;
+    production would k-means a sample, same plumbing), per-batch
+    assignment + probed-cell scoring, partial top-k merged on the
+    driver.  Recall vs the q15 brute oracle is pytest-held
+    (rows-only for the driver: recall < 1 by design)."""
+    import pyarrow.parquet as pq
+
+    qids, qmat = _load_queries(sf_dir)
+    ids_all = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])[
+        "vec_id"
+    ].to_numpy()
+    n = len(ids_all)
+    c = max(1, min(n_centroids, n // 4))
+    cent_ids = np.sort(ids_all)[:: max(1, n // c)][:c]
+    cent_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cent_ids.tolist())],
+    )
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cent_tbl["embedding"].to_pylist()]
+    )
+    cents /= np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    # probe sets: each query's nprobe nearest centroids
+    qc = qmat @ cents.T  # (Q, C)
+    np_eff = min(nprobe, cents.shape[0])
+    probes = np.argpartition(-qc, np_eff - 1, axis=1)[:, :np_eff]
+
+    qref = ray.put(qmat)
+    cref = ray.put(cents)
+    pref = ray.put(probes)
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(
+            _IVFScorer(qref, qids, cref, pref),
+            batch_format="pandas",
+            batch_size=4096,
+        )
+    )
+    best: dict[int, list] = {int(q): [] for q in qids}
+    for batch in partials.iter_batches(batch_size=None, batch_format="pandas"):
+        for qid, vec_id, cos in zip(batch["qid"], batch["vec_id"], batch["cos"]):
+            heapq.heappush(best[int(qid)], (float(cos), -int(vec_id)))
+            if len(best[int(qid)]) > TOP_K:
+                heapq.heappop(best[int(qid)])
+    rows = []
+    for qid, heap in best.items():
+        for cos, nvid in sorted(heap, reverse=True):
+            rows.append({"qid": qid, "vec_id": -nvid, "cos": round(cos, 6)})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())])
+    )
+
+
 def q16_lsh_ann(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
     qids, qmat = _load_queries(sf_dir)
     rng = np.random.Generator(np.random.PCG64(7))

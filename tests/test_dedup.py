@@ -117,6 +117,15 @@ def test_ann_brute_matches_numpy(neardup_dir):
         assert have == want, f"qid {qid}"
 
 
+def test_ivf_ann_recall(neardup_dir):
+    brute = ann.q15_ann_brute(neardup_dir).to_pandas()
+    ivf = ann.q41_ivf_ann(neardup_dir, n_centroids=12, nprobe=6).to_pandas()
+    recall = len(
+        set(zip(ivf["qid"], ivf["vec_id"])) & set(zip(brute["qid"], brute["vec_id"]))
+    ) / len(brute)
+    assert recall >= 0.5, recall
+
+
 def test_lsh_ann_recall(neardup_dir):
     brute = ann.q15_ann_brute(neardup_dir).to_pandas()
     lsh = ann.q16_lsh_ann(neardup_dir, bits=16, slack=8).to_pandas()
