@@ -624,25 +624,45 @@ def q27_string_funcs(sf_dir: str) -> rd.Dataset:
 SESSION_GAP_SEC = 1800
 
 
+def _add_key_part(b, key: str, n_parts: int = _N_AGG_PARTS):
+    """Coarse co-location column: all rows of a key land in one of
+    n_parts groups, so keyed per-group logic runs as ~n_parts
+    vectorized partition UDFs instead of one UDF per key (the
+    per-group map_groups overhead measured in round 1)."""
+    h = b[key].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+    return b.assign(_part=(h % np.uint64(n_parts)).astype(np.int32))
+
+
 def q28_sessionize(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        ts = g["ts"].sort_values().to_numpy()
-        # exact microsecond gap compare (matches the SQL oracle's
-        # epoch_us arithmetic — float/floor truncation would disagree
-        # on gaps within 1s of the threshold)
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        # vectorized over the whole partition: sort by (user, ts),
+        # gaps via diff with user-boundary masking — exact microsecond
+        # compare (matches the SQL oracle's epoch_us arithmetic;
+        # float/floor truncation would disagree near the threshold)
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
         gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps_us > SESSION_GAP_SEC * 1_000_000).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
-             "n_events": [len(g)]}
+        same_user = uid[1:] == uid[:-1]
+        new_session = np.concatenate(
+            [[True], (~same_user) | (gaps_us > SESSION_GAP_SEC * 1_000_000)]
         )
+        out = pd.DataFrame({"user_id": uid, "_new": new_session.astype(np.int64)})
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_sessions=("_new", "sum"), n_events=("_new", "size")
+        )
+        return agg.astype({"n_sessions": "int64", "n_events": "int64"})
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(lambda b: _add_key_part(b, "user_id"), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -656,30 +676,27 @@ def q28_sessionize(sf_dir: str) -> rd.Dataset:
 def q29_asof_last_signup(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        # sort signups BEFORE other events within an equal ts: the
-        # oracle's semantics are s.ts <= e.ts, so an event tied with a
-        # signup at the same timestamp must see it — a plain
-        # (ts, event_id) sort could order the signup after the tied
-        # event and ffill would miss it (data-dependent latent break).
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        # vectorized over the whole partition: sort by (user, ts,
+        # signup-first, event_id) — signups sort BEFORE other events
+        # within an equal ts because the oracle's semantics are
+        # s.ts <= e.ts (a tied event must see the tied signup), then
+        # groupby(user).ffill of the masked signup timestamps ==
+        # "most recent prior signup" (datetime cummax would propagate
+        # NaT, not carry the max — pandas wart).
         is_not_signup = (g["event_type"] != "signup").astype("int8")
-        g = (
-            g.assign(_ns=is_not_signup)
-            .sort_values(["ts", "_ns", "event_id"], kind="mergesort")
-            .drop(columns=["_ns"])
+        g = g.assign(_ns=is_not_signup).sort_values(
+            ["user_id", "ts", "_ns", "event_id"], kind="mergesort"
         )
-        # forward-fill of the masked signup timestamps == "most recent
-        # prior signup" on the sorted stream (datetime cummax would
-        # propagate NaT, not carry the max — pandas wart)
-        last = g["ts"].where(g["event_type"] == "signup").ffill()
-        return pd.DataFrame(
-            {"event_id": g["event_id"], "last_signup": last}
-        )
+        masked = g["ts"].where(g["event_type"] == "signup")
+        last = masked.groupby(g["user_id"], sort=False).ffill()
+        return pd.DataFrame({"event_id": g["event_id"], "last_signup": last})
 
     return (
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(lambda b: _add_key_part(b, "user_id"), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -716,16 +733,34 @@ def q33_union(sf_dir: str) -> rd.Dataset:
 def q34_grouped_topk(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
-        g = g.copy()
-        g["rnk"] = range(1, len(g) + 1)
-        return g
+    def topk_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        # vectorized per-key top-3 over the whole partition: one sort,
+        # groupby.head, groupby.cumcount — no per-key UDF
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = g.groupby("o_custkey", sort=False).head(3).copy()
+        out["rnk"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+
+    # per-block local prune first: only each block's per-key top-3
+    # survive to the shuffle (same safe-prune argument as the
+    # politeness combiner — a global top-3 row is a top-3 row of its
+    # block)
+    def local_prune(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return b.groupby("o_custkey", sort=False).head(3)
 
     return (
         _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(topk, batch_format="pandas")
+        .map_batches(local_prune, batch_format="pandas")
+        .map_batches(lambda b: _add_key_part(b, "o_custkey"), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(topk_part, batch_format="pandas")
     )
 
 
