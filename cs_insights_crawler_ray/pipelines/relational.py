@@ -329,12 +329,31 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
 # s2client.py:159-173, dblpclient.py:397). sort is a range-partition
 # shuffle; limit(k) prunes early.
 # ---------------------------------------------------------------------------
-def q09_topk(sf_dir: str) -> rd.Dataset:
-    return (
+def q09_topk(sf_dir: str) -> "pa.Table":
+    """Global top-k as per-block partial top-k + a tiny driver merge
+    (the q15 ANN shape) instead of a full range-partition sort that
+    orders ALL rows to keep 10: only n_blocks x k rows ever leave the
+    workers.  Ties break deterministically by (price desc, orderkey
+    asc) on both the partial and final selections."""
+    k = 10
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        idx = _pc.sort_indices(
+            t, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    parts = (
         _read(sf_dir, "orders")
-        .sort("o_totalprice", descending=True)
-        .limit(10)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
     )
+    out = parts.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -775,17 +794,22 @@ def q35_count_distinct(sf_dir: str) -> rd.Dataset:
     def local_pairs(b: "pd.DataFrame") -> "pd.DataFrame":
         return b.drop_duplicates(["l_returnflag", "l_partkey"])
 
-    def count_unique(g: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "n_parts": [int(g["l_partkey"].nunique())],
-            }
-        )
-
+    # two hash aggregates, both vectorized: distinct (flag, partkey)
+    # pairs first (only distinct pairs cross the shuffle), then a
+    # per-flag row count.  The previous groupby(flag).map_groups
+    # funneled EVERY distinct pair of a flag through one task —
+    # parallelism 3 and a single-task memory hotspot at scale.
     return (
         _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
         .map_batches(local_pairs, batch_format="pandas")
+        .groupby(["l_returnflag", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
         .groupby("l_returnflag")
-        .map_groups(count_unique, batch_format="pandas")
+        .aggregate(Count(alias_name="n_parts"))
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"l_returnflag": b["l_returnflag"], "n_parts": b["n_parts"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
     )
