@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_union": R.q33_union,
         "q34_grouped_topk": R.q34_grouped_topk,
         "q35_count_distinct": R.q35_count_distinct,
+        "q42_hopping_window": R.q42_hopping_window,
+        "q43_revenue_by_region": R.q43_revenue_by_region,
+        "q44_parts_rollup": R.q44_parts_rollup,
         # -- text analysis ------------------------------------------
         "q13_token_stats": textops.q13_token_stats,
         "q14_quality_scores": textops.q14_quality_scores,
@@ -294,6 +297,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q42_hopping_window": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 1000000 AS es, value FROM events),
+            x AS (
+              SELECT (es // 1800) * 1800 - off AS window_start, value
+              FROM e CROSS JOIN (VALUES (0), (1800)) AS o(off))
+            SELECT CAST(window_start AS BIGINT) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value
+            FROM x GROUP BY 1
+        """,
+        "q43_revenue_by_region": """
+            SELECT r_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*)                    AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q44_parts_rollup": """
+            SELECT p_type,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   count(*)                       AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
         """,
         "q29_asof_last_signup": """
             SELECT e.event_id, max(s.ts) AS last_signup

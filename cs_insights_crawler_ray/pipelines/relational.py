@@ -720,6 +720,124 @@ def q29_asof_last_signup(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Hopping (sliding) window — each event belongs to exactly two 1-hour
+# windows that start on 30-minute hops (streaming-shaped surface
+# beside q12's tumbling windows; SURVEY.md §2.9): explode each row to
+# its windows inside map_batches, then one keyed aggregate.
+# ---------------------------------------------------------------------------
+HOP_SEC, WINDOW_SEC = 1800, 3600
+
+
+def q42_hopping_window(sf_dir: str) -> rd.Dataset:
+    def explode(t: pa.Table) -> pa.Table:
+        es = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))  # epoch sec
+        s1 = pc.multiply(pc.divide(es, pa.scalar(HOP_SEC)), pa.scalar(HOP_SEC))
+        s0 = pc.subtract(s1, pa.scalar(HOP_SEC))
+        return pa.concat_tables(
+            [
+                pa.table({"window_start": s0, "value": t["value"]}),
+                pa.table({"window_start": s1, "value": t["value"]}),
+            ]
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(lambda t: _round_cols(t, {"sum_value": 3}), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop dimension rollup: orders -> customer -> nation -> region
+# (the q21 star-join shape extended one hop; the whole dimension chain
+# composes into one custkey -> region-name lookup broadcast once).
+# ---------------------------------------------------------------------------
+def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"] for r in _read(sf_dir, "nation").take_all()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
+    }
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).materialize()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    if cust_ds.count() <= BROADCAST_KEY_LIMIT:
+        cpdf = cust_ds.to_pandas().sort_values("c_custkey")
+        ckeys = cpdf["c_custkey"].to_numpy()
+        rnames = np.array(
+            [region[nation[nk]] for nk in cpdf["c_nationkey"]], dtype=object
+        )
+        ref = ray.put((ckeys, rnames))
+
+        def add_region(t: pa.Table) -> pa.Table:
+            keys, rn = bget(ref)
+            ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_totalprice": t["o_totalprice"],
+                    "r_name": pa.array(rn[np.searchsorted(keys, ok)], pa.string()),
+                }
+            )
+
+        tagged = orders.map_batches(add_region, batch_format="pyarrow")
+    else:
+        joined = orders.join(
+            cust_ds, join_type="inner", num_partitions=_NPART,
+            on=("o_custkey",), right_on=("c_custkey",), **JOIN_ARGS,
+        )
+        rmap = {nk: region[rk] for nk, rk in nation.items()}
+        ref = ray.put(rmap)
+
+        def add_region_j(t: pa.Table) -> pa.Table:
+            m = bget(ref)
+            return pa.table(
+                {
+                    "o_totalprice": t["o_totalprice"],
+                    "r_name": pa.array(
+                        [m[nk] for nk in t["c_nationkey"].to_pylist()], pa.string()
+                    ),
+                }
+            )
+
+        tagged = joined.map_batches(add_region_j, batch_format="pyarrow")
+
+    return (
+        tagged.groupby("r_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact ⋈ mid-size dimension hash join kept AS a join deliberately
+# (part is broadcastable at test scale, but q44 is the suite's
+# canonical Dataset.join exercise now that q07/q21 adapt to broadcast
+# below the key limit): lineitem ⋈ part, rolled up by p_type.
+# ---------------------------------------------------------------------------
+def q44_parts_rollup(sf_dir: str) -> rd.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=_NPART,
+        on=("l_partkey",), right_on=("p_partkey",), **JOIN_ARGS,
+    )
+    return (
+        joined.groupby("p_type")
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="revenue"),
+            Count(alias_name="n_items"),
+        )
+        .map_batches(
+            lambda t: _round_cols(t, {"sum_qty": 2, "revenue": 2}), batch_format="pyarrow"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set op: union (reference D1 union surface generalized to row union).
 # ---------------------------------------------------------------------------
 def q33_union(sf_dir: str) -> rd.Dataset:

@@ -75,6 +75,28 @@ def test_query_matches_oracle(name):
     assert_match(name, ray_df, ora_df)
 
 
+# queries with an adaptive broadcast-vs-join threshold: zeroing the
+# limit forces the hash-join (100 TB) path, which must produce the
+# identical oracle-matching result
+ADAPTIVE_JOIN_QUERIES = [
+    "q06_exploded_semi_join",
+    "q07_outer_merge",
+    "q08_sort_rank",
+    "q21_revenue_by_nation",
+    "q43_revenue_by_region",
+]
+
+
+@pytest.mark.parametrize("name", ADAPTIVE_JOIN_QUERIES)
+def test_adaptive_join_path_matches_oracle(name, monkeypatch):
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    monkeypatch.setattr(R, "BROADCAST_KEY_LIMIT", 0)
+    ray_df = _to_pdf(entrymod.queries()[name](SF_DIR))
+    ora_df = _oracle(entrymod.oracle_sql()[name])
+    assert_match(name, ray_df, ora_df)
+
+
 def test_rows_only_queries_run():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
