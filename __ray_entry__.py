@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_hopping_window": R.q42_hopping_window,
         "q43_revenue_by_region": R.q43_revenue_by_region,
         "q44_parts_rollup": R.q44_parts_rollup,
+        "q45_supplier_volume": R.q45_supplier_volume,
         # -- text analysis ------------------------------------------
         "q13_token_stats": textops.q13_token_stats,
         "q14_quality_scores": textops.q14_quality_scores,
@@ -326,6 +327,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)                       AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_type
+        """,
+        "q45_supplier_volume": """
+            SELECT s_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
         """,
         "q29_asof_last_signup": """
             SELECT e.event_id, max(s.ts) AS last_signup

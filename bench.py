@@ -144,6 +144,8 @@ def run_bench() -> dict:
         timed("q15_ann_brute", ann.q15_ann_brute)
         timed("q17_minhash_dedup", dedup.q17_minhash_dedup)
         timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
+        timed("q42_hopping_window", R.q42_hopping_window)
+        timed("q44_parts_rollup", R.q44_parts_rollup)
 
     ray.shutdown()
 

@@ -838,6 +838,39 @@ def q44_parts_rollup(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Tiny-dimension broadcast rollup: lineitem tagged with its supplier
+# name via a 10-row broadcast map — the smallest-side extreme of the
+# dimension-join spectrum (q44 = hash join, q21/q43 = adaptive,
+# q45 = always-broadcast).
+# ---------------------------------------------------------------------------
+def q45_supplier_volume(sf_dir: str) -> rd.Dataset:
+    supp = {
+        r["s_suppkey"]: r["s_name"] for r in _read(sf_dir, "supplier").take_all()
+    }
+    names = np.array(
+        [supp.get(i, "") for i in range(max(supp) + 1)], dtype=object
+    )
+    ref = ray.put(names)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {"s_name": pa.array(bget(ref)[sk], pa.string()), "rev": rev}
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("s_name")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+        .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set op: union (reference D1 union surface generalized to row union).
 # ---------------------------------------------------------------------------
 def q33_union(sf_dir: str) -> rd.Dataset:

@@ -46,6 +46,48 @@ def test_dead_links_parity_and_quarantine(tmp_path):
     )
 
 
+def test_payload_write_failure_aborts_before_commit(tmp_path, monkeypatch):
+    """ADVICE r01: a failed payload write must ABORT the wave before
+    its manifest commits (a swallowed failure + committed manifest is
+    permanent silent data loss under zero-refetch resume), and a rerun
+    after the failure must complete and stay byte-identical to the
+    sequential oracle."""
+    from pathlib import Path
+
+    from cs_insights_crawler_ray.pipelines import crawl as crawl_mod
+
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(seed=5, n_hosts=8, pages_per_host=100),
+        n_seeds=12, host_budget=3, wave_size=16, n_waves=3, n_shards=2,
+    )
+    out = str(tmp_path)
+    real_write = crawl_mod.write_payload
+    calls = {"n": 0}
+
+    def flaky_write(ds, root, partition):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail the SECOND wave's payload write
+            raise OSError("simulated sink outage")
+        return real_write(ds, root, partition)
+
+    monkeypatch.setattr(crawl_mod, "write_payload", flaky_write)
+    with pytest.raises(RuntimeError, match="payload write failed"):
+        run_crawl(cfg, out)
+    # only wave 0 committed — the failed wave must NOT have a manifest
+    manifests = sorted(Path(out, "checkpoints").glob("manifest_wave*.json"))
+    assert len(manifests) == 1
+
+    # resume with a healthy sink: completes, and the full crawl log is
+    # byte-identical to the oracle
+    monkeypatch.setattr(crawl_mod, "write_payload", real_write)
+    metrics = run_crawl(cfg, out, resume=True)
+    assert len(metrics["by_wave"]) >= 2
+    log = read_crawl_log(out)
+    sim = simulate(cfg)
+    eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
+    assert eng == sim.crawl_log
+
+
 def test_mailbox_retry_idempotent():
     """A retried fetch task re-sends identical link slices; the shard's
     process_wave (dk-sorted dedupe) must yield the same frontier as a
