@@ -114,12 +114,25 @@ def _crawl_payload_glob() -> str:
     """Deterministic /tmp location of the crawl payload parquet the
     q30/q31/q32/q39 callables produce (cached per sf).  The driver
     compares at sf0.01; tests override via GRAFT_ORACLE_SF to match
-    their sf_dir."""
+    their sf_dir.  If the cache does not exist yet (oracle evaluated
+    before the Ray query ran), build it here so the SQL side is
+    self-sufficient — best-effort, the query side builds it anyway."""
     import os
+    from pathlib import Path
 
     from cs_insights_crawler_ray.pipelines.crawl_queries import _VERSION
 
     sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
+    if not (Path(f"/tmp/ciq_crawl_{_VERSION}_{sf}") / "_complete").exists():
+        try:
+            import ray
+
+            if ray.is_initialized():
+                from cs_insights_crawler_ray.pipelines.crawl_queries import _out_dir
+
+                _out_dir(f"/root/testdata/{sf}")
+        except Exception:
+            pass  # the queries() callable will build it
     return f"/tmp/ciq_crawl_{_VERSION}_{sf}/payload/*/*.parquet"
 
 

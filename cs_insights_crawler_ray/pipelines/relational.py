@@ -180,11 +180,21 @@ def q05_semi_join(sf_dir: str) -> rd.Dataset:
             ["o_orderkey"]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
     li = _read(sf_dir, "lineitem")
-    return li.join(
-        keys, join_type="left_semi", num_partitions=_NPART,
-        on=("l_orderkey",), right_on=("o_orderkey",), **JOIN_ARGS,
+    if keys.count() > BROADCAST_KEY_LIMIT:
+        return li.join(
+            keys, join_type="left_semi", num_partitions=_NPART,
+            on=("l_orderkey",), right_on=("o_orderkey",), **JOIN_ARGS,
+        )
+    # the filtered key set is small -> broadcast semi-filter (zero
+    # shuffles); the hash left_semi above is the 100 TB form (forced
+    # and oracle-checked in tests via BROADCAST_KEY_LIMIT=0)
+    key_arr = pa.array(np.sort(keys.to_pandas()["o_orderkey"].to_numpy()), pa.int64())
+    ref = ray.put(key_arr)
+    return li.map_batches(
+        lambda t: t.filter(pc.is_in(t["l_orderkey"], value_set=bget(ref))),
+        batch_format="pyarrow",
     )
 
 

@@ -79,6 +79,7 @@ def test_query_matches_oracle(name):
 # limit forces the hash-join (100 TB) path, which must produce the
 # identical oracle-matching result
 ADAPTIVE_JOIN_QUERIES = [
+    "q05_semi_join",
     "q06_exploded_semi_join",
     "q07_outer_merge",
     "q08_sort_rank",
