@@ -155,15 +155,31 @@ def _lang_hits_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # fixed-point arithmetic mirrors the Ray side exactly (see
+        # relational._fixed): sums run over scaled BIGINTs (order-
+        # independent), rounding happens in integer space (half-away,
+        # (2a+b)//(2b)) — both sides are bit-exact, not merely close
         "q01_pricing_summary": """
+            WITH f AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+                     CAST(round(l_discount * 100) AS BIGINT)      AS disc_c
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(sum(qty_c) AS BIGINT)                   AS sq,
+                     CAST(sum(ext_c) AS BIGINT)                   AS se,
+                     CAST(sum(ext_c * (100 - disc_c)) AS BIGINT)  AS sdp4,
+                     count(*)                                     AS n
+              FROM f GROUP BY 1, 2)
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2)                        AS sum_qty,
-                   round(sum(l_extendedprice), 2)                   AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4)                        AS avg_qty,
-                   count(*)                                         AS count_order
-            FROM lineitem
-            GROUP BY l_returnflag, l_linestatus
+                   sq / 100.0                                AS sum_qty,
+                   se / 100.0                                AS sum_base_price,
+                   ((2 * sdp4 + 100) // 200) / 100.0         AS sum_disc_price,
+                   ((200 * sq + n) // (2 * n)) / 10000.0     AS avg_qty,
+                   n                                         AS count_order
+            FROM a
         """,
         "q02_timestamp_filter": """
             SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
@@ -191,8 +207,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE (o_orderkey & 3) <> 0),
             r AS (
                 SELECT l_orderkey,
-                       round(sum(l_quantity), 2)      AS sum_qty,
-                       round(sum(l_extendedprice), 2) AS val
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                           / 100.0 AS sum_qty,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                           / 100.0 AS val
                 FROM lineitem GROUP BY l_orderkey)
             SELECT coalesce(l.o_orderkey, r.l_orderkey) AS orderkey,
                    coalesce(l.val, r.val)               AS val,
@@ -217,7 +235,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
                    count(*)                                AS n_events,
-                   round(sum(value), 3)                    AS sum_value
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                       / 1000.0                            AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "q13_token_stats": """
@@ -240,8 +259,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_revenue_by_nation": """
             SELECT n_name,
-                   round(sum(o_totalprice), 2) AS revenue,
-                   count(*)                    AS n_orders
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS revenue,
+                   count(*)    AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -249,7 +269,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q08_sort_rank": """
             WITH agg AS (
-                SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                           / 100.0 AS total
                 FROM orders GROUP BY 1)
             SELECT c_custkey, total,
                    row_number() OVER (
@@ -265,11 +287,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment FROM customer
         """,
         "q26_agg_stats": """
-            SELECT event_type, count(*) AS n,
-                   round(min(value), 6) AS min_value,
-                   round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value
-            FROM events GROUP BY event_type
+            WITH a AS (
+              SELECT event_type, count(*) AS n,
+                     round(min(value), 6) AS min_value,
+                     round(max(value), 6) AS max_value,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+              FROM events GROUP BY event_type)
+            SELECT event_type, n, min_value, max_value,
+                   ((20000 * v_c + n) // (2 * n)) / 1000000.0 AS avg_value
+            FROM a
         """,
         "q27_string_funcs": """
             SELECT doc_id, upper(source) AS src_upper,
@@ -314,19 +340,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_hopping_window": """
             WITH e AS (
-              SELECT epoch_us(ts) // 1000000 AS es, value FROM events),
+              SELECT epoch_us(ts) // 1000000 AS es,
+                     CAST(round(value * 1000) AS BIGINT) AS v_m
+              FROM events),
             x AS (
-              SELECT (es // 1800) * 1800 - off AS window_start, value
+              SELECT (es // 1800) * 1800 - off AS window_start, v_m
               FROM e CROSS JOIN (VALUES (0), (1800)) AS o(off))
             SELECT CAST(window_start AS BIGINT) AS window_start,
                    count(*) AS n_events,
-                   round(sum(value), 3) AS sum_value
+                   CAST(sum(v_m) AS BIGINT) / 1000.0 AS sum_value
             FROM x GROUP BY 1
         """,
         "q43_revenue_by_region": """
             SELECT r_name,
-                   round(sum(o_totalprice), 2) AS revenue,
-                   count(*)                    AS n_orders
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS revenue,
+                   count(*)    AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -335,18 +364,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_parts_rollup": """
             SELECT p_type,
-                   round(sum(l_quantity), 2)      AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS revenue,
-                   count(*)                       AS n_items
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS revenue,
+                   count(*)    AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_type
         """,
         "q45_supplier_volume": """
+            WITH a AS (
+              SELECT s_name,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS rev4,
+                     count(*) AS n_items
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_name)
             SELECT s_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-            GROUP BY s_name
+                   ((2 * rev4 + 100) // 200) / 100.0 AS revenue,
+                   n_items
+            FROM a
         """,
         "q29_asof_last_signup": """
             SELECT e.event_id, max(s.ts) AS last_signup

@@ -96,6 +96,35 @@ def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-point money/measure arithmetic.  The driver's numeric columns
+# are exact k-decimal values, so summing them as scaled int64 makes
+# every aggregate ORDER-INDEPENDENT: a float64 sum's last-ulp jitter
+# depends on Ray's nondeterministic block order, and round(., 2) flips
+# a cent when the true value sits near a .005 boundary (observed once
+# in ~40 dress rehearsals on q45 — the whole flake class dies here).
+# The SQL oracles mirror the same integer ops, so both sides are
+# bit-exact, not merely close.
+# ---------------------------------------------------------------------------
+def _fixed(col, scale: int):
+    """Exact k-decimal float column -> scaled int64."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+
+def _div_round_half_up(col, denom: int):
+    """Integer round-half-away of col/denom for NON-NEGATIVE ints:
+    (2a + b) // (2b) — no float ties to break."""
+    return pc.divide(
+        pc.add(pc.multiply(col, pa.scalar(2, pa.int64())), pa.scalar(denom, pa.int64())),
+        pa.scalar(2 * denom, pa.int64()),
+    )
+
+
+def _unscale(col, scale: int):
+    """Scaled int64 -> float at its exact decimal value."""
+    return pc.divide(col.cast(pa.float64()), pa.scalar(float(scale)))
+
+
+# ---------------------------------------------------------------------------
 # A1/A2/O1 — grouped aggregate (TPC-H Q1 shape)
 # Reference analog: the defaultdict corpusid merge + set-distinct
 # (s2processor.py:55,114-118) generalized to a keyed aggregate.
@@ -107,24 +136,54 @@ def q01_pricing_summary(sf_dir: str) -> rd.Dataset:
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+    def prep(t: pa.Table) -> pa.Table:
+        qty_c = _fixed(t["l_quantity"], 100)
+        ext_c = _fixed(t["l_extendedprice"], 100)
+        disc_c = _fixed(t["l_discount"], 100)
+        # disc price in 1e-4 units: cents * (100 - disc_cents)
+        dp4 = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "ext_c": ext_c,
+                "dp4": dp4,
+            }
+        )
 
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count_order"].cast(pa.int64()).combine_chunks()
+        sq = t["sum_qty_c"].combine_chunks()
+        # avg in 1e-4 units = qty_cents*100/n, integer half-away
+        avg4 = pc.divide(
+            pc.add(pc.multiply(sq, pa.scalar(200, pa.int64())), n),
+            pc.multiply(n, pa.scalar(2, pa.int64())),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": _unscale(sq, 100),
+                "sum_base_price": _unscale(t["sum_ext_c"].combine_chunks(), 100),
+                "sum_disc_price": _unscale(
+                    _div_round_half_up(t["sum_dp4"].combine_chunks(), 100), 100
+                ),
+                "avg_qty": _unscale(avg4, 10000),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("ext_c", alias_name="sum_ext_c"),
+            Sum("dp4", alias_name="sum_dp4"),
             Count(alias_name="count_order"),
         )
-    )
-    return out.map_batches(
-        lambda t: _round_cols(t, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}),
-        batch_format="pyarrow",
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -262,11 +321,31 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
         .rename_columns(["o_orderkey", "val", "o_orderstatus"]),
         batch_format="pyarrow",
     ).materialize()
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty_c": _fixed(t["l_quantity"], 100),
+                "ext_c": _fixed(t["l_extendedprice"], 100),
+            }
+        )
+
     right = _grouped_sum_parts(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]).map_batches(
+            cents, batch_format="pyarrow"
+        ),
         "l_orderkey",
-        {"sum_qty": "l_quantity", "val": "l_extendedprice"},
-    ).map_batches(lambda t: _round_cols(t, {"sum_qty": 2, "val": 2}), batch_format="pyarrow")
+        {"qty_c": "qty_c", "ext_c": "ext_c"},  # int64 sums: order-exact
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "sum_qty": _unscale(t["qty_c"], 100),
+                "val": _unscale(t["ext_c"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
     if left.count() > BROADCAST_KEY_LIMIT:
         # both-sides-large form: hash full_outer (the 100 TB path)
@@ -413,14 +492,26 @@ def q12_window_agg(sf_dir: str) -> rd.Dataset:
     def bucket(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())  # epoch microseconds
         hour = pc.divide(us, pa.scalar(3_600_000_000))
-        return pa.table({"user_id": t["user_id"], "hour_bucket": hour, "value": t["value"]})
+        return pa.table(
+            {"user_id": t["user_id"], "hour_bucket": hour, "v_m": _fixed(t["value"], 1000)}
+        )
 
     return (
         _read(sf_dir, "events", ["ts", "user_id", "value"])
         .map_batches(bucket, batch_format="pyarrow")
         .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .map_batches(lambda t: _round_cols(t, {"sum_value": 3}), batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_events"), Sum("v_m", alias_name="v_m"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "hour_bucket": t["hour_bucket"],
+                    "n_events": t["n_events"],
+                    "sum_value": _unscale(t["v_m"], 1000),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -457,7 +548,7 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
             nk = nat[np.searchsorted(keys, ok)]
             return pa.table(
                 {
-                    "o_totalprice": t["o_totalprice"],
+                    "tp_c": _fixed(t["o_totalprice"], 100),
                     "n_name": pa.array(nm[nk], pa.string()),
                 }
             )
@@ -473,14 +564,28 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         def add_nation(t: pa.Table) -> pa.Table:
             # broadcast dimension lookup, per-process cached — no pool
             nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            return t.append_column("n_name", pa.array(bget(ref)[nk], pa.string()))
+            return pa.table(
+                {
+                    "tp_c": _fixed(t["o_totalprice"], 100),
+                    "n_name": pa.array(bget(ref)[nk], pa.string()),
+                }
+            )
 
         joined = cust_joined.map_batches(add_nation, batch_format="pyarrow")
 
     return (
         joined.groupby("n_name")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
-        .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+        .aggregate(Sum("tp_c", alias_name="tp_c"), Count(alias_name="n_orders"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_name": t["n_name"],
+                    "revenue": _unscale(t["tp_c"], 100),
+                    "n_orders": t["n_orders"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -503,9 +608,20 @@ def q08_sort_rank(sf_dir: str) -> rd.Dataset:
     # above it.
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"], "tp_c": _fixed(t["o_totalprice"], 100)}
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total"))
-        .map_batches(lambda t: _round_cols(t, {"total": 2}), batch_format="pyarrow")
+        .aggregate(Sum("tp_c", alias_name="tp_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"], "total": _unscale(t["tp_c"], 100)}
+            ),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
     if agg.count() > BROADCAST_KEY_LIMIT:
@@ -607,17 +723,47 @@ def q25_distinct(sf_dir: str) -> "pa.Table":
 # surface, s2client.py:127-142).
 # ---------------------------------------------------------------------------
 def q26_agg_stats(sf_dir: str) -> rd.Dataset:
+    # min/max are order-independent already; avg goes through the
+    # exact scaled-int sum + integer half-away rounding at 1e-6
     return (
         _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "value": t["value"],
+                    "v_c": _fixed(t["value"], 100),
+                }
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n"),
             Min("value", alias_name="min_value"),
             Max("value", alias_name="max_value"),
-            Mean("value", alias_name="avg_value"),
+            Sum("v_c", alias_name="v_c"),
         )
         .map_batches(
-            lambda t: _round_cols(t, {"min_value": 6, "max_value": 6, "avg_value": 6}),
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": t["n"],
+                    "min_value": pc.round(t["min_value"], ndigits=6),
+                    "max_value": pc.round(t["max_value"], ndigits=6),
+                    # avg in 1e-6 units = v_cents*10000/n, half-away
+                    "avg_value": _unscale(
+                        pc.divide(
+                            pc.add(
+                                pc.multiply(t["v_c"].combine_chunks(), pa.scalar(20000, pa.int64())),
+                                t["n"].cast(pa.int64()).combine_chunks(),
+                            ),
+                            pc.multiply(t["n"].cast(pa.int64()).combine_chunks(), pa.scalar(2, pa.int64())),
+                        ),
+                        1_000_000,
+                    ),
+                }
+            ),
             batch_format="pyarrow",
         )
     )
@@ -743,10 +889,11 @@ def q42_hopping_window(sf_dir: str) -> rd.Dataset:
         es = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))  # epoch sec
         s1 = pc.multiply(pc.divide(es, pa.scalar(HOP_SEC)), pa.scalar(HOP_SEC))
         s0 = pc.subtract(s1, pa.scalar(HOP_SEC))
+        v_m = _fixed(t["value"], 1000)
         return pa.concat_tables(
             [
-                pa.table({"window_start": s0, "value": t["value"]}),
-                pa.table({"window_start": s1, "value": t["value"]}),
+                pa.table({"window_start": s0, "v_m": v_m}),
+                pa.table({"window_start": s1, "v_m": v_m}),
             ]
         )
 
@@ -754,8 +901,17 @@ def q42_hopping_window(sf_dir: str) -> rd.Dataset:
         _read(sf_dir, "events", ["ts", "value"])
         .map_batches(explode, batch_format="pyarrow")
         .groupby("window_start")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .map_batches(lambda t: _round_cols(t, {"sum_value": 3}), batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_events"), Sum("v_m", alias_name="v_m"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "window_start": t["window_start"],
+                    "n_events": t["n_events"],
+                    "sum_value": _unscale(t["v_m"], 1000),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -787,7 +943,7 @@ def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
             ok = t["o_custkey"].to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    "o_totalprice": t["o_totalprice"],
+                    "tp_c": _fixed(t["o_totalprice"], 100),
                     "r_name": pa.array(rn[np.searchsorted(keys, ok)], pa.string()),
                 }
             )
@@ -805,7 +961,7 @@ def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
             m = bget(ref)
             return pa.table(
                 {
-                    "o_totalprice": t["o_totalprice"],
+                    "tp_c": _fixed(t["o_totalprice"], 100),
                     "r_name": pa.array(
                         [m[nk] for nk in t["c_nationkey"].to_pylist()], pa.string()
                     ),
@@ -816,8 +972,17 @@ def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
 
     return (
         tagged.groupby("r_name")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
-        .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+        .aggregate(Sum("tp_c", alias_name="tp_c"), Count(alias_name="n_orders"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "r_name": t["r_name"],
+                    "revenue": _unscale(t["tp_c"], 100),
+                    "n_orders": t["n_orders"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -828,7 +993,16 @@ def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
 # below the key limit): lineitem ⋈ part, rolled up by p_type.
 # ---------------------------------------------------------------------------
 def q44_parts_rollup(sf_dir: str) -> rd.Dataset:
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty_c": _fixed(t["l_quantity"], 100),
+                "ext_c": _fixed(t["l_extendedprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     joined = li.join(
         part, join_type="inner", num_partitions=_NPART,
@@ -837,12 +1011,20 @@ def q44_parts_rollup(sf_dir: str) -> rd.Dataset:
     return (
         joined.groupby("p_type")
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="revenue"),
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("ext_c", alias_name="ext_c"),
             Count(alias_name="n_items"),
         )
         .map_batches(
-            lambda t: _round_cols(t, {"sum_qty": 2, "revenue": 2}), batch_format="pyarrow"
+            lambda t: pa.table(
+                {
+                    "p_type": t["p_type"],
+                    "sum_qty": _unscale(t["qty_c"], 100),
+                    "revenue": _unscale(t["ext_c"], 100),
+                    "n_items": t["n_items"],
+                }
+            ),
+            batch_format="pyarrow",
         )
     )
 
@@ -864,19 +1046,32 @@ def q45_supplier_volume(sf_dir: str) -> rd.Dataset:
 
     def tag(t: pa.Table) -> pa.Table:
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        rev = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        # revenue in 1e-4 units: ext_cents * (100 - disc_cents)
+        rev4 = pc.multiply(
+            _fixed(t["l_extendedprice"], 100),
+            pc.subtract(pa.scalar(100, pa.int64()), _fixed(t["l_discount"], 100)),
         )
         return pa.table(
-            {"s_name": pa.array(bget(ref)[sk], pa.string()), "rev": rev}
+            {"s_name": pa.array(bget(ref)[sk], pa.string()), "rev4": rev4}
         )
 
     return (
         _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("s_name")
-        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
-        .map_batches(lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow")
+        .aggregate(Sum("rev4", alias_name="rev4"), Count(alias_name="n_items"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "s_name": t["s_name"],
+                    "revenue": _unscale(
+                        _div_round_half_up(t["rev4"].combine_chunks(), 100), 100
+                    ),
+                    "n_items": t["n_items"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
