@@ -402,8 +402,14 @@ def oracle_sql() -> dict[str, str]:
         # SQL-expressible (jaccard over distinct word-trigram sets;
         # shorter-than-3-token docs hash the whole text as one gram,
         # mirroring _shingle_hashes).
+        # jaccard rounding mirrors dedup._round6_half_up exactly
+        # (floor(x*1e6+0.5)/1e6): the ratio is an exact small-int
+        # rational, so 7th-decimal ties are real and round()'s tie
+        # conventions differ between numpy/Python and DuckDB
         "q17_minhash_dedup": _JACCARD_CTE + """
-            SELECT a, b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            SELECT a, b,
+                   floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000 + 0.5)
+                       / 1000000.0 AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = a
                        JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7

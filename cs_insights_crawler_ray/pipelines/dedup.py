@@ -119,6 +119,18 @@ def _batch_gram_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.uint64), counts
 
 
+
+def _round6_half_up(x: float) -> float:
+    """Half-away-from-zero rounding to 6 decimals for NON-NEGATIVE x,
+    mirrored exactly by the SQL oracle's floor(x*1e6 + 0.5)/1e6:
+    jaccard is an exact small-integer ratio, so ties like 101/128 =
+    0.7890625 are real — Python's banker's round() and DuckDB's
+    half-away round() disagree on them (same flake class as the
+    float-sum order issue fixed in relational.py)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
 def ngram_jaccard(a: str, b: str, n: int = _SHINGLE_N) -> float:
     sa = set(_shingle_hashes(a, n).tolist())
     sb = set(_shingle_hashes(b, n).tolist())
@@ -364,7 +376,7 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         def verify_b(bt: pd.DataFrame) -> pd.DataFrame:
             lut = bget(text_ref)
             jac = [
-                round(ngram_jaccard(lut[a], lut[b]), 6)
+                _round6_half_up(ngram_jaccard(lut[a], lut[b]))
                 for a, b in zip(bt["a"], bt["b"])
             ]
             out = pd.DataFrame({"a": bt["a"], "b": bt["b"], "jaccard": jac})
@@ -386,7 +398,7 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
 
     def verify(bt: pd.DataFrame) -> pd.DataFrame:
         jac = [
-            round(ngram_jaccard(x, y), 6) for x, y in zip(bt["text_a"], bt["text_b"])
+            _round6_half_up(ngram_jaccard(x, y)) for x, y in zip(bt["text_a"], bt["text_b"])
         ]
         out = pd.DataFrame({"a": bt["a"], "b": bt["b"], "jaccard": jac})
         return out[out["jaccard"] >= threshold]
