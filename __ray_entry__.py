@@ -472,8 +472,12 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
+        # CAST to DOUBLE[] so DuckDB's cosine runs in float64 like the
+        # numpy kernel, as q23b does (ADVICE r02: float32-list
+        # arithmetic can flip the rank of near-tied neighbors)
         "q39_payload_ann": f"""
-            WITH p AS (SELECT image_id, embedding
+            WITH p AS (SELECT image_id,
+                              CAST(embedding AS DOUBLE[]) AS embedding
                        FROM read_parquet('{_crawl_payload_glob()}')),
             q AS (SELECT image_id AS query_id, embedding AS qe
                   FROM p ORDER BY image_id LIMIT 3),

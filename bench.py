@@ -34,6 +34,24 @@ def run_bench() -> dict:
     # would triple the wall time without adding evidence
     only_crawl = os.environ.get("GRAFT_BENCH_ONLY") == "crawl"
 
+    # ---- embed the 4v16 scaling pair FIRST (VERDICT r02 #2) ---------
+    # Run before the parent session's headline + queries heat the VM:
+    # the recorded scaling_efficiency must stand on its own, and the
+    # calm-VM draws happen at the start of the invocation, not after
+    # ~10 min of full-load benching.  Children set GRAFT_SCALING_CHILD;
+    # disable with GRAFT_EMBED_SCALING=0.
+    scaling = None
+    if (
+        os.environ.get("GRAFT_SCALING_CHILD") != "1"
+        and os.environ.get("GRAFT_EMBED_SCALING", "1") != "0"
+    ):
+        try:
+            scaling = run_scaling(4, 16)
+        except Exception as e:  # noqa: BLE001 - the headline numbers
+            # must survive a scaling-child failure; the standalone
+            # --scaling path still raises loudly
+            scaling = {"error": f"{type(e).__name__}: {e}"}
+
     import ray
 
     ray.init(
@@ -149,21 +167,6 @@ def run_bench() -> dict:
 
     ray.shutdown()
 
-    # ---- embed the 4v16 scaling pair (VERDICT r01 #10) --------------
-    # Runs once in the top-level invocation only (children set
-    # GRAFT_SCALING_CHILD); disable with GRAFT_EMBED_SCALING=0.
-    scaling = None
-    if (
-        os.environ.get("GRAFT_SCALING_CHILD") != "1"
-        and os.environ.get("GRAFT_EMBED_SCALING", "1") != "0"
-    ):
-        try:
-            scaling = run_scaling(4, 16)
-        except Exception as e:  # noqa: BLE001 - the headline numbers
-            # must survive a scaling-child failure; the standalone
-            # --scaling path still raises loudly
-            scaling = {"error": f"{type(e).__name__}: {e}"}
-
     return {
         "metric": "crawl fetch+ingest wall time (headline) + per-query sec",
         "value": results["crawl"],
@@ -238,8 +241,8 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     Also reports the no-Ray hardware-ceiling control so engine
     scaling can be read independently of the platform's own limits.
 
-    Each level runs up to GRAFT_SCALING_REPEATS times (default 2)
-    within a GRAFT_SCALING_BUDGET wall budget (default 600s) and the
+    Each level runs up to GRAFT_SCALING_REPEATS times (default 3)
+    within a GRAFT_SCALING_BUDGET wall budget (default 900s) and the
     MIN time per level is used: on a shared VM, external interference
     only ever ADDS wall time, so the per-level minimum is the best
     estimator of the engine's true cost — single draws measured
@@ -259,8 +262,8 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    budget = float(os.environ.get("GRAFT_SCALING_BUDGET", "360"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    budget = float(os.environ.get("GRAFT_SCALING_BUDGET", "900"))
     t_start = time.perf_counter()
     draws_lo: list[dict] = []
     draws_hi: list[dict] = []

@@ -17,7 +17,14 @@ import re
 import numpy as np
 import pandas as pd
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII classes pinned EXPLICITLY (ADVICE r02): the SQL oracles run
+# DuckDB/RE2 where \w = [0-9A-Za-z_] and \s = [\t\n\f\r ], while
+# Python's re defaults to Unicode (\w matches é/汉, \s matches \x0b
+# and U+00A0).  The kernels must tokenize identically on NON-ASCII
+# text too, so the classes are spelled out rather than relying on a
+# documents-are-ASCII invariant.
+_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
+_ASCII_SPACE = "\t\n\f\r "  # RE2's \s
 
 # Tiny per-language stopword profiles for the n-gram/stopword
 # heuristic language ID — public-knowledge word lists.
@@ -39,7 +46,7 @@ def token_counts(texts: pd.Series) -> pd.Series:
     are token separators on both sides (DuckDB ``trim()`` only strips
     spaces, so the previous trim+split formulation diverged on
     tab/newline-padded documents)."""
-    return texts.str.count(r"\S+").astype("int64")
+    return texts.str.count(rf"[^{_ASCII_SPACE}]+").astype("int64")
 
 
 def bpe_ish_token_counts(texts: pd.Series) -> pd.Series:
@@ -68,7 +75,7 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     n_words = words.str.len().clip(lower=1)
     stop = _LANG_PROFILES["en"]
     stop_ratio = words.map(lambda ws: sum(w in stop for w in ws)) / n_words
-    punct = texts.str.count(r"[^\w\s]").astype("int64")
+    punct = texts.str.count(rf"[^0-9A-Za-z_{_ASCII_SPACE}]").astype("int64")
     mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
     return pd.DataFrame(
         {

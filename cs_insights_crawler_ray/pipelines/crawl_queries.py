@@ -131,7 +131,13 @@ def q39_payload_ann(sf_dir: str, k: int = 5, n_queries: int = 3) -> pd.DataFrame
             if keep.size == 0:
                 continue
             kk = min(k, keep.size)
-            top = keep[np.argpartition(-cos[keep, qi], kk - 1)[:kk]]
+            # deterministic partial top-k (ADVICE r02): argpartition
+            # drops cos-TIED candidates arbitrarily — break ties by
+            # (cos desc, neighbor_id asc) via two stable mergesorts so
+            # near-tied neighbors can't flip between kernel and oracle
+            sec = np.argsort(vid[keep], kind="mergesort")
+            prim = np.argsort(-cos[keep][sec, qi], kind="mergesort")
+            top = keep[sec[prim][:kk]]
             parts.append(
                 pd.DataFrame({"query_id": qid, "neighbor_id": vid[top], "cos": cos[top, qi]})
             )

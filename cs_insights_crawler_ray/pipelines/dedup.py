@@ -750,10 +750,11 @@ def connected_components(pairs: rd.Dataset | pa.Table, max_iters: int = 50) -> r
     )
 
 
-def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     """End-to-end dedup: MinHash-LSH candidates -> exact verification
     -> connected components -> (doc_id, group_id) canonical-dup
-    assignment (rows-only oracle; component semantics tested against
-    hand-built graphs in tests/test_dedup.py)."""
+    assignment.  SQL-oracled (WITH RECURSIVE min-label propagation in
+    __ray_entry__); component semantics additionally tested against
+    hand-built graphs in tests/test_dedup.py."""
     verified = q17_minhash_dedup(sf_dir, threshold)
     return connected_components(verified)

@@ -150,10 +150,18 @@ def _merge_meta_broadcast(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
     win wholesale (the reference's {**extra, **doc}); in the reference
     data papers/metadata fields are disjoint except the join key."""
     fields = _meta_fields(meta)
+    # vectorized LUT build (ADVICE r02: iterrows() was a per-row driver
+    # loop over up to BROADCAST_META_ROW_LIMIT rows); dict insertion
+    # order preserves the reference's last-wins on duplicate corpusids
     lut: dict = {}
     for bt in meta.iter_batches(batch_format="pandas"):
-        for _, r in bt.iterrows():
-            lut[r["corpusid"]] = {f: r.get(f) for f in fields}
+        # within-batch last + across-batch dict.update = global last-wins
+        # (to_dict('index') requires a unique index)
+        lut.update(
+            bt.drop_duplicates("corpusid", keep="last")
+            .set_index("corpusid")[fields]
+            .to_dict("index")
+        )
     ref = ray.put(lut)
 
     def merge_bc(b: pd.DataFrame) -> pd.DataFrame:
@@ -202,7 +210,11 @@ def _merge_meta_shuffle(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
         )
         if not new_fields:
             return p
-        m = g[g["_side"] == "m"]
+        # last-wins on duplicate metadata corpusids (ADVICE r02: a left
+        # merge would emit one row per duplicate, diverging from the
+        # broadcast path's dict semantics and the reference's
+        # d[corpusid].update() last-writer-wins, s2processor.py:114-118)
+        m = g[g["_side"] == "m"].drop_duplicates("corpusid", keep="last")
         return p.merge(m[["corpusid"] + new_fields], on="corpusid", how="left")
 
     # union requires aligned schemas: give each side the other's

@@ -545,7 +545,16 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         def add_nation_bc(t: pa.Table) -> pa.Table:
             keys, nat, nm = bget(ref)
             ok = t["o_custkey"].to_numpy(zero_copy_only=False)
-            nk = nat[np.searchsorted(keys, ok)]
+            idx = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+            # FK guard (ADVICE r02): a custkey absent from customer
+            # must fail loudly, not silently pick a neighboring
+            # customer's nation
+            if not np.array_equal(keys[idx], ok):
+                raise KeyError(
+                    "q21: o_custkey not found in customer dimension "
+                    "(broken FK) — refusing to mis-attribute revenue"
+                )
+            nk = nat[idx]
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
@@ -941,10 +950,16 @@ def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
         def add_region(t: pa.Table) -> pa.Table:
             keys, rn = bget(ref)
             ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+            if not np.array_equal(keys[idx], ok):  # FK guard (ADVICE r02)
+                raise KeyError(
+                    "q43: o_custkey not found in customer dimension "
+                    "(broken FK) — refusing to mis-attribute revenue"
+                )
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
-                    "r_name": pa.array(rn[np.searchsorted(keys, ok)], pa.string()),
+                    "r_name": pa.array(rn[idx], pa.string()),
                 }
             )
 
