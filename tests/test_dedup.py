@@ -174,3 +174,82 @@ def test_star_bucket_cap_preserves_connectivity():
         __import__("pyarrow").Table.from_pandas(pairs)
     ).to_pandas()
     assert (got["group_id"] == 0).all()           # one component, min id 0
+
+
+def test_popcount64_matches_bin():
+    rng = np.random.Generator(np.random.PCG64(4))
+    xs = rng.integers(0, 1 << 63, size=500, dtype=np.uint64)
+    xs[0] = 0; xs[1] = np.uint64((1 << 64) - 1)
+    got = dedup._popcount64(xs)
+    want = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == want
+
+
+def test_hamming_star_cap_big_bucket_fast():
+    """VERDICT r02 #3: a 10k-row identical-phash bucket must complete
+    in seconds (star pairs), not emit ~50M combinations."""
+    import time
+
+    n = 10_000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "img": pa.array([f"i{k:06d}" for k in range(n)], pa.string()),
+                "ph": pa.array([12345] * n, pa.int64()),
+            }
+        )
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.hamming_near_dup_pairs(
+        ds, "img", "ph", max_hamming=3, id_dtype="object"
+    ).to_pandas()
+    assert time.perf_counter() - t0 < 60
+    # star: min-id x each other member, deduped across the 4 bands
+    assert len(pairs) == n - 1
+    assert (pairs["a"] == "i000000").all()
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_hamming_vectorized_matches_naive_all_pairs():
+    """star_cap=None = exact all-pairs listing; cross-check the numpy
+    XOR+popcount kernel against a scalar recompute."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    base = int(rng.integers(0, 1 << 62))
+    hashes = [base]
+    for _ in range(39):
+        h = base
+        for b in rng.choice(64, size=int(rng.integers(0, 6)), replace=False):
+            h ^= 1 << int(b)
+        hashes.append(h)
+    sh = [h - (1 << 64) if h >= 1 << 63 else h for h in hashes]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(sh)), pa.int64()),
+                  "phash": pa.array(sh, pa.int64())})
+    )
+    got = dedup.hamming_near_dup_pairs(ds, "doc_id", "phash", max_hamming=3,
+                                       star_cap=None).to_pandas()
+    got_set = {(a, b, d) for a, b, d in zip(got["a"], got["b"], got["hamming"])}
+    want = set()
+    banded = [(h >> (16 * k)) & 0xFFFF for h in hashes for k in range(4)]
+    for i, j in itertools.combinations(range(len(hashes)), 2):
+        d = bin(hashes[i] ^ hashes[j]).count("1")
+        share = any(
+            ((hashes[i] >> (16 * k)) & 0xFFFF) == ((hashes[j] >> (16 * k)) & 0xFFFF)
+            for k in range(4)
+        )
+        if d <= 3 and share:
+            want.add((i, j, d))
+    assert got_set == want and want  # fixture must produce pairs
+
+
+def test_pair_jaccards_bit_identical_to_scalar():
+    rng = np.random.Generator(np.random.PCG64(31))
+    texts = {i: " ".join(rng.choice(WORDS, size=int(k)))
+             for i, k in enumerate(list(rng.integers(0, 50, 30)) + [0, 1, 2])}
+    ids = list(texts)
+    a_ids = [ids[int(i)] for i in rng.integers(0, len(ids), 80)]
+    b_ids = [ids[int(i)] for i in rng.integers(0, len(ids), 80)]
+    got = dedup._pair_jaccards(a_ids, b_ids, texts)
+    want = [dedup._round6_half_up(dedup.ngram_jaccard(texts[x], texts[y]))
+            for x, y in zip(a_ids, b_ids)]
+    assert got.tolist() == want
