@@ -51,9 +51,11 @@ def token_counts(texts: pd.Series) -> pd.Series:
 
 def bpe_ish_token_counts(texts: pd.Series) -> pd.Series:
     """Sub-word-ish token count: words + digits + punctuation runs via
-    a GPT-2-style pre-tokenizer regex (public pattern family). Not
-    SQL-expressible — rows-only oracle."""
-    pat = re.compile(r"\w+|[^\w\s]+")
+    a GPT-2-style pre-tokenizer regex (public pattern family), ASCII
+    classes pinned like _WORD_RE.  Not SQL-expressible — the driver
+    oracle is an independent hand-rolled character scanner
+    (pipelines/oracle_artifacts._naive_bpeish_count)."""
+    pat = re.compile(rf"[0-9A-Za-z_]+|[^0-9A-Za-z_{_ASCII_SPACE}]+")
     return texts.map(lambda s: len(pat.findall(s))).astype("int64")
 
 

@@ -250,6 +250,51 @@ def q41_ivf_ann(sf_dir: str, n_centroids: int = 64, nprobe: int = 8) -> pa.Table
     )
 
 
+def _ann_recall_counter(sf_dir: str, ann_table: pa.Table, kind: str) -> pa.Table:
+    """Driver-checkable recall counters for an approximate ANN result
+    (VERDICT r02 next-round #1): write the candidate (qid, vec_id)
+    rows to a deterministic parquet, compute the BRUTE top-k
+    in-pipeline (the q15 kernel, itself SQL-oracle-green), and return
+    per-query (n_cand, n_hit).  The oracle SQL recomputes brute
+    INDEPENDENTLY via list_cosine_similarity and joins the parquet —
+    so the counters are a genuine numpy-vs-SQL cross-check of both the
+    approximate candidate set and its recall accounting."""
+    from .oracle_artifacts import write_atomic
+
+    write_atomic(ann_table.select(["qid", "vec_id"]), kind, sf_dir)
+    brute = q15_ann_brute(sf_dir)
+    bset = set(zip(brute["qid"].to_pylist(), brute["vec_id"].to_pylist()))
+    a_q = ann_table["qid"].to_pylist()
+    a_v = ann_table["vec_id"].to_pylist()
+    qids = sorted({q for q, _ in bset} | set(a_q))
+    n_cand = {q: 0 for q in qids}
+    n_hit = {q: 0 for q in qids}
+    for q, v in zip(a_q, a_v):
+        n_cand[q] += 1
+        if (q, v) in bset:
+            n_hit[q] += 1
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "n_cand": pa.array([n_cand[q] for q in qids], pa.int64()),
+            "n_hit": pa.array([n_hit[q] for q in qids], pa.int64()),
+        }
+    )
+
+
+def q16_lsh_recall(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
+    """q16's driver entry: hyperplane-LSH ANN -> recall counters vs
+    brute (see _ann_recall_counter)."""
+    return _ann_recall_counter(sf_dir, q16_lsh_ann(sf_dir, bits, slack), "q16_lsh")
+
+
+def q41_ivf_recall(sf_dir: str, n_centroids: int = 64, nprobe: int = 8) -> pa.Table:
+    """q41's driver entry: IVF-flat ANN -> recall counters vs brute."""
+    return _ann_recall_counter(
+        sf_dir, q41_ivf_ann(sf_dir, n_centroids, nprobe), "q41_ivf"
+    )
+
+
 def q16_lsh_ann(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
     qids, qmat = _load_queries(sf_dir)
     rng = np.random.Generator(np.random.PCG64(7))

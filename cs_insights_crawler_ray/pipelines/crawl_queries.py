@@ -49,20 +49,34 @@ def _out_dir(sf_dir: str) -> str:
 
 
 def q30_crawl_order(sf_dir: str) -> pd.DataFrame:
-    """The deterministic crawl-order log (fetch_seq, url, depth, status)."""
+    """The PARALLEL engine's crawl-order log (fetch_seq, url_canon,
+    depth, status).  Driver oracle: the sequential reference-semantics
+    simulator (pipelines/oracle_sim.py — independent execution
+    machinery) replays the identical config and writes ITS order log
+    to parquet (oracle_artifacts 'sim_order'); the SQL side reads that,
+    so the driver value-hashes parallel-vs-serial crawl ordering —
+    the north-star invariant, now driver-checked, not just pytest."""
+    from .oracle_artifacts import ensure
+
+    ensure("sim_order", sf_dir)
     return read_crawl_log(_out_dir(sf_dir))
 
 
 def q31_crawl_payload(sf_dir: str) -> pd.DataFrame:
-    """The ingested payload table (input_hint schema) minus raw bytes."""
-    df = pq.read_table(f"{_out_dir(sf_dir)}/payload").to_pandas()
-    if "wave" in df.columns:
-        df = df.drop(columns=["wave"])
-    return (
-        df.drop(columns=["bytes"])
-        .sort_values("image_id")
-        .reset_index(drop=True)
-    )
+    """The ingested payload table, projected to the input_hint schema
+    minus raw bytes.  Driver oracle: the sequential simulator's payload
+    table (oracle_artifacts 'sim_payload') — decoded w/h/fmt, caption
+    equality and phash value-hashed parallel-vs-serial.  The extra
+    feature/embedding columns the engine also lands are exercised by
+    q32/q39 and pytest."""
+    from .oracle_artifacts import ensure
+
+    ensure("sim_payload", sf_dir)
+    df = pq.read_table(
+        f"{_out_dir(sf_dir)}/payload",
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    ).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
 
 
 def q32_payload_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:

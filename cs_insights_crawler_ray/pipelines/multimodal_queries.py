@@ -72,7 +72,15 @@ def _video_table(n: int, seed: int = 78) -> pa.Table:
 def q36_audio_features(sf_dir: str) -> pd.DataFrame:
     """Audio decode + feature extraction over a deterministic clip
     table (binary payloads with typed metadata -> per-clip features).
-    Small batch_size: encoded audio bytes dominate block size."""
+    Small batch_size: encoded audio bytes dominate block size.
+    Driver oracle: the same fixture run through the stage STRICTLY
+    SEQUENTIALLY in one process (oracle_artifacts 'audio_seq') —
+    execution parity: verifies Ray batching drops/duplicates/mangles
+    nothing; the feature math itself is pytest-held
+    (tests/test_dblp_multimodal.py)."""
+    from ..pipelines.oracle_artifacts import ensure
+
+    ensure("audio_seq", sf_dir)
     ds = rd.from_arrow(_audio_table(_n_for(sf_dir)))
     return (
         ds.map_batches(mm.audio_features_stage, batch_format="pyarrow", batch_size=16)
@@ -84,7 +92,11 @@ def q36_audio_features(sf_dir: str) -> pd.DataFrame:
 
 def q37_video_frame_phashes(sf_dir: str) -> pd.DataFrame:
     """Video frame-sampling + per-frame phash (flat_map shape: one row
-    per sampled frame)."""
+    per sampled frame).  Driver oracle: sequential single-process run
+    of the same stage (oracle_artifacts 'video_seq') — see q36."""
+    from ..pipelines.oracle_artifacts import ensure
+
+    ensure("video_seq", sf_dir)
     ds = rd.from_arrow(_video_table(_n_for(sf_dir)))
     return (
         ds.map_batches(

@@ -1,0 +1,240 @@
+"""Self-sufficient oracle artifacts for the driver's SQL checks.
+
+The driver compares each ``queries()`` result against ``oracle_sql()``
+run in DuckDB.  For operators whose reference values SQL cannot
+compute directly (the crawl scheduler, sketch kernels, stub-codec
+stages), the q32/q39 pattern generalizes (VERDICT r02 next-round #1):
+an INDEPENDENT implementation writes its result to a deterministic
+/tmp parquet and the oracle SQL reads THAT parquet, so the driver's
+rows+schema+value-hash compare becomes a genuine cross-implementation
+check instead of a pytest-only parity assertion.
+
+Independence per artifact kind:
+
+- ``sim`` (q30/q31): the sequential reference-semantics simulator
+  (pipelines/oracle_sim.py — lists, dicts, one serial loop; shares
+  only the pure-function layer with the engine) replays the exact
+  crawl config and writes its order log + payload table.  The Ray
+  side returns the PARALLEL engine's artifacts; the driver hashes the
+  two against each other.
+- ``naive_text`` (q20/q22): pure-Python-int re-derivations of the
+  fingerprint / simhash / BPE-ish-token kernels (no numpy — catches
+  uint64-wraparound and dtype bugs in the vectorized paths), looped
+  per document.
+- ``media_seq`` (q36/q37): the audio/video fixture tables run through
+  the SAME pure stage functions but strictly sequentially in one
+  process — execution parity (the crawl-parity philosophy): the value
+  math is shared, what the compare verifies is that Ray's batching/
+  scheduling neither drops, duplicates, nor mangles rows.  The value
+  math itself is covered by the codec round-trip + feature-sanity
+  tests in tests/test_dblp_multimodal.py.
+- ANN candidate tables (q16/q41/q23): written by the query callables
+  themselves; the oracle recomputes the BRUTE side in SQL and joins,
+  so the recall counters are cross-checked end to end.
+
+Writes are atomic (tmp file + rename) so a concurrently-running
+DuckDB read never sees a partial parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_VERSION = "v1"  # bump when any builder's semantics change
+
+
+def _sf_name(sf_dir: str) -> str:
+    return Path(sf_dir).name or "sf0.01"
+
+
+def _root(sf: str) -> Path:
+    return Path(f"/tmp/ciq_oracle_{_VERSION}_{sf}")
+
+
+def artifact_path(kind: str, sf: str) -> str:
+    """The deterministic parquet location for (kind, sf)."""
+    return str(_root(sf) / f"{kind}.parquet")
+
+
+def write_atomic(table: pa.Table, kind: str, sf_dir: str) -> str:
+    """Write an artifact parquet atomically; returns its path."""
+    sf = _sf_name(sf_dir)
+    root = _root(sf)
+    root.mkdir(parents=True, exist_ok=True)
+    final = root / f"{kind}.parquet"
+    tmp = root / f".{kind}.parquet.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return str(final)
+
+
+def oracle_glob(kind: str) -> str:
+    """Path embedded into an oracle_sql() string — resolved from the
+    GRAFT_ORACLE_SF env (driver compares at sf0.01; tests override).
+    If the artifact is missing when the string is built (oracle
+    evaluated before the Ray query ran), build it best-effort here so
+    the SQL side is self-sufficient — mirroring _crawl_payload_glob."""
+    sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
+    path = Path(artifact_path(kind, sf))
+    if not path.exists():
+        try:
+            ensure(kind, f"/root/testdata/{sf}")
+        except Exception:
+            pass  # the queries() callable builds it anyway
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+def ensure(kind: str, sf_dir: str) -> str:
+    """Build the artifact for (kind, sf_dir) if absent; returns path.
+    The ANN kinds build by running their recall query (requires a live
+    Ray session, which the driver always has)."""
+    path = Path(artifact_path(kind, _sf_name(sf_dir)))
+    if path.exists():
+        return str(path)
+    builder = _BUILDERS.get(kind)
+    if builder is None:
+        raise FileNotFoundError(
+            f"oracle artifact '{kind}' is written by its queries() callable; "
+            "run the query first"
+        )
+    builder(sf_dir)
+    if not path.exists():
+        raise RuntimeError(f"builder for '{kind}' did not produce {path}")
+    return str(path)
+
+
+def _build_sim(sf_dir: str) -> None:
+    """q30/q31: serial simulator replay of the exact crawl config."""
+    from .crawl_queries import _cfg_for
+    from .oracle_sim import simulate
+
+    res = simulate(_cfg_for(sf_dir))
+    order = pa.table(
+        {
+            "fetch_seq": pa.array([r[0] for r in res.crawl_log], pa.int64()),
+            "url_canon": pa.array([r[1] for r in res.crawl_log], pa.string()),
+            "depth": pa.array([r[2] for r in res.crawl_log], pa.int32()),
+            "status": pa.array([r[3] for r in res.crawl_log], pa.string()),
+        }
+    )
+    rows = sorted(res.payload.values(), key=lambda r: r["image_id"])
+    payload = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+        }
+    )
+    write_atomic(order, "sim_order", sf_dir)
+    write_atomic(payload, "sim_payload", sf_dir)
+
+
+def _naive_bpeish_count(s: str) -> int:
+    """BPE-ish token count re-derived with a hand-rolled character
+    scanner (no regex): runs of ASCII word chars, runs of non-word
+    non-space chars — the spec of functions/text.bpe_ish_token_counts'
+    pattern, implemented independently."""
+    word = set("0123456789_abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    space = set("\t\n\f\r ")
+    n = 0
+    prev: str | None = None
+    for ch in s:
+        if ch in space:
+            prev = None
+            continue
+        cls = "w" if ch in word else "p"
+        if cls != prev:
+            n += 1
+        prev = cls
+    return n
+
+
+def _build_naive_text(sf_dir: str) -> None:
+    """q20/q22: pure-Python-int re-derivations per document."""
+    from .textops import _naive_fingerprint64, _naive_simhash64
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    write_atomic(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fingerprint": pa.array(
+                    [_naive_fingerprint64(t) for t in texts], pa.int64()
+                ),
+                "n_bpeish_tokens": pa.array(
+                    [_naive_bpeish_count(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        "naive_fingerprint",
+        sf_dir,
+    )
+    write_atomic(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array([_naive_simhash64(t) for t in texts], pa.int64()),
+            }
+        ),
+        "naive_simhash",
+        sf_dir,
+    )
+
+
+def _build_media_seq(sf_dir: str) -> None:
+    """q36/q37: fixture tables through the pure stage fns, serially."""
+    from ..stages.multimodal import audio_features_stage, video_frame_sample_stage
+    from .multimodal_queries import _audio_table, _n_for, _video_table
+
+    n = _n_for(sf_dir)
+    write_atomic(audio_features_stage(_audio_table(n)), "audio_seq", sf_dir)
+    write_atomic(
+        video_frame_sample_stage(_video_table(n)), "video_seq", sf_dir
+    )
+
+
+def _build_q16(sf_dir: str) -> None:
+    """Oracle-first path: the recall query writes the artifact as a
+    side effect (needs a live Ray session — the driver has one)."""
+    from .ann import q16_lsh_recall
+
+    q16_lsh_recall(sf_dir)
+
+
+def _build_q41(sf_dir: str) -> None:
+    from .ann import q41_ivf_recall
+
+    q41_ivf_recall(sf_dir)
+
+
+def _build_q23(sf_dir: str) -> None:
+    from .dedup import q23_embedding_neardup_recall
+
+    q23_embedding_neardup_recall(sf_dir)
+
+
+_BUILDERS = {
+    "sim_order": _build_sim,
+    "sim_payload": _build_sim,
+    "naive_fingerprint": _build_naive_text,
+    "naive_simhash": _build_naive_text,
+    "audio_seq": _build_media_seq,
+    "video_seq": _build_media_seq,
+    "q16_lsh": _build_q16,
+    "q41_ivf": _build_q41,
+    "q23_lsh": _build_q23,
+}

@@ -69,8 +69,14 @@ def q19_lang_id(sf_dir: str) -> rd.Dataset:
 
 
 def q20_fingerprint(sf_dir: str) -> rd.Dataset:
-    """Winnowing-style rolling-hash fingerprint per document
-    (rows-only oracle; q20p holds the agreement check)."""
+    """Winnowing-style rolling-hash fingerprint per document.
+    Driver oracle: a pure-Python-int re-derivation of both columns
+    written to parquet (oracle_artifacts 'naive_fingerprint') that the
+    SQL side reads — full per-row value cross-check, superseding the
+    q20p counter as the rows-only fallback."""
+    from .oracle_artifacts import ensure
+
+    ensure("naive_fingerprint", sf_dir)
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
