@@ -46,6 +46,32 @@ def _article(doc_id: int, lang: str, text: str) -> ET.Element:
     return el
 
 
+# Fixture DTD matching _article's shape — exercises parameter-entity
+# expansion, ATTLIST defaults, and #PCDATA models in the validator
+# (mirrors the grammar family of the public dblp.dtd the reference
+# downloads beside each release, dblpclient.py:421-435).
+FIXTURE_DTD = """\
+<!-- fixture dblp.dtd (subset) -->
+<!ENTITY % field "author|title|year|ee">
+<!ELEMENT dblp (article)*>
+<!ELEMENT article (%field;)*>
+<!ELEMENT author (#PCDATA)>
+<!ELEMENT title (#PCDATA)>
+<!ELEMENT year (#PCDATA)>
+<!ELEMENT ee (#PCDATA)>
+<!ATTLIST article key CDATA #REQUIRED mdate CDATA #IMPLIED
+          publtype CDATA #IMPLIED>
+<!ATTLIST ee type CDATA #IMPLIED>
+"""
+
+
+def write_dblp_dtd(out_dir: str) -> str:
+    p = Path(out_dir) / "dblp.dtd"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(FIXTURE_DTD)
+    return str(p)
+
+
 def write_dblp_xml_from_documents(
     sf_dir: str, out_dir: str, shards: int = 4
 ) -> list[str]:
@@ -68,4 +94,5 @@ def write_dblp_xml_from_documents(
         with gzip.open(p, "wb") as f:
             f.write(ET.tostring(root, encoding="utf-8", xml_declaration=True))
         paths.append(str(p))
+    write_dblp_dtd(out_dir)  # the .dtd beside the shards, like a release
     return paths

@@ -26,10 +26,12 @@ xml.gz shard through stdlib ``xml.etree.ElementTree.iterparse`` (one
 flat_map task per shard, elements cleared as they complete so memory
 stays bounded by one element, not the tree) and emits one normalized
 row per depth-1 element in the post-xmltodict shape the filter chain
-consumes.  Only DTD VALIDATION (reference dblpclient.py:477) remains
-stubbed behind ``validate_dtd=True`` — stdlib etree cannot validate
-against a DTD; with lxml installed it becomes a per-worker
-``lxml.etree.XMLParser(dtd_validation=True)`` in the same flat_map.
+consumes.  DTD VALIDATION (reference dblpclient.py:477) is real: a pure-Python
+subset validator (functions/dtd.py — parameter entities, element/
+attribute allow-lists, EMPTY/#PCDATA flags) checks every element and
+routes violations to a quarantine poison column instead of crashing;
+with lxml installed, ``lxml.etree.XMLParser(dtd_validation=True)`` is
+the drop-in per-worker replacement in the same flat_map.
 """
 
 from __future__ import annotations
@@ -89,18 +91,27 @@ def _elem_to_row(el: ET.Element) -> dict:
     return row
 
 
-def _parse_shard(path: str) -> list[dict]:
+def _parse_shard(path: str, schema=None) -> list[dict]:
     """Stream one xml.gz shard: iterparse end-events, emit depth-1
     elements, clear each element after use (bounded memory — the whole
     point of iterparse vs the reference's whole-tree xmltodict parse,
-    dblpclient.py:481)."""
+    dblpclient.py:481).  With a DTD schema, each element is validated
+    BEFORE clearing and the row carries ``_dtd_error`` (None = valid)
+    — schema violations are poison rows routed to a quarantine sink,
+    never crashes (SURVEY.md §2 S9)."""
+    from ..functions.dtd import validate_element
+
     rows: list[dict] = []
     with gzip.open(path, "rb") as f:
         it = ET.iterparse(f, events=("start", "end"))
         _, root = next(it)  # the <dblp> root start event
         for event, el in it:
             if event == "end" and el.tag in DBLP_ELEMENT_TYPES:
-                rows.append(_elem_to_row(el))
+                row = _elem_to_row(el)
+                if schema is not None:
+                    errs = validate_element(el, schema)
+                    row["_dtd_error"] = "; ".join(errs) if errs else None
+                rows.append(row)
                 el.clear()
                 # drop completed children from the root so memory does
                 # not grow with document count
@@ -110,26 +121,57 @@ def _parse_shard(path: str) -> list[dict]:
 
 
 def parse_dblp_xml(
-    xml_gz_paths: str | list[str], validate_dtd: bool = False
+    xml_gz_paths: str | list[str],
+    validate_dtd: bool = False,
+    dtd_path: str | None = None,
 ) -> rd.Dataset:
     """S9/S10 (reference ``dblpclient.py:472-488``): the release
     xml.gz -> one Dataset row per publication element, one flat_map
     task per shard.
 
-    validate_dtd=True is the documented stub: stdlib etree cannot
-    validate; the production recipe is lxml's dtd_validation parser
-    loaded once per worker in this same flat_map."""
-    if validate_dtd:
-        raise NotImplementedError(
-            "DTD validation needs lxml (absent in this environment); "
-            "parse proceeds without validation when validate_dtd=False"
-        )
+    validate_dtd=True validates each element against the release DTD
+    (``dtd_path``, or the single ``*.dtd`` beside the first shard —
+    the reference downloads the dtd next to the xml.gz,
+    dblpclient.py:421-435) with the pure-Python subset validator in
+    functions/dtd.py (element/attribute allow-lists — sufficient for
+    DBLP's grammar; lxml's ``XMLParser(dtd_validation=True)`` is the
+    drop-in production path when lxml is available).  Rows then carry
+    a ``_dtd_error`` poison column (None = valid); route invalid rows
+    with ``quarantine_split``.  Unlike the reference (which raises and
+    kills the run on the first violation, dblpclient.py:477), a
+    malformed element is quarantined data, not an exception."""
     paths = [xml_gz_paths] if isinstance(xml_gz_paths, str) else list(xml_gz_paths)
+    schema = None
+    if validate_dtd:
+        from pathlib import Path
+
+        from ..functions.dtd import parse_dtd
+
+        if dtd_path is None:
+            sibs = sorted(Path(sorted(paths)[0]).parent.glob("*.dtd"))
+            if not sibs:
+                raise FileNotFoundError(
+                    "validate_dtd=True but no dtd_path given and no *.dtd "
+                    "found beside the xml.gz shards"
+                )
+            dtd_path = str(sibs[0])
+        schema = parse_dtd(Path(dtd_path).read_text())
 
     def parse(row: dict) -> list[dict]:
-        return _parse_shard(row["path"])
+        return _parse_shard(row["path"], schema)
 
     return rd.from_items([{"path": p} for p in sorted(paths)]).flat_map(parse)
+
+
+def quarantine_split(ds: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
+    """Split a validated parse into (valid rows without the poison
+    column, quarantined rows keeping ``_dtd_error``) — the quarantine
+    sink of SURVEY.md §2 S9."""
+    valid = ds.filter(lambda r: r["_dtd_error"] is None).map_batches(
+        lambda b: b.drop(columns=["_dtd_error"]), batch_format="pandas"
+    )
+    bad = ds.filter(lambda r: r["_dtd_error"] is not None)
+    return valid, bad
 
 
 def load_dblp_elements(elements: list[dict]) -> rd.Dataset:
@@ -197,6 +239,7 @@ def download_and_filter_release(
     from_timestamp: datetime,
     access_types: set[str] | None = None,
     skip: int = 1,
+    validate_dtd: bool = False,
 ) -> rd.Dataset:
     """End-to-end DBLP release path (reference
     ``dblpclient.py:252-306``): artifact listing -> nth-newest xml.gz
@@ -232,7 +275,20 @@ def download_and_filter_release(
             raise ValueError(f"md5 mismatch for {name}: {got} != {expected}")
         local.write_bytes(blob)
 
-    ds = parse_dblp_xml(str(local))
+    dtd_path = None
+    if validate_dtd:
+        # S7's dtd half (reference _download_latest_dtd,
+        # dblpclient.py:421-435): the .dtd artifact cached beside the
+        # xml.gz, existence-checked like the reference's skip-if-present
+        dtd_name = latest_release_file(listing, ".dtd", skip)
+        dtd_local = cache / Path(dtd_name).name
+        if not dtd_local.exists():
+            dtd_local.write_bytes(fetch(dtd_name))
+        dtd_path = str(dtd_local)
+
+    ds = parse_dblp_xml(str(local), validate_dtd=validate_dtd, dtd_path=dtd_path)
+    if validate_dtd:
+        ds, _quarantined = quarantine_split(ds)
     filters = [timestamp_filter(from_timestamp)]
     if access_types is not None:
         filters.append(access_filter(access_types))

@@ -47,20 +47,22 @@ def write_payload(ds: rd.Dataset, root: str, partition: str) -> str:
     """
     out = f"{root}/{partition}"
     clear_partition(out)
-    if HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
-        import lance
-
-        lance.write_dataset(ds.to_arrow_refs(), out)  # type: ignore[arg-type]
+    if HAVE_LANCE:
+        # Ray's DISTRIBUTED Lance writer (each task writes fragments,
+        # one commit) — no driver materialization.  mode='create' on a
+        # just-cleared partition dir keeps the replace-partition
+        # idempotence contract identical to the parquet branch.
+        # Call shape held by tests/test_sinks.py::test_lance_branch_contract
+        # (pylance itself is absent in this sandbox).
+        ds.write_lance(out, mode="create")
     else:
         ds.write_parquet(out)
     return out
 
 
 def read_payload(root: str) -> rd.Dataset:
-    if HAVE_LANCE:  # pragma: no cover
-        import ray.data as _rd
-
-        return _rd.read_lance(root)
+    if HAVE_LANCE:
+        return rd.read_lance(root)
     return rd.read_parquet(root)
 
 

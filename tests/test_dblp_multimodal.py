@@ -56,7 +56,9 @@ def test_dblp_denylist_and_strict():
     with pytest.raises(Exception):  # reference raises on missing @mdate too
         dblp.apply_filters(bad, dblp.timestamp_filter(datetime(2020, 1, 1))).take_all()
 
-    with pytest.raises(NotImplementedError):  # DTD validation stays stubbed
+    # DTD validation is real now (tests/test_dtd.py); a validate
+    # request with no DTD anywhere still fails loudly
+    with pytest.raises(FileNotFoundError):
         dblp.parse_dblp_xml("/tmp/nope.xml.gz", validate_dtd=True)
 
 

@@ -68,3 +68,42 @@ def test_payload_partition_replace(tmp_path):
     assert pq.read_table(p).num_rows == 5
     clear_partition(p)
     assert list_partitions(root) == []
+
+
+def test_lance_branch_contract(monkeypatch, tmp_path):
+    """VERDICT r02 #7: pylance is absent in this sandbox, so the Lance
+    branch is held by a call-shape contract: with HAVE_LANCE forced on,
+    write_payload must route the DATASET (not a driver materialization)
+    to Dataset.write_lance under the cleared partition dir, and
+    read_payload must route to ray.data.read_lance."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cs_insights_crawler_ray.sources import sinks
+
+    calls = {}
+
+    def fake_write_lance(self, path, *, mode="create", **kw):
+        calls["write"] = {"path": path, "mode": mode, "rows": self.count()}
+
+    def fake_read_lance(path, **kw):
+        calls["read"] = {"path": path}
+        return rd.from_arrow(pa.table({"x": pa.array([1])}))
+
+    monkeypatch.setattr(sinks, "HAVE_LANCE", True)
+    monkeypatch.setattr(rd.Dataset, "write_lance", fake_write_lance)
+    monkeypatch.setattr(sinks.rd, "read_lance", fake_read_lance, raising=False)
+
+    # pre-place a stale half-written partition: write_payload must clear it
+    stale = tmp_path / "payload" / "wave=000001"
+    stale.mkdir(parents=True)
+    (stale / "junk").write_text("partial")
+
+    ds = rd.from_arrow(pa.table({"image_id": pa.array(["a", "b"])}))
+    out = sinks.write_payload(ds, str(tmp_path / "payload"), "wave=000001")
+    assert calls["write"] == {"path": out, "mode": "create", "rows": 2}
+    assert not (stale / "junk").exists()  # replace-partition semantics
+
+    got = sinks.read_payload(str(tmp_path / "payload"))
+    assert calls["read"]["path"].endswith("payload")
+    assert got.count() == 1
