@@ -106,11 +106,6 @@ def _frontier_table(batch: pa.Table) -> pa.Table:
     )
 
 
-@ray.remote
-def _nrows(t: pa.Table) -> int:
-    return t.num_rows
-
-
 class _FusedWaveTask:
     """The whole per-row wave as ONE task function: fetch + decode-
     verify(+features/embedding) + link canonicalize/robots + routing
@@ -202,7 +197,9 @@ def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> rd.Dataset:
     df = df.drop_duplicates(subset=["url_hex"], keep="first")
     t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
     if t.num_rows:
-        digests = np.stack([np.frombuffer(b, np.uint8) for b in t["url_sha1"].to_pylist()])
+        from ..state.seen import digests_from_sha1_column
+
+        digests = digests_from_sha1_column(t["url_sha1"])
         mask = seen.check_and_add(digests, t["host_hash"].to_numpy(zero_copy_only=False))
         assert mask.all(), "fresh seen set must accept all distinct seeds"
     return rd.from_arrow(t)
@@ -292,6 +289,7 @@ def run_crawl(
                 .map_groups(_partition_topk, batch_format="pandas")
                 .materialize()
             )
+            _mark("adm_shuffle")
             key_cols = ["score"] + DISCOVERY_KEY
             keys = pa.concat_tables(
                 ray.get(
@@ -299,6 +297,7 @@ def run_crawl(
                 )
             ).to_pandas()
             keys = keys.sort_values(key_cols, kind="mergesort").head(cfg.wave_size)
+            _mark("adm_keys")
             n_admitted = len(keys)
             if n_admitted == 0:
                 _mark("admission")
@@ -406,10 +405,19 @@ def run_crawl(
             _mark("payload_start")
 
             # ---- link barrier: one deterministic process_wave() per
-            # shard (sort by discovery key, wave-dedupe, seen
-            # test-and-set) over everything the fetch tasks buffered.
+            # shard (cross-chunk merge of the pre-folded mailbox, seen
+            # test-and-set).  The bulk of the dedup work already ran
+            # inside buffer_links folds DURING the fetch.  Counts come
+            # from an actor-local info call — shipping each frontier
+            # table through a counting task cost ~5 MB/shard of object
+            # transfer per wave (measured as most of the links wall).
             frontier_refs = [s.process_wave.remote() for s in shard_handles]
-            n_new = sum(ray.get([_nrows.remote(r) for r in frontier_refs]))
+            infos = ray.get([s.last_process_info.remote() for s in shard_handles])
+            n_new = sum(i[0] for i in infos)
+            for key in ("fold_tail", "merge", "seen"):
+                phase_t[f"links_{key}"] = round(
+                    max(i[1].get(key, 0.0) for i in infos), 3
+                )
             new_frontier = rd.from_arrow_refs(frontier_refs)
             _mark("links")
 

@@ -36,13 +36,44 @@ barrier orders adds.
 from __future__ import annotations
 
 import pickle
+import time
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 import ray
 
 from .bloom import CountingBloom
 from .cuckoo import CuckooFilter
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url_canon", pa.string()),
+        ("url_hex", pa.string()),
+        ("url_sha1", pa.binary(20)),
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
+        ("depth", pa.int32()),
+        ("disc_wave", pa.int32()),
+        ("disc_parent", pa.int64()),
+        ("disc_link", pa.int32()),
+    ]
+)
+
+_DISCOVERY_KEY = ["disc_wave", "disc_parent", "disc_link"]
+
+
+def digests_from_sha1_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(N,) fixed_size_binary(20) arrow column -> (N, 20) uint8 view,
+    zero-copy from the arrow buffer (replaces a per-row
+    ``np.frombuffer`` Python loop — 80 ms per 60k rows, measured)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("url_sha1 column must be non-null")
+    raw = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+    return raw[col.offset * 20 : (col.offset + len(col)) * 20].reshape(-1, 20)
 
 
 class _SeenShardImpl:
@@ -64,6 +95,10 @@ class _SeenShardImpl:
         self.n_checked = 0
         self.n_new = 0
         self.mailbox: list = []  # buffered link slices for the current wave
+        self._folded: list = []  # pre-deduped chunks (pandas), fold_mailbox
+        self._fold_rows = 0      # raw rows currently in self.mailbox
+        self._last_process: dict = {}  # timing of the last process_wave
+        self._last_new_count = 0
         self._pending_deltas: list = []  # new digests since last snapshot
 
     # -- wave mailbox -------------------------------------------------
@@ -75,44 +110,72 @@ class _SeenShardImpl:
     # replaces a groupby shuffle + separate seen stage (6-17s/wave of
     # post-fetch serial time at 32 CPUs, measured) with work that
     # overlaps the fetch.
+    _FOLD_ROWS = 32_768  # fold the mailbox once this many raw rows buffer
+
     def buffer_links(self, table) -> int:
         self.mailbox.append(table)
+        self._fold_rows += table.num_rows
+        if self._fold_rows >= self._FOLD_ROWS:
+            self._fold_mailbox()
         return len(self.mailbox)
+
+    def _fold_mailbox(self) -> None:
+        """Pre-dedup the buffered slices into one sorted pandas chunk.
+        Triggered from buffer_links every _FOLD_ROWS raw rows, i.e.
+        DURING the fetch phase — the arrow->pandas conversion and the
+        first-level sort+dedup (the bulk of the old barrier cost)
+        overlap the fetch instead of serializing after it.  Min-
+        discovery-key-first dedup is associative, so per-chunk dedup
+        composes with the final cross-chunk pass in process_wave."""
+        if not self.mailbox:
+            return
+        t = pa.concat_tables(self.mailbox)
+        self.mailbox = []
+        self._fold_rows = 0
+        if t.num_rows == 0:
+            return
+        df = t.to_pandas()
+        df = df.sort_values(_DISCOVERY_KEY, kind="mergesort").drop_duplicates(
+            "url_hex", keep="first"
+        )
+        self._folded.append(df)
 
     def process_wave(self):
         """Barrier call: returns the NEW frontier rows (arrow Table,
         canonical schema; empty when nothing new) from everything
         buffered this wave."""
-        import pyarrow as _pa
-
-        schema = _pa.schema(
-            [
-                ("url_canon", _pa.string()),
-                ("url_hex", _pa.string()),
-                ("url_sha1", _pa.binary(20)),
-                ("host", _pa.string()),
-                ("host_hash", _pa.uint64()),
-                ("depth", _pa.int32()),
-                ("disc_wave", _pa.int32()),
-                ("disc_parent", _pa.int64()),
-                ("disc_link", _pa.int32()),
-            ]
+        t0 = time.perf_counter()
+        self._fold_mailbox()
+        t1 = time.perf_counter()
+        if not self._folded:
+            self._last_new_count = 0
+            self._last_process = {"fold_tail": round(t1 - t0, 3)}
+            return FRONTIER_SCHEMA.empty_table()
+        df = self._folded[0] if len(self._folded) == 1 else pd.concat(self._folded)
+        self._folded = []
+        df = df.sort_values(_DISCOVERY_KEY, kind="mergesort").drop_duplicates(
+            "url_hex", keep="first"
         )
-        if not self.mailbox:
-            return schema.empty_table()
-        t = _pa.concat_tables(self.mailbox)
-        self.mailbox = []
-        if t.num_rows == 0:
-            return schema.empty_table()
-        df = t.to_pandas()
-        df = df.sort_values(
-            ["disc_wave", "disc_parent", "disc_link"], kind="mergesort"
-        ).drop_duplicates("url_hex", keep="first")
-        digests = np.stack([np.frombuffer(b, np.uint8) for b in df["url_sha1"]])
-        mask = self.check_and_add(digests)
-        df = df[mask]
-        out = _pa.Table.from_pandas(df[schema.names], preserve_index=False)
-        return out.cast(schema)
+        out = pa.Table.from_pandas(
+            df[FRONTIER_SCHEMA.names], preserve_index=False
+        ).cast(FRONTIER_SCHEMA)
+        t2 = time.perf_counter()
+        mask = self.check_and_add(digests_from_sha1_column(out["url_sha1"]))
+        out = out.filter(pa.array(mask))
+        t3 = time.perf_counter()
+        self._last_new_count = out.num_rows
+        self._last_process = {
+            "fold_tail": round(t1 - t0, 3),
+            "merge": round(t2 - t1, 3),
+            "seen": round(t3 - t2, 3),
+        }
+        return out
+
+    def last_process_info(self) -> tuple[int, dict]:
+        """Actor-local (count, timings) of the last process_wave — the
+        caller reads the new-row count without shipping the frontier
+        table through a counting task."""
+        return self._last_new_count, self._last_process
 
     @property
     def bloom(self) -> CountingBloom:  # newest filter (adds go here)
