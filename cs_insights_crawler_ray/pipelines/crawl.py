@@ -10,9 +10,9 @@ restatement:
   ``(disc_wave, disc_parent, disc_link)`` — wave discovered, parent's
   global fetch_seq, position in the parent page's link list.  Fetch
   order within a wave is the sort by ``(score, discovery key)``;
-  global ``fetch_seq`` is assigned per wave by block-offset prefix
-  sums (only the admitted set — bounded by the politeness budget —
-  is ever globally numbered; the large frontier never is).
+  global ``fetch_seq`` is assigned per wave by the driver over the
+  politeness-bounded candidate keys (only admitted-set keys — never
+  frontier rows — reach the driver).
 - **Politeness** = per-host token buckets refilled per wave
   (state/politeness.py) enforced before fetch.
 - **Seen set** = sharded bloom+cuckoo+exact actors keyed by
@@ -24,18 +24,35 @@ restatement:
   a killed run restarts from the last committed wave with zero
   re-fetches (tests/test_resume.py asserts this).
 
-Per-wave dataflow:
+**One partitioning key, zero steady-state shuffles**: the frontier
+lives as ``n_shards`` partition tables keyed by ``host_hash %
+n_shards`` — the SAME key that routes link slices to the seen shards —
+so every per-wave frontier operation is partition-local:
 
-    backlog ─ local_host_topk (combiner) ─ groupby(host_hash % parts)
-            ─ per-partition vectorized per-host ranking + local top-k
-            ─ driver-side key-only global top-k -> broadcast dk->seq
-            ─ FUSED task: fetch + decode-verify(+features/embedding)
-              + link canonicalize/robots, slices mailed to seen shards
-            ─┬─ payload projection ─ Lance-style sink (thread)
-              └─ crawl log (driver write of bounded admitted set)
-    links barrier: per-shard process_wave (sort by discovery key,
-    wave-dedupe, bloom+exact test-and-set) -> new frontier
-    backlog' = (backlog ∖ admitted) ∪ new  ─ checkpoint manifest commit
+    wave start   per-partition candidate prune (host rank + budget +
+                 score + local top-wave_size) was already computed by
+                 the previous wave's merge tasks; the driver sorts
+                 candidate KEYS only and broadcasts dk->fetch_seq
+    admitted     candidates dataset ─ seq attach ─ repartition ─
+                 FUSED task: fetch + decode-verify(+features) + link
+                 canonicalize/robots, slices mailed to seen shards
+    during fetch rest_p = partition ∖ admitted (anti-merge) AND its
+                 checkpoint parquet write run as plain Ray tasks,
+                 hidden behind the fetch barrier
+    links        per-shard process_wave (pre-folded mailbox merge +
+                 seen test-and-set) -> new frontier partition tables
+    merge        partition' = rest_p ∪ new_p, next wave's candidates
+                 computed in the same task round
+
+Hosts never straddle partitions, so per-host politeness ranking needs
+no cross-partition exchange; the old combiner → ``groupby`` →
+``map_groups`` admission (a full hash shuffle of the backlog every
+wave, ~1.4 s/wave fixed at sf0.1) is gone.  Partition tables are
+plain object-store Arrow tables: at 10^10-URL scale ``n_shards``
+scales with the cluster and each partition holds frontier rows only
+(no payloads), spillable by the object store.  The Dataset API still
+carries the heavy data path (admitted rows → fused fetch → payload
+sink).
 """
 
 from __future__ import annotations
@@ -48,24 +65,26 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..fixtures.content_store import ContentStoreConfig, robots_allowed, seed_urls
+from ..fixtures.content_store import ContentStoreConfig, seed_urls
 from ..functions.urls import canonicalize_batch
 from ..sources.checkpoint import WaveManifest, commit_manifest, latest_manifest
 from ..sources.sinks import clear_partition, write_payload
 from ..stages.fetch import fetch_decode_link_task
 from ..stages.links import RobotsFilterStage, explode_prepared
-from ..state.politeness import DISCOVERY_KEY, local_host_topk, partition_admission
-from ..state.seen import ShardedSeenSet
+from ..state.politeness import DISCOVERY_KEY, partition_candidates
+from ..state.seen import FRONTIER_SCHEMA, ShardedSeenSet, digests_from_sha1_column
 
 FRONTIER_COLS = [
     "url_canon", "url_hex", "url_sha1", "host", "host_hash",
     "depth", "disc_wave", "disc_parent", "disc_link",
 ]
+
+CAND_SCHEMA = FRONTIER_SCHEMA.append(pa.field("score", pa.float64()))
+KEY_COLS = ["score"] + DISCOVERY_KEY
 
 
 @dataclass
@@ -76,7 +95,7 @@ class CrawlConfig:
     wave_size: int = 128          # global fetches per wave
     n_waves: int = 5
     max_depth: int = 8
-    n_shards: int = 4             # seen-set actors
+    n_shards: int = 4             # seen-set actors == frontier partitions
     fetch_actors: int = 2
     fetch_batch: int = 64
     decode_batch: int = 64
@@ -104,6 +123,83 @@ def _frontier_table(batch: pa.Table) -> pa.Table:
             "disc_link": batch["disc_link"].cast(pa.int32()),
         }
     )
+
+
+def _split_frontier(t: pa.Table, n_parts: int) -> list[pa.Table]:
+    """Split a canonical frontier table into host-hash partitions."""
+    sid = (t["host_hash"].to_numpy(zero_copy_only=False) % np.uint64(n_parts)).astype(
+        np.int64
+    )
+    return [t.filter(pa.array(sid == p)) for p in range(n_parts)]
+
+
+def _cand_table(df: pd.DataFrame) -> pa.Table:
+    """Candidate frame (frontier cols + score) -> canonical arrow."""
+    if len(df) == 0:
+        return CAND_SCHEMA.empty_table()
+    t = _frontier_table(pa.Table.from_pandas(df[FRONTIER_COLS], preserve_index=False))
+    return t.append_column(
+        "score", pa.array(df["score"].to_numpy(np.float64), pa.float64())
+    )
+
+
+@ray.remote(num_returns=2)
+def _part_candidates(part: pa.Table, host_budget: int, wave_size: int):
+    """One partition -> (candidate rows incl score, key frame for the
+    driver's global top-k).  Only used for the first wave / resume;
+    steady-state waves get candidates from ``_merge_part``."""
+    if part.num_rows == 0:
+        empty = CAND_SCHEMA.empty_table()
+        return empty, empty.select(KEY_COLS)
+    cand = _cand_table(partition_candidates(part.to_pandas(), host_budget, wave_size))
+    return cand, cand.select(KEY_COLS)
+
+
+@ray.remote
+def _part_rest(part: pa.Table, seq_map: pd.DataFrame) -> pa.Table:
+    """Partition ∖ admitted (anti-merge on the unique discovery key).
+    Launched at fetch start, so this scan runs DURING the fetch."""
+    if part.num_rows == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    df = part.to_pandas()
+    m = df.merge(
+        seq_map[DISCOVERY_KEY].assign(_adm=1), on=DISCOVERY_KEY, how="left"
+    )
+    kept = m[m["_adm"].isna()].drop(columns=["_adm"])
+    if len(kept) == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    return _frontier_table(pa.Table.from_pandas(kept, preserve_index=False))
+
+
+@ray.remote(num_returns=4)
+def _merge_part(rest: pa.Table, new: pa.Table, host_budget: int, wave_size: int):
+    """Next-wave partition = rest ∪ new, plus its admission candidates
+    (computed here so the next wave's admission is a driver-side
+    key sort, no extra task round)."""
+    part = pa.concat_tables([rest.cast(FRONTIER_SCHEMA), new.cast(FRONTIER_SCHEMA)])
+    if part.num_rows == 0:
+        empty = CAND_SCHEMA.empty_table()
+        return part, empty, empty.select(KEY_COLS), 0
+    cand = _cand_table(partition_candidates(part.to_pandas(), host_budget, wave_size))
+    return part, cand, cand.select(KEY_COLS), part.num_rows
+
+
+@ray.remote
+def _write_part(tbl: pa.Table, path: str) -> int:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, path)
+    return tbl.num_rows
+
+
+@ray.remote
+def _read_part(paths: list) -> pa.Table:
+    """Resume: rebuild one frontier partition from its checkpoint
+    files (rest + new halves; either may be absent/empty)."""
+    tabs = [pq.read_table(p) for p in paths if Path(p).exists()]
+    tabs = [_frontier_table(t) for t in tabs if t.num_rows]
+    if not tabs:
+        return FRONTIER_SCHEMA.empty_table()
+    return pa.concat_tables(tabs)
 
 
 class _FusedWaveTask:
@@ -148,21 +244,6 @@ class _FusedWaveTask:
 
 
 @ray.remote
-def _select_cols(t: pa.Table, cols: list) -> pa.Table:
-    if t.num_rows == 0 or any(c not in t.column_names for c in cols):
-        # empty map_groups output blocks carry no schema
-        return pa.table(
-            {
-                c: pa.array(
-                    [], pa.float64() if c == "score" else (pa.int64() if c == "disc_parent" else pa.int32())
-                )
-                for c in cols
-            }
-        )
-    return t.select(cols)
-
-
-@ray.remote
 def _log_cols(t: pa.Table) -> pa.Table:
     return pa.table(
         {
@@ -174,7 +255,7 @@ def _log_cols(t: pa.Table) -> pa.Table:
     )
 
 
-def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> rd.Dataset:
+def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> pa.Table:
     """Seed list -> canonical frontier rows, robots-filtered, deduped
     (first seed-index wins), marked seen. disc key = (-1, -1, seed_idx)
     — the analog of the reference's listing order (s2client.py:153)."""
@@ -197,12 +278,12 @@ def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> rd.Dataset:
     df = df.drop_duplicates(subset=["url_hex"], keep="first")
     t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
     if t.num_rows:
-        from ..state.seen import digests_from_sha1_column
-
-        digests = digests_from_sha1_column(t["url_sha1"])
-        mask = seen.check_and_add(digests, t["host_hash"].to_numpy(zero_copy_only=False))
+        mask = seen.check_and_add(
+            digests_from_sha1_column(t["url_sha1"]),
+            t["host_hash"].to_numpy(zero_copy_only=False),
+        )
         assert mask.all(), "fresh seen set must accept all distinct seeds"
-    return rd.from_arrow(t)
+    return t
 
 
 def run_crawl(
@@ -217,6 +298,7 @@ def run_crawl(
       payload/wave=NNNNNN/   Lance/parquet payload partitions
       crawl_log/wave=NNNNNN/ (fetch_seq, url_canon, depth, wave)
       backlog/wave=NNNNNN/   frontier checkpoint AFTER the wave
+                             (partNNNN_rest + partNNNN_new parquet)
       checkpoints/           seen-shard snapshots + manifests
     """
     out = Path(out_dir)
@@ -224,6 +306,7 @@ def run_crawl(
     own_seen = seen is None
     if seen is None:
         seen = ShardedSeenSet(cfg.n_shards, cfg.seen_capacity)
+    n_parts = seen.n_shards  # frontier partitions == seen shards (one key)
     try:
         start_wave = 0
         next_seq = 0
@@ -232,14 +315,28 @@ def run_crawl(
         if manifest is not None:
             # delta-log replay of every committed wave's snapshot
             seen.restore_from_dir(str(ckpt), manifest.wave)
-            backlog = rd.read_parquet(manifest.backlog_path).map_batches(
-                _frontier_table, batch_format="pyarrow"
-            ).materialize()
+            parts = [
+                _read_part.remote(
+                    [
+                        f"{manifest.backlog_path}/part{p:04d}_rest.parquet",
+                        f"{manifest.backlog_path}/part{p:04d}_new.parquet",
+                    ]
+                )
+                for p in range(n_parts)
+            ]
             start_wave = manifest.wave + 1
             next_seq = manifest.next_fetch_seq
             cumulative = dict(manifest.cumulative)
         else:
-            backlog = build_seed_frontier(cfg, seen).materialize()
+            seed_tbl = build_seed_frontier(cfg, seen)
+            parts = [ray.put(t) for t in _split_frontier(seed_tbl, n_parts)]
+        B = cfg.host_budget
+        cand_pairs = [
+            _part_candidates.remote(parts[p], B, cfg.wave_size) for p in range(n_parts)
+        ]
+        cand_refs = [c for c, _ in cand_pairs]
+        key_refs = [k for _, k in cand_pairs]
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         metrics_by_wave = {}
 
         for wave in range(start_wave, cfg.n_waves):
@@ -252,52 +349,12 @@ def run_crawl(
                 phase_t[name] = round(now - _t0, 3)
                 _t0 = now
 
-            if backlog.count() == 0:
-                break
-            # ---- politeness admission (combiner -> keyed shuffle ->
-            # distributed top-k).  Shuffle key: host_hash % n_parts
-            # (hosts never split), so the exchange has n_parts groups
-            # and the per-host ranking runs vectorized inside each
-            # partition.  Each partition returns at most wave_size
-            # best rows; the GLOBAL top-k is then decided driver-side
-            # from the (score, discovery-key) KEYS only — never the
-            # rows — and shipped back as a broadcast key->fetch_seq
-            # frame.  This replaces a full Ray sort+limit+renumber
-            # (~2s/wave of fixed exchange overhead, measured) with one
-            # keyed shuffle + one broadcast merge, and the driver
-            # traffic is bounded by n_parts x wave_size keys.
-            B = cfg.host_budget
-            n_parts = max(8, cfg.n_shards * 2)
-            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-
-            def _prune_and_part(b: pd.DataFrame) -> pd.DataFrame:
-                b = local_host_topk(b, B)
-                b["admission_part"] = (
-                    b["host_hash"].to_numpy() % np.uint64(n_parts)
-                ).astype(np.int64)
-                return b
-
-            def _partition_topk(g: pd.DataFrame) -> pd.DataFrame:
-                g = partition_admission(g, B)
-                return g.sort_values(["score"] + DISCOVERY_KEY, kind="mergesort").head(
-                    cfg.wave_size
-                )
-
-            admissible = (
-                backlog.map_batches(_prune_and_part, batch_format="pandas")
-                .groupby("admission_part")
-                .map_groups(_partition_topk, batch_format="pandas")
-                .materialize()
-            )
-            _mark("adm_shuffle")
-            key_cols = ["score"] + DISCOVERY_KEY
-            keys = pa.concat_tables(
-                ray.get(
-                    [_select_cols.remote(r, key_cols) for r in admissible.to_arrow_refs()]
-                )
-            ).to_pandas()
-            keys = keys.sort_values(key_cols, kind="mergesort").head(cfg.wave_size)
-            _mark("adm_keys")
+            # ---- admission: the per-partition candidate prune already
+            # ran (previous wave's merge tasks / the seed round); the
+            # driver sorts candidate KEYS only — bounded by n_parts x
+            # wave_size — and ships back a broadcast dk->fetch_seq map.
+            keys = pa.concat_tables(ray.get(key_refs)).to_pandas()
+            keys = keys.sort_values(KEY_COLS, kind="mergesort").head(cfg.wave_size)
             n_admitted = len(keys)
             if n_admitted == 0:
                 _mark("admission")
@@ -314,15 +371,30 @@ def run_crawl(
                 return m.drop(columns=["score"])
 
             # repartition: ~2 blocks per core so fetch gets full task
-            # parallelism regardless of admission's block structure
+            # parallelism regardless of the candidates' block structure
             # (single-block seed wave fetched near-serially otherwise:
             # 41s vs 6s for the same width, measured).
             admitted = (
-                admissible.map_batches(_attach_seq, batch_format="pandas")
+                rd.from_arrow_refs(cand_refs)
+                .map_batches(_attach_seq, batch_format="pandas")
                 .repartition(n_blocks)
                 .materialize()
             )
             _mark("admission")
+
+            # ---- overlapped with fetch: rest-of-frontier (partition ∖
+            # admitted) and its checkpoint parquet write.  Plain Ray
+            # tasks — they fill scheduler gaps during the fetch and are
+            # joined before the manifest commit below.
+            backlog_path = str(out / "backlog" / f"wave={wave:06d}")
+            clear_partition(backlog_path)
+            rest_refs = [_part_rest.remote(parts[p], seq_ref) for p in range(n_parts)]
+            rest_writes = [
+                _write_part.remote(
+                    rest_refs[p], f"{backlog_path}/part{p:04d}_rest.parquet"
+                )
+                for p in range(n_parts)
+            ]
 
             # ---- fetch + decode-verify(+features), FUSED (cached
             # tasks; politeness already enforced).  One pass per row
@@ -336,9 +408,8 @@ def run_crawl(
             # them by seen-shard, and ships the slices to the shard
             # actors with an acknowledged call — so by the time the
             # fetch barrier completes, every link slice is buffered and
-            # the links phase is one process_wave() per shard.  (The
-            # previous post-fetch explode+groupby shuffle left all
-            # cores idle for 6-17s/wave at 32 CPUs, measured.)
+            # (after the in-fetch mailbox folds) the links phase is one
+            # cross-chunk merge per shard.
             shard_handles = seen.shards
             n_shards = seen.n_shards
 
@@ -418,8 +489,26 @@ def run_crawl(
                 phase_t[f"links_{key}"] = round(
                     max(i[1].get(key, 0.0) for i in infos), 3
                 )
-            new_frontier = rd.from_arrow_refs(frontier_refs)
             _mark("links")
+
+            # ---- merge: partition' = rest ∪ new; the same task round
+            # computes the NEXT wave's admission candidates, so wave
+            # k+1 starts with a driver-side key sort and nothing else.
+            merged = [
+                _merge_part.remote(rest_refs[p], frontier_refs[p], B, cfg.wave_size)
+                for p in range(n_parts)
+            ]
+            parts = [m[0] for m in merged]
+            cand_refs = [m[1] for m in merged]
+            key_refs = [m[2] for m in merged]
+            count_refs = [m[3] for m in merged]
+            new_writes = [
+                _write_part.remote(
+                    frontier_refs[p], f"{backlog_path}/part{p:04d}_new.parquet"
+                )
+                for p in range(n_parts)
+            ]
+            _mark("merge_launch")
 
             # join the payload write before the checkpoint barrier
             payload_thread.join()
@@ -433,39 +522,12 @@ def run_crawl(
             )
             _mark("payload_join")
 
-            # ---- backlog update: broadcast anti-filter of admitted.
-            # Reuses the admission's broadcast seq frame: a backlog
-            # row was admitted iff its (unique) discovery key appears
-            # there — a vectorized pandas anti-merge per batch.
-            def _drop_admitted(b: pd.DataFrame) -> pd.DataFrame:
-                from ..functions.broadcast import bget
-
-                m = b.merge(
-                    bget(seq_ref)[DISCOVERY_KEY].assign(_adm=1),
-                    on=DISCOVERY_KEY,
-                    how="left",
-                )
-                return m[m["_adm"].isna()].drop(columns=["_adm"])
-
-            # both sides already carry the canonical frontier schema.
-            # repartition compacts the union's block fragmentation —
-            # without it block count grows every wave (union appends
-            # blocks) and every downstream pass pays per-block costs
-            # (admission grew 1.3s -> 7s over 3 waves, measured).
-            backlog = (
-                backlog.map_batches(_drop_admitted, batch_format="pandas")
-                .map_batches(_frontier_table, batch_format="pyarrow")
-                .union(new_frontier)
-                .repartition(max(8, int(ray.cluster_resources().get("CPU", 8))))
-                .materialize()
-            )
-            _mark("backlog_update")
-
-            # ---- wave barrier: checkpoint commit ----
-            backlog_path = str(out / "backlog" / f"wave={wave:06d}")
-            clear_partition(backlog_path)
-            backlog.write_parquet(backlog_path)
+            # ---- wave barrier: checkpoint commit.  The rest-half of
+            # the backlog was written during the fetch; only the new-
+            # half writes + seen snapshots remain serial here.
+            ray.get(rest_writes + new_writes)
             snaps = seen.snapshot(str(ckpt), wave)
+            n_backlog = int(sum(ray.get(count_refs)))
             _mark("checkpoint")
             wave_metrics = {
                 "phase_sec": phase_t,
@@ -473,7 +535,7 @@ def run_crawl(
                 "payload_rows": int(payload_rows),
                 "quarantined": int(n_admitted - payload_rows),
                 "new_urls": int(n_new),
-                "backlog": int(backlog.count()),
+                "backlog": n_backlog,
             }
             metrics_by_wave[wave] = wave_metrics
             cumulative = {

@@ -58,6 +58,24 @@ def host_admission(group: pd.DataFrame, host_budget: int) -> pd.DataFrame:
     return g
 
 
+def partition_candidates(
+    part: pd.DataFrame, host_budget: int, wave_size: int
+) -> pd.DataFrame:
+    """Admission candidates of one complete host-hash partition (every
+    row of every host in the partition is present — the frontier is
+    partitioned by ``host_hash % n_parts`` so this holds by
+    construction): per-host discovery-order rank, budget cut, score,
+    then the partition-local best ``wave_size`` rows.  The global wave
+    admits the best ``wave_size`` across partitions, so rows outside a
+    partition's local top-``wave_size`` can never be admitted."""
+    g = part.sort_values(["host_hash"] + DISCOVERY_KEY, kind="mergesort")
+    rank = g.groupby("host_hash", sort=False).cumcount().to_numpy()
+    keep = rank < host_budget
+    g = g[keep].copy()
+    g["score"] = score_of(g["depth"].to_numpy(), rank[keep])
+    return g.sort_values(["score"] + DISCOVERY_KEY, kind="mergesort").head(wave_size)
+
+
 def partition_admission(part: pd.DataFrame, host_budget: int) -> pd.DataFrame:
     """Vectorized multi-host admission for one hash PARTITION
     (``host_hash % n_parts`` — every host's rows are fully contained
