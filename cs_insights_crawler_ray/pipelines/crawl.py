@@ -101,6 +101,11 @@ class CrawlConfig:
     decode_batch: int = 64
     seen_capacity: int = 1 << 18
     extract_features: bool = False  # multimodal feature stage (imagefeat)
+    # full rest-of-frontier snapshot every K waves; other waves
+    # checkpoint only O(wave_size) admitted keys + O(new) link rows
+    # (an O(frontier) parquet rewrite per wave is ~1 TB/wave at
+    # 10^10 URLs — measured 2.3-4.2 s/wave at just 2M frontier rows)
+    backlog_full_every: int = 8
 
 
 def _frontier_table(batch: pa.Table) -> pa.Table:
@@ -155,33 +160,66 @@ def _part_candidates(part: pa.Table, host_budget: int, wave_size: int):
     return cand, cand.select(KEY_COLS)
 
 
-@ray.remote
-def _part_rest(part: pa.Table, seq_map: pd.DataFrame) -> pa.Table:
-    """Partition ∖ admitted (anti-merge on the unique discovery key).
-    Launched at fetch start, so this scan runs DURING the fetch."""
-    if part.num_rows == 0:
-        return FRONTIER_SCHEMA.empty_table()
+@ray.remote(num_returns=2)
+def _part_rest(seq_map: pd.DataFrame, *tables: pa.Table):
+    """Partition (one or more slices — the previous wave's rest/new
+    halves are concatenated here rather than in a barrier round) ∖
+    admitted (anti-merge on the unique discovery key) -> (table, rows).
+    Launched at fetch start, so this O(frontier/n_parts) scan runs
+    DURING the fetch."""
+    tabs = [t for t in tables if t.num_rows]
+    if not tabs:
+        return FRONTIER_SCHEMA.empty_table(), 0
+    part = tabs[0] if len(tabs) == 1 else pa.concat_tables(
+        [t.cast(FRONTIER_SCHEMA) for t in tabs]
+    )
     df = part.to_pandas()
     m = df.merge(
         seq_map[DISCOVERY_KEY].assign(_adm=1), on=DISCOVERY_KEY, how="left"
     )
     kept = m[m["_adm"].isna()].drop(columns=["_adm"])
     if len(kept) == 0:
-        return FRONTIER_SCHEMA.empty_table()
-    return _frontier_table(pa.Table.from_pandas(kept, preserve_index=False))
+        return FRONTIER_SCHEMA.empty_table(), 0
+    out = _frontier_table(pa.Table.from_pandas(kept, preserve_index=False))
+    return out, out.num_rows
 
 
-@ray.remote(num_returns=4)
-def _merge_part(rest: pa.Table, new: pa.Table, host_budget: int, wave_size: int):
-    """Next-wave partition = rest ∪ new, plus its admission candidates
-    (computed here so the next wave's admission is a driver-side
-    key sort, no extra task round)."""
-    part = pa.concat_tables([rest.cast(FRONTIER_SCHEMA), new.cast(FRONTIER_SCHEMA)])
-    if part.num_rows == 0:
+@ray.remote
+def _rest_candidates(rest: pa.Table, host_budget: int, wave_size: int) -> pa.Table:
+    """Candidate prune of the rest-of-frontier — the O(frontier/n_parts)
+    half of next-wave admission, launched at fetch start (hidden)."""
+    if rest.num_rows == 0:
+        return CAND_SCHEMA.empty_table()
+    return _cand_table(partition_candidates(rest.to_pandas(), host_budget, wave_size))
+
+
+@ray.remote(num_returns=2)
+def _final_candidates(cand_rest: pa.Table, new: pa.Table,
+                      host_budget: int, wave_size: int):
+    """Next-wave candidates = candidates(cand_rest ∪ raw new links).
+
+    EXACTLY equals candidates(rest ∪ new): every new row carries the
+    current disc_wave — strictly larger than any rest row's — so new
+    rows sort after rest rows in every per-host discovery ranking,
+    leaving rest rows' ranks and scores invariant.  A rest row outside
+    candidates(rest) is therefore still beaten by the same >=budget
+    (per host) / >=wave_size (by score) rest rows in the joint pass —
+    pre-pruning REST is lossless.  New rows are NOT pre-pruned: their
+    joint scores depend on how many rest rows precede them in-host, so
+    a new-only cut could drop a row the joint pass would admit.  Input
+    is O(wave_size + new_links), so this barrier round is
+    frontier-size-free."""
+    frames = []
+    if cand_rest.num_rows:
+        frames.append(cand_rest.to_pandas().drop(columns=["score"]))
+    if new.num_rows:
+        frames.append(new.to_pandas())
+    if not frames:
         empty = CAND_SCHEMA.empty_table()
-        return part, empty, empty.select(KEY_COLS), 0
-    cand = _cand_table(partition_candidates(part.to_pandas(), host_budget, wave_size))
-    return part, cand, cand.select(KEY_COLS), part.num_rows
+        return empty, empty.select(KEY_COLS)
+    df = frames[0] if len(frames) == 1 else pd.concat(frames)
+    cand = _cand_table(partition_candidates(df, host_budget, wave_size))
+    return cand, cand.select(KEY_COLS)
 
 
 @ray.remote
@@ -200,6 +238,32 @@ def _read_part(paths: list) -> pa.Table:
     if not tabs:
         return FRONTIER_SCHEMA.empty_table()
     return pa.concat_tables(tabs)
+
+
+@ray.remote
+def _replay_part(base: pa.Table, steps: list) -> pa.Table:
+    """Resume across delta waves: starting from the latest full
+    snapshot's partition, apply each subsequent wave's (admitted keys
+    anti-join, new rows union) in order — the frontier analog of the
+    seen set's delta-log replay."""
+    part = base
+    for adm_path, new_path in steps:
+        if part.num_rows:
+            adm = pq.read_table(adm_path).to_pandas()
+            df = part.to_pandas().merge(
+                adm[DISCOVERY_KEY].assign(_adm=1), on=DISCOVERY_KEY, how="left"
+            )
+            df = df[df["_adm"].isna()].drop(columns=["_adm"])
+            part = (
+                _frontier_table(pa.Table.from_pandas(df, preserve_index=False))
+                if len(df)
+                else FRONTIER_SCHEMA.empty_table()
+            )
+        if Path(new_path).exists():
+            nt = pq.read_table(new_path)
+            if nt.num_rows:
+                part = pa.concat_tables([part, _frontier_table(nt)])
+    return part
 
 
 class _FusedWaveTask:
@@ -255,35 +319,101 @@ def _log_cols(t: pa.Table) -> pa.Table:
     )
 
 
-def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> pa.Table:
-    """Seed list -> canonical frontier rows, robots-filtered, deduped
-    (first seed-index wins), marked seen. disc key = (-1, -1, seed_idx)
-    — the analog of the reference's listing order (s2client.py:153)."""
-    seeds = seed_urls(cfg.store, cfg.n_seeds)
-    t = pa.table(
+def _seed_table(seeds: list, disc_link_start: int) -> pa.Table:
+    n = len(seeds)
+    return pa.table(
         {
             "url": pa.array(seeds, pa.string()),
-            "disc_wave": pa.array([-1] * len(seeds), pa.int32()),
-            "disc_parent": pa.array([-1] * len(seeds), pa.int64()),
-            "disc_link": pa.array(np.arange(len(seeds), dtype=np.int32), pa.int32()),
-            "depth": pa.array([0] * len(seeds), pa.int32()),
+            "disc_wave": pa.array([-1] * n, pa.int32()),
+            "disc_parent": pa.array([-1] * n, pa.int64()),
+            "disc_link": pa.array(
+                np.arange(disc_link_start, disc_link_start + n, dtype=np.int32),
+                pa.int32(),
+            ),
+            "depth": pa.array([0] * n, pa.int32()),
         }
     )
+
+
+def _prepare_seed_table(store: ContentStoreConfig, t: pa.Table) -> pa.Table:
     t = canonicalize_batch(t)
-    robots = RobotsFilterStage(cfg.store)
-    t = robots(t)
-    t = _frontier_table(t)
-    # dedupe (keep first by disc_link) — driver-side: the seed list is small
+    t = RobotsFilterStage(store)(t)
+    return _frontier_table(t)
+
+
+def _dedupe_first_seed(t: pa.Table) -> pa.Table:
+    """Keep the first occurrence (lowest disc_link) of each URL."""
     df = t.to_pandas().sort_values("disc_link", kind="mergesort")
     df = df.drop_duplicates(subset=["url_hex"], keep="first")
-    t = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
-    if t.num_rows:
-        mask = seen.check_and_add(
-            digests_from_sha1_column(t["url_sha1"]),
-            t["host_hash"].to_numpy(zero_copy_only=False),
-        )
-        assert mask.all(), "fresh seen set must accept all distinct seeds"
+    return pa.Table.from_pandas(df, preserve_index=False).cast(FRONTIER_SCHEMA)
+
+
+@ray.remote
+def _seed_chunk_parts(store: ContentStoreConfig, seeds: list,
+                      disc_link_start: int, n_parts: int) -> list:
+    """One seed chunk -> canonicalize + robots + partition split (the
+    per-URL Python work runs in parallel tasks, not on the driver)."""
+    t = _prepare_seed_table(store, _seed_table(seeds, disc_link_start))
+    return _split_frontier(t, n_parts)
+
+
+@ray.remote
+def _seed_part_finalize(shard, *chunks: pa.Table) -> pa.Table:
+    """Concat one partition's chunk slices, dedupe (first seed index
+    wins — URLs never straddle partitions, so per-partition dedupe is
+    global dedupe), mark seen in the co-located shard actor."""
+    t = pa.concat_tables([c for c in chunks if c.num_rows])
+    if t.num_rows == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    t = _dedupe_first_seed(t)
+    mask = ray.get(shard.check_and_add.remote(digests_from_sha1_column(t["url_sha1"])))
+    assert mask.all(), "fresh seen set must accept all distinct seeds"
     return t
+
+
+_SEED_CHUNK = 50_000
+
+
+def build_seed_parts(cfg: CrawlConfig, seen: ShardedSeenSet) -> list:
+    """Seed list -> per-partition canonical frontier tables (object
+    refs), robots-filtered, deduped (first seed-index wins), marked
+    seen. disc key = (-1, -1, seed_idx) — the analog of the reference's
+    listing order (s2client.py:153).
+
+    Small seed lists are prepared on the driver; beyond _SEED_CHUNK the
+    canonicalize/robots/split work fans out in chunk tasks (the per-URL
+    Python cost is ~15µs — serial driver prep of a 10^7-seed list would
+    be minutes) and each partition finalizes in its own task against
+    its co-located seen shard."""
+    n_parts = seen.n_shards
+    seeds = seed_urls(cfg.store, cfg.n_seeds)
+    if len(seeds) <= _SEED_CHUNK:
+        t = _prepare_seed_table(cfg.store, _seed_table(seeds, 0))
+        t = _dedupe_first_seed(t)
+        if t.num_rows:
+            mask = seen.check_and_add(
+                digests_from_sha1_column(t["url_sha1"]),
+                t["host_hash"].to_numpy(zero_copy_only=False),
+            )
+            assert mask.all(), "fresh seen set must accept all distinct seeds"
+        return [ray.put(p) for p in _split_frontier(t, n_parts)]
+    chunk_refs = [
+        _seed_chunk_parts.options(num_returns=n_parts).remote(
+            cfg.store, seeds[i : i + _SEED_CHUNK], i, n_parts
+        )
+        for i in range(0, len(seeds), _SEED_CHUNK)
+    ]
+    return [
+        _seed_part_finalize.remote(
+            seen.shards[p], *[chunk[p] for chunk in chunk_refs]
+        )
+        for p in range(n_parts)
+    ]
+
+
+def build_seed_frontier(cfg: CrawlConfig, seen: ShardedSeenSet) -> pa.Table:
+    """Single-table convenience wrapper over ``build_seed_parts``."""
+    return pa.concat_tables(ray.get(build_seed_parts(cfg, seen)))
 
 
 def run_crawl(
@@ -297,8 +427,10 @@ def run_crawl(
     Output layout under out_dir:
       payload/wave=NNNNNN/   Lance/parquet payload partitions
       crawl_log/wave=NNNNNN/ (fetch_seq, url_canon, depth, wave)
-      backlog/wave=NNNNNN/   frontier checkpoint AFTER the wave
-                             (partNNNN_rest + partNNNN_new parquet)
+      backlog/wave=NNNNNN/   frontier checkpoint AFTER the wave:
+                             admitted.parquet (keys) + partNNNN_new
+                             every wave; partNNNN_rest full snapshots
+                             every backlog_full_every waves
       checkpoints/           seen-shard snapshots + manifests
     """
     out = Path(out_dir)
@@ -312,27 +444,53 @@ def run_crawl(
         next_seq = 0
         cumulative = {"fetched": 0, "payload_rows": 0, "quarantined": 0, "new_urls": 0}
         manifest = latest_manifest(str(ckpt)) if resume else None
+        last_full_wave = -1
         if manifest is not None:
             # delta-log replay of every committed wave's snapshot
             seen.restore_from_dir(str(ckpt), manifest.wave)
-            parts = [
-                _read_part.remote(
+            # frontier: walk back to the latest FULL backlog snapshot,
+            # then replay each delta wave's (admitted, new) pair
+            from ..sources.checkpoint import load_manifest
+
+            chain = []
+            base_m = manifest
+            while not base_m.backlog_full:
+                chain.append(base_m)
+                prev = load_manifest(str(ckpt), base_m.wave - 1)
+                if prev is None:
+                    raise RuntimeError(
+                        f"no full backlog snapshot at or before wave {manifest.wave}"
+                    )
+                base_m = prev
+            chain.reverse()  # waves base+1 .. manifest.wave ascending
+            parts = []
+            for p in range(n_parts):
+                base_ref = _read_part.remote(
                     [
-                        f"{manifest.backlog_path}/part{p:04d}_rest.parquet",
-                        f"{manifest.backlog_path}/part{p:04d}_new.parquet",
+                        f"{base_m.backlog_path}/part{p:04d}_rest.parquet",
+                        f"{base_m.backlog_path}/part{p:04d}_new.parquet",
                     ]
                 )
-                for p in range(n_parts)
-            ]
+                steps = [
+                    (
+                        f"{m.backlog_path}/admitted.parquet",
+                        f"{m.backlog_path}/part{p:04d}_new.parquet",
+                    )
+                    for m in chain
+                ]
+                parts.append(
+                    [_replay_part.remote(base_ref, steps) if steps else base_ref]
+                )
+            last_full_wave = base_m.wave
             start_wave = manifest.wave + 1
             next_seq = manifest.next_fetch_seq
             cumulative = dict(manifest.cumulative)
         else:
-            seed_tbl = build_seed_frontier(cfg, seen)
-            parts = [ray.put(t) for t in _split_frontier(seed_tbl, n_parts)]
+            parts = [[r] for r in build_seed_parts(cfg, seen)]
         B = cfg.host_budget
         cand_pairs = [
-            _part_candidates.remote(parts[p], B, cfg.wave_size) for p in range(n_parts)
+            _part_candidates.remote(parts[p][0], B, cfg.wave_size)
+            for p in range(n_parts)
         ]
         cand_refs = [c for c, _ in cand_pairs]
         key_refs = [k for _, k in cand_pairs]
@@ -385,16 +543,43 @@ def run_crawl(
             # ---- overlapped with fetch: rest-of-frontier (partition ∖
             # admitted) and its checkpoint parquet write.  Plain Ray
             # tasks — they fill scheduler gaps during the fetch and are
-            # joined before the manifest commit below.
+            # joined before the manifest commit below.  Delta waves
+            # skip the O(frontier) rest rewrite and persist only the
+            # admitted keys (+ the new rows after the links barrier):
+            # resume replays the chain from the latest full snapshot.
             backlog_path = str(out / "backlog" / f"wave={wave:06d}")
             clear_partition(backlog_path)
-            rest_refs = [_part_rest.remote(parts[p], seq_ref) for p in range(n_parts)]
-            rest_writes = [
-                _write_part.remote(
-                    rest_refs[p], f"{backlog_path}/part{p:04d}_rest.parquet"
-                )
+            Path(backlog_path).mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(seq_map, preserve_index=False),
+                f"{backlog_path}/admitted.parquet",
+            )
+            write_full = (
+                last_full_wave < 0
+                or wave - last_full_wave >= cfg.backlog_full_every
+            )
+            rest_pairs = [
+                _part_rest.remote(seq_ref, *parts[p]) for p in range(n_parts)
+            ]
+            rest_refs = [t for t, _ in rest_pairs]
+            rest_count_refs = [c for _, c in rest_pairs]
+            # the O(frontier) half of NEXT wave's admission also runs
+            # during the fetch; the links barrier then only merges it
+            # with the (small) new-link candidates
+            cand_rest_refs = [
+                _rest_candidates.remote(rest_refs[p], B, cfg.wave_size)
                 for p in range(n_parts)
             ]
+            rest_writes = (
+                [
+                    _write_part.remote(
+                        rest_refs[p], f"{backlog_path}/part{p:04d}_rest.parquet"
+                    )
+                    for p in range(n_parts)
+                ]
+                if write_full
+                else []
+            )
 
             # ---- fetch + decode-verify(+features), FUSED (cached
             # tasks; politeness already enforced).  One pass per row
@@ -491,17 +676,20 @@ def run_crawl(
                 )
             _mark("links")
 
-            # ---- merge: partition' = rest ∪ new; the same task round
-            # computes the NEXT wave's admission candidates, so wave
-            # k+1 starts with a driver-side key sort and nothing else.
-            merged = [
-                _merge_part.remote(rest_refs[p], frontier_refs[p], B, cfg.wave_size)
+            # ---- next-wave candidates: merge the (pre-pruned, fetch-
+            # hidden) rest candidates with the new links' candidates —
+            # an O(wave_size + new) round, frontier-size-free.  The
+            # partition itself stays as its two halves; next wave's
+            # _part_rest concatenates them inside its own hidden scan.
+            fc = [
+                _final_candidates.remote(
+                    cand_rest_refs[p], frontier_refs[p], B, cfg.wave_size
+                )
                 for p in range(n_parts)
             ]
-            parts = [m[0] for m in merged]
-            cand_refs = [m[1] for m in merged]
-            key_refs = [m[2] for m in merged]
-            count_refs = [m[3] for m in merged]
+            cand_refs = [c for c, _ in fc]
+            key_refs = [k for _, k in fc]
+            parts = [[rest_refs[p], frontier_refs[p]] for p in range(n_parts)]
             new_writes = [
                 _write_part.remote(
                     frontier_refs[p], f"{backlog_path}/part{p:04d}_new.parquet"
@@ -526,8 +714,10 @@ def run_crawl(
             # the backlog was written during the fetch; only the new-
             # half writes + seen snapshots remain serial here.
             ray.get(rest_writes + new_writes)
+            if write_full:
+                last_full_wave = wave
             snaps = seen.snapshot(str(ckpt), wave)
-            n_backlog = int(sum(ray.get(count_refs)))
+            n_backlog = int(sum(ray.get(rest_count_refs))) + int(n_new)
             _mark("checkpoint")
             wave_metrics = {
                 "phase_sec": phase_t,
@@ -555,6 +745,7 @@ def run_crawl(
                     crawl_log_path=log_path,
                     metrics=wave_metrics,
                     cumulative=cumulative,
+                    backlog_full=write_full,
                 ),
             )
         return {

@@ -28,6 +28,10 @@ class WaveManifest:
     crawl_log_path: str
     metrics: dict = field(default_factory=dict)
     cumulative: dict = field(default_factory=dict)
+    # True when backlog_path holds FULL per-partition rest files; False
+    # for delta waves (admitted keys + new rows only — resume replays
+    # the chain back to the latest full snapshot)
+    backlog_full: bool = True
 
     def path(self, root: str) -> Path:
         return Path(root) / f"manifest_wave{self.wave:06d}.json"

@@ -80,3 +80,34 @@ def test_resume_noop_when_complete(tmp_path):
     again = run_crawl(CFG, out, resume=True)
     assert again["by_wave"] == {}          # nothing left to do
     pd.testing.assert_frame_equal(before, read_crawl_log(out))
+
+
+def test_delta_backlog_chain_resume(tmp_path):
+    """Delta backlog checkpoints: only every Kth wave writes the
+    O(frontier) rest files; the others persist admitted keys + new rows,
+    and resume replays the chain from the latest full snapshot."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, n_waves=5, backlog_full_every=2)
+    full_dir, resumed_dir = str(tmp_path / "full"), str(tmp_path / "resumed")
+    full_metrics = run_crawl(cfg, full_dir)
+
+    # cadence: wave 0 full, 1 delta, 2 full, 3 delta, 4 full
+    from cs_insights_crawler_ray.sources.checkpoint import load_manifest
+
+    for w, want_full in [(0, True), (1, False), (2, True), (3, False), (4, True)]:
+        m = load_manifest(f"{full_dir}/checkpoints", w)
+        assert m is not None and m.backlog_full == want_full, (w, m and m.backlog_full)
+        rest = list(Path(m.backlog_path).glob("part*_rest.parquet"))
+        assert bool(rest) == want_full, (w, rest)
+        assert (Path(m.backlog_path) / "admitted.parquet").exists()
+
+    # kill after wave 3 (a DELTA wave) -> resume must replay base=2 + chain=[3]
+    run_crawl(replace(cfg, n_waves=4), resumed_dir)
+    m = latest_manifest(f"{resumed_dir}/checkpoints")
+    assert m is not None and m.wave == 3 and not m.backlog_full
+    part2 = run_crawl(cfg, resumed_dir, resume=True)
+    assert sorted(part2["by_wave"].keys()) == [4]
+    assert part2["cumulative"] == full_metrics["cumulative"]
+    pd.testing.assert_frame_equal(read_crawl_log(full_dir), read_crawl_log(resumed_dir))
+    pd.testing.assert_frame_equal(_payload_df(full_dir), _payload_df(resumed_dir))
