@@ -16,7 +16,8 @@ from collections.abc import Callable
 from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
-    ann, crawl_queries, dblp, dedup, multimodal_queries, relational as R, textops)
+    ann, cluster, crawl_queries, dblp, dedup, mlprep, multimodal_queries,
+    relational as R, textops)
 
 
 def entry() -> Any:
@@ -86,6 +87,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal stages (stub codecs; pytest oracles) ---------
         "q36_audio_features": multimodal_queries.q36_audio_features,
         "q37_video_frame_phashes": multimodal_queries.q37_video_frame_phashes,
+        # -- training-data prep: clustering / quantiles / tf-idf /
+        #    stratified sampling (pipelines/cluster.py, mlprep.py) ----
+        "q46_kmeans": cluster.q46_kmeans,
+        "q47_semantic_dedup": cluster.q47_semantic_dedup,
+        "q48_grouped_quantiles": mlprep.q48_grouped_quantiles,
+        "q49_tfidf_top_terms": mlprep.q49_tfidf_top_terms,
+        "q50_stratified_sample": mlprep.q50_stratified_sample,
     }
 
 
@@ -652,5 +660,91 @@ def oracle_sql() -> dict[str, str]:
         "q37_video_frame_phashes": f"""
             SELECT video_id, frame_idx, phash
             FROM read_parquet('{_artifact_glob("video_seq")}')
+        """,
+        # q46: sequential pure-Python-int k-means re-derivation
+        # (oracle_artifacts._build_kmeans) — the distributed fit's
+        # int64 fixed-point contract makes serial == parallel exact
+        "q46_kmeans": f"""
+            SELECT vec_id, cluster
+            FROM read_parquet('{_artifact_glob("kmeans_seq")}')
+        """,
+        # q47: within-cluster cosine pairs recomputed by DuckDB over
+        # the SEQUENTIAL fit's clusters (same labels by the q46
+        # contract); DOUBLE[] cast + min-id representative keep the
+        # compare float-order-free (cos is reported, never compared
+        # against another cos)
+        "q47_semantic_dedup": f"""
+            WITH c AS (SELECT vec_id, cluster
+                       FROM read_parquet('{_artifact_glob("kmeans_seq")}')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+                       list_cosine_similarity(ea.emb, eb.emb) AS cos
+                FROM c a
+                JOIN c b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+                WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45)
+            SELECT vec_id, nb AS dup_of, round(cos, 6) AS cos
+            FROM p
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY nb) = 1
+        """,
+        # q48: PERCENTILE_DISC via the same INTEGER rank formula as
+        # the kernel — ceil(num*N/den) = (num*N - 1) // den + 1; float
+        # ceil(q*N) flips just above integers (ceil(0.07*100) == 8)
+        "q48_grouped_quantiles": """
+            WITH counts AS (
+                SELECT source, n_chars AS v, count(*) AS c
+                FROM documents GROUP BY 1, 2),
+            w AS (
+                SELECT source, v,
+                       sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                       sum(c) OVER (PARTITION BY source) AS tot
+                FROM counts)
+            SELECT source,
+                   CAST(min(CASE WHEN cum >= (1 * tot - 1) // 2 + 1
+                            THEN v END) AS BIGINT)  AS p50,
+                   CAST(min(CASE WHEN cum >= (9 * tot - 1) // 10 + 1
+                            THEN v END) AS BIGINT)  AS p90,
+                   CAST(min(CASE WHEN cum >= (99 * tot - 1) // 100 + 1
+                            THEN v END) AS BIGINT)  AS p99
+            FROM w GROUP BY source
+        """,
+        # q49: integer/string output columns; the tf*ln(N/df) ranking
+        # uses the identical IEEE ops on both sides and falls through
+        # to (tf DESC, term ASC) on mathematically-tied scores
+        "q49_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                           AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfx AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfx.df AS DOUBLE))
+                           AS score
+                FROM tf JOIN dfx USING (term) CROSS JOIN n)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, tf DESC, term ASC) <= 3
+        """,
+        # q50: the keep-predicate replayed verbatim — DuckDB's md5 of
+        # the stringified key, first 8 hex chars as the hash value
+        "q50_stratified_sample": """
+            WITH s AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN s USING (source)
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % s.n < least(s.n, 8)
         """,
     }

@@ -1,0 +1,239 @@
+"""Distributed k-means + semantic (cluster-bucketed) near-dup.
+
+The SemDeDup-shaped path a 100 TB training-data pipeline needs on top
+of the LSH/MinHash family in ``pipelines/dedup.py``: cluster the
+embedding space with k-means, then search for near-duplicates ONLY
+inside each cluster — the cluster is the bucket, so all-pairs work
+drops from O(n²) to Σ|cluster|².
+
+Reference scale analog: the reference's only dedup is the md5 file
+cache (``dblpclient.py:442-443``); this module is part of the
+beyond-reference dedup surface the build contract asks for.
+
+Determinism contract (the repo invariant: ordering is data, float
+sums are block-order-dependent): ALL k-means arithmetic is int64
+fixed-point —
+
+- vectors quantize to ``round(v * 2^20)`` (embeddings are unit-norm,
+  so |q| < 2^20 and a 64-dim squared distance < 2^47: exact in int64),
+- assignment = integer argmin of squared distance, ties to the lowest
+  cluster index,
+- centroid update = ``(Σq + count//2) // count`` (floor division,
+  identical in numpy ``floor_divide`` and Python ``//``),
+
+so per-batch partial sums fold to the same centroids regardless of
+block count, order, or parallelism, and the distributed fit is
+bit-identical to the sequential pure-Python oracle
+(``oracle_artifacts._build_kmeans``) the driver's SQL reads.
+
+Scale shape (Lloyd's): each iteration is one ``map_batches`` pass
+emitting k partial (count, Σq) rows per block — only O(blocks × k × d)
+ints reach the driver, never vectors.  The embeddings dataset is
+``materialize()``-d once (vec_id + embedding only) because an
+iterative fit re-reads its input ``iters`` times; at 100 TB this is
+the standard cache-or-re-read trade and the object store spills it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.broadcast import bget
+
+KM_SCALE = 1 << 20
+KM_K = 8
+KM_ITERS = 8
+
+
+def quantize_embeddings(mat: np.ndarray) -> np.ndarray:
+    """float -> int64 fixed-point (round-half-even, matching Python
+    ``round``)."""
+    return np.rint(np.asarray(mat, dtype=np.float64) * KM_SCALE).astype(np.int64)
+
+
+def assign_clusters(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Integer argmin of exact squared distance; ties -> lowest index.
+
+    Loops over k (small) rather than materializing an (n, k, d) cube;
+    every op is int64-exact so the result is order-independent."""
+    best_d = None
+    best = np.zeros(len(q), dtype=np.int32)
+    for ci in range(len(cents)):
+        diff = q - cents[ci]
+        d = np.einsum("ij,ij->i", diff, diff)  # int64 exact (< 2^47)
+        if best_d is None:
+            best_d = d
+        else:
+            better = d < best_d  # strict: ties keep the lower index
+            best[better] = ci
+            best_d = np.minimum(best_d, d)
+    return best
+
+
+def _stack_embeddings(col: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_numpy()])
+
+
+def _embeddings_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _init_centroids(ds: rd.Dataset, k: int) -> np.ndarray:
+    """Deterministic data-derived init: the k smallest vec_ids'
+    quantized vectors (partial min-k per block -> bounded driver
+    merge — the q09 top-k shape, no sort shuffle)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(k, "vec_id")
+
+    rows = (
+        ds.map_batches(local, batch_format="pandas")
+        .to_pandas()  # bounded: n_blocks × k rows
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id")
+    )
+    return quantize_embeddings(_stack_embeddings(rows["embedding"]))
+
+
+def kmeans_fit(
+    sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
+) -> np.ndarray:
+    """Distributed Lloyd's fit -> int64 centroid matrix (k, d)."""
+    ds = _embeddings_ds(sf_dir).materialize()
+    cents = _init_centroids(ds, k)
+    d = cents.shape[1]
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            c = bget(cref)
+            q = quantize_embeddings(_stack_embeddings(b["embedding"]))
+            a = assign_clusters(q, c)
+            out_c, out_n, out_s = [], [], []
+            for ci in np.unique(a):
+                sel = q[a == ci]
+                out_c.append(int(ci))
+                out_n.append(len(sel))
+                out_s.append(sel.sum(axis=0))  # int64 exact
+            return pd.DataFrame({"cluster": out_c, "count": out_n, "sums": out_s})
+
+        # bounded driver materialization: n_blocks × k rows of
+        # (cluster, count, Σq) partials — never vectors
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        for ci, n, s in zip(parts["cluster"], parts["count"], parts["sums"]):
+            counts[ci] += n
+            sums[ci] += np.asarray(s, dtype=np.int64)
+        nz = counts > 0
+        new_c = cents.copy()
+        new_c[nz] = np.floor_divide(
+            sums[nz] + (counts[nz] // 2)[:, None], counts[nz][:, None]
+        )
+        if np.array_equal(new_c, cents):
+            break  # converged — further iterations are identity
+        cents = new_c
+    return cents
+
+
+def q46_kmeans(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> rd.Dataset:
+    """(vec_id, cluster) assignment under the distributed fit.
+
+    SQL oracle: ``oracle_artifacts._build_kmeans`` re-derives the same
+    spec with pure-Python ints, sequentially, in one process — a
+    genuinely independent execution path (catches dtype/overflow/
+    batch-boundary bugs in the vectorized fit, the naive_text
+    philosophy)."""
+    cents = kmeans_fit(sf_dir, k, iters)
+    cref = ray.put(cents)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        c = bget(cref)
+        q = quantize_embeddings(_stack_embeddings(b["embedding"]))
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "cluster": assign_clusters(q, c).astype(np.int32),
+            }
+        )
+
+    return _embeddings_ds(sf_dir).map_batches(label, batch_format="pandas")
+
+
+def q47_semantic_dedup(
+    sf_dir: str,
+    threshold: float = 0.45,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> pa.Table:
+    """SemDeDup-shaped semantic near-dup: exact cosine pairs WITHIN
+    each k-means cluster; each duplicate row points at its lowest-id
+    in-cluster neighbor above threshold -> (vec_id, dup_of, cos).
+
+    Scale: the cluster id is the shuffle key (k keyed groups, payload
+    = the cluster's vectors only); within a cluster the comparison is
+    one float64 matmul.  Giant clusters would recurse through the
+    hyperplane-bucketed q23 path — at this suite's scale a cluster is
+    a single group task.  Threshold 0.45 for the same reason as q23b
+    (random embeddings: max pair cosine ~0.5).
+
+    min-id (not max-cos) is the representative rule so the output is
+    float-comparison-free: cos is reported, never compared against
+    another cos."""
+    cents = kmeans_fit(sf_dir, k, iters)
+    cref = ray.put(cents)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        c = bget(cref)
+        q = quantize_embeddings(_stack_embeddings(b["embedding"]))
+        b = b[["vec_id", "embedding"]].copy()
+        b["cluster"] = assign_clusters(q, c).astype(np.int32)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "dup_of": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        m = _stack_embeddings(g["embedding"])
+        m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        cos = m @ m.T
+        # qualifying lower-id neighbor mask (strict lower triangle)
+        mask = (cos >= threshold) & (ids[None, :] < ids[:, None])
+        has = mask.any(axis=1)
+        # rows sorted by vec_id => argmax(mask) = LOWEST qualifying id
+        j = np.argmax(mask, axis=1)
+        ii = np.nonzero(has)[0]
+        return pd.DataFrame(
+            {
+                "vec_id": ids[ii],
+                "dup_of": ids[j[ii]],
+                "cos": np.round(cos[ii, j[ii]], 6),
+            }
+        )
+
+    from .dedup import _typed_pairs
+
+    out = (
+        _embeddings_ds(sf_dir)
+        .map_batches(label, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # dup sets are tiny relative to the corpus; materialize with an
+    # explicit schema so an EMPTY result still carries its columns
+    return _typed_pairs(out, ("vec_id", "dup_of", "cos"))

@@ -1,0 +1,250 @@
+"""Training-data preparation operators: exact grouped quantiles,
+TF-IDF term ranking, deterministic stratified sampling.
+
+Three more of the operations a 100 TB corpus pipeline needs beyond
+the reference's surface (the reference computes nothing statistical —
+its closest analog is the debug-log timing arithmetic in
+``s2client.py:128-141``).  All three are fully SQL-oracled: every
+ranking/selection decision is made in integer space (or on doubles
+computed by the identical IEEE operation on both sides), so the
+driver's value-hash compare is exact, never tolerance-based.
+
+Scale shapes:
+
+- quantiles: per-block value-count partials -> coarse keyed sum (the
+  ``_grouped_sum_parts`` trick) -> per-stratum quantile pick over the
+  VALUE HISTOGRAM.  Work after the first pass is O(distinct values),
+  not O(rows) — the standard exact-quantile shape for discrete/binned
+  columns (for unbounded continuous columns you'd bin first or accept
+  a mergeable sketch).
+- tf-idf: document-frequency partials aggregate once (vocabulary
+  scale), the idf table broadcasts (``ray.put`` once, ``bget`` per
+  process), and the per-doc tf + top-k runs inside one ``map_batches``
+  pass with NO doc-side shuffle (a doc's tokens never leave its row).
+- stratified sample: per-stratum counts (one tiny aggregate) broadcast
+  into a stateless keep-predicate ``h(doc_id) mod n_s < target`` — no
+  reservoir state, no driver pass, identical row set on ANY cluster
+  shape/ordering.  md5 is the hash so DuckDB can replay the predicate
+  verbatim (production would use the vectorized crc32 kernel in
+  pipelines/dedup.py; md5-per-key is the price of a bit-exact SQL
+  cross-check and is cheap next to tokenization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.broadcast import bget
+
+_WORD_RE = re.compile(r"[0-9a-z_]+")
+
+# exact quantile fractions as integer rationals: rank arithmetic stays
+# in integer space (float ceil(q*N) flips when q*N lands just above an
+# integer — e.g. ceil(0.07*100) == 8 — and the driver hash would flake)
+QUANTILES: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def q48_grouped_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-source quantiles of documents.n_chars ->
+    (source, p50, p90, p99).
+
+    PERCENTILE_DISC semantics: the value at 1-indexed rank
+    ``ceil(num*N/den)`` of the sorted column — mirrored in the oracle
+    with the same integer rank formula ``(num*N - 1) // den + 1``."""
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def hist_part(b: pd.DataFrame) -> pd.DataFrame:
+        # per-block histogram partial; only (source, value, count)
+        # rows cross the coarse stratum-keyed shuffle
+        g = b.groupby(["source", "n_chars"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        h = (
+            np.frombuffer(
+                b"".join(hashlib.md5(s.encode()).digest()[:8] for s in g["source"]),
+                dtype=np.uint64,
+            )
+            if len(g)
+            else np.array([], dtype=np.uint64)
+        )
+        g["_part"] = (h % np.uint64(8)).astype(np.int32)
+        return g
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"source": [], **{name: [] for name, _, _ in QUANTILES}}
+        for src, grp in g.groupby("source"):
+            grp = grp.groupby("n_chars", as_index=False)["cnt"].sum().sort_values(
+                "n_chars"
+            )
+            vals = grp["n_chars"].to_numpy()
+            cum = grp["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            out["source"].append(src)
+            for name, num, den in QUANTILES:
+                rank = (num * n - 1) // den + 1  # ceil(num*n/den), ints only
+                out[name].append(int(vals[np.searchsorted(cum, rank)]))
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(hist_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# idf tables beyond this row count should hash-join instead of
+# broadcast (same adaptive pattern as relational.BROADCAST_KEY_LIMIT);
+# vocabulary grows ~log(corpus), so broadcast is the 100 TB default
+BROADCAST_VOCAB_LIMIT = 2_000_000
+
+
+def q49_tfidf_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
+    """Per-document top-``top`` terms by tf-idf ->
+    (doc_id, term, tf, df).
+
+    idf = ln(N/df) on float64; score = tf * idf.  Both sides compute
+    the identical double (same division, same libm log, same multiply)
+    and the OUTPUT columns are integers/strings only, so float
+    determinism affects ranking alone — and mathematically-tied scores
+    fall through to the integer tie-break (tf desc, term asc)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens(b: pd.DataFrame) -> pd.Series:
+        return b["text"].str.lower().str.findall(_WORD_RE)
+
+    # ---- pass 1: document frequency (one aggregate at vocab scale)
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        terms = tokens(b).map(set)
+        flat: list[str] = []
+        for s in terms:
+            flat.extend(s)
+        g = pd.Series(flat, dtype="object").value_counts()
+        return pd.DataFrame({"term": g.index.astype(str), "df_part": g.to_numpy()})
+
+    # string-keyed coarse grouped sum (relational._grouped_sum_parts
+    # hashes int keys; terms partition by crc32 — same shape: only
+    # pre-combined (term, df_part) partials cross the 8-way exchange)
+    def df_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("term", as_index=False)["df_part"].sum()
+        g["_part"] = np.array(
+            [zlib.crc32(t.encode()) & 7 for t in g["term"]], dtype=np.int32
+        )
+        return g
+
+    def df_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)["df_part"].sum()
+        return out.rename(columns={"df_part": "df"})
+
+    df_rows = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .map_batches(df_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(df_final, batch_format="pandas")
+        .to_pandas()  # bounded: vocabulary rows
+    )
+    if len(df_rows) > BROADCAST_VOCAB_LIMIT:  # pragma: no cover - scale guard
+        raise NotImplementedError(
+            "vocabulary exceeds broadcast limit; hash-join the idf table "
+            "(relational.q05's left_semi shape) instead of broadcasting"
+        )
+    n_docs = docs.count()
+    idf = {t: math.log(n_docs / int(d)) for t, d in zip(df_rows["term"], df_rows["df"])}
+    df_map = dict(zip(df_rows["term"], df_rows["df"].astype(int)))
+    lut_ref = ray.put((idf, df_map))
+
+    # ---- pass 2: per-doc tf + top-k, zero doc-side shuffle
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        idf_l, df_l = bget(lut_ref)
+        toks = tokens(b)
+        doc_ids = np.repeat(
+            b["doc_id"].to_numpy().astype(np.int64), toks.str.len().to_numpy()
+        )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) if len(
+            toks
+        ) else np.array([], dtype=object)
+        tf = (
+            pd.DataFrame({"doc_id": doc_ids, "term": flat})
+            .groupby(["doc_id", "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf["score"] = tf["tf"].to_numpy() * tf["term"].map(idf_l).to_numpy()
+        tf = tf.sort_values(
+            ["doc_id", "score", "tf", "term"],
+            ascending=[True, False, False, True],
+        )
+        out = tf.groupby("doc_id", as_index=False).head(top)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "term": out["term"].astype(str),
+                "tf": out["tf"].astype("int64"),
+                "df": out["term"].map(df_l).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(topk, batch_format="pandas")
+
+
+def _md5_mod(keys: pd.Series) -> np.ndarray:
+    """First-8-hex-chars of md5(str(key)) as uint64 — DuckDB-replayable
+    (``CAST('0x' || substring(md5(k),1,8) AS BIGINT)``)."""
+    return np.array(
+        [
+            int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+            for k in keys.to_numpy()
+        ],
+        dtype=np.int64,
+    )
+
+
+def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
+    """Deterministic stratified subsample: ~``target`` docs per source
+    stratum -> (doc_id, source).
+
+    keep iff  md5_64(doc_id) mod n_s < min(n_s, target)  — an exact,
+    stateless, order-independent predicate (expected kept count =
+    target for a uniform hash; EXACT row set fixed by the data alone).
+    The per-stratum counts are the only coordination: one tiny
+    aggregate, broadcast once."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).size()
+        return g.rename(columns={"size": "n_part"})
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()  # bounded: n_blocks × n_strata rows
+        .groupby("source")["n_part"]
+        .sum()
+        .to_dict()
+    )
+    cref = ray.put(counts)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = bget(cref)
+        h = _md5_mod(b["doc_id"])
+        ns = b["source"].map(cmap).to_numpy().astype(np.int64)
+        mask = (h % ns) < np.minimum(ns, target)
+        out = b.loc[mask, ["doc_id", "source"]]
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype("int64"), "source": out["source"].astype(str)}
+        )
+
+    return docs.map_batches(keep, batch_format="pandas")

@@ -227,6 +227,67 @@ def _build_q23(sf_dir: str) -> None:
     q23_embedding_neardup_recall(sf_dir)
 
 
+def _build_kmeans(sf_dir: str) -> None:
+    """q46/q47: sequential pure-Python-int k-means re-derivation of
+    pipelines/cluster.py's spec (quantize round-half-even to 2^20,
+    integer argmin assignment with lowest-index ties, floor-division
+    centroid update) — no numpy, one process, rows in vec_id order.
+    Catches dtype/overflow/batch-boundary bugs in the vectorized
+    distributed fit; bit-equality is guaranteed by the module's
+    int64-only arithmetic contract."""
+    from .cluster import KM_ITERS, KM_K, KM_SCALE
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+        key=lambda r: r[0],
+    )
+    vecs = [[round(float(x) * KM_SCALE) for x in emb] for _, emb in rows]
+    ids = [i for i, _ in rows]
+    d = len(vecs[0])
+    cents = [list(vecs[i]) for i in range(KM_K)]  # k smallest vec_ids
+
+    def assign(v: list) -> int:
+        best, best_d = 0, None
+        for ci, c in enumerate(cents):
+            dist = sum((a - b) * (a - b) for a, b in zip(v, c))
+            if best_d is None or dist < best_d:  # strict: ties keep lower
+                best, best_d = ci, dist
+        return best
+
+    labels = [0] * len(vecs)
+    for _ in range(KM_ITERS):
+        labels = [assign(v) for v in vecs]
+        sums = [[0] * d for _ in range(KM_K)]
+        counts = [0] * KM_K
+        for v, a in zip(vecs, labels):
+            counts[a] += 1
+            for j in range(d):
+                sums[a][j] += v[j]
+        new_c = [
+            [(s + counts[ci] // 2) // counts[ci] for s in sums[ci]]
+            if counts[ci]
+            else list(cents[ci])
+            for ci, _ in enumerate(cents)
+        ]
+        if new_c == cents:
+            break
+        cents = new_c
+    labels = [assign(v) for v in vecs]  # final labels under final cents
+    write_atomic(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(labels, pa.int32()),
+            }
+        ),
+        "kmeans_seq",
+        sf_dir,
+    )
+
+
 _BUILDERS = {
     "sim_order": _build_sim,
     "sim_payload": _build_sim,
@@ -237,4 +298,5 @@ _BUILDERS = {
     "q16_lsh": _build_q16,
     "q41_ivf": _build_q41,
     "q23_lsh": _build_q23,
+    "kmeans_seq": _build_kmeans,
 }

@@ -1,0 +1,130 @@
+"""Property tests for the training-data-prep operators (q46-q50).
+
+The value-level oracle compare runs in test_relational.py (the
+parametrized driver-gate mimic picks q46-q50 up automatically from
+oracle_sql()); these tests pin the determinism/semantics properties
+that make those compares exact.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from cs_insights_crawler_ray.pipelines import mlprep
+from cs_insights_crawler_ray.pipelines.cluster import (
+    KM_SCALE,
+    assign_clusters,
+    kmeans_fit,
+    q47_semantic_dedup,
+    quantize_embeddings,
+)
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_kmeans_partial_sums_are_order_independent():
+    """The int64 fixed-point contract: folding per-batch partials in
+    any split/order yields identical centroid updates."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    mat = rng.standard_normal((97, 8))
+    q = quantize_embeddings(mat)
+    cents = q[:4].copy()
+    a = assign_clusters(q, cents)
+
+    def update(order: np.ndarray, splits: int) -> np.ndarray:
+        sums = np.zeros((4, 8), dtype=np.int64)
+        counts = np.zeros(4, dtype=np.int64)
+        for chunk in np.array_split(order, splits):
+            qa, aa = q[chunk], a[chunk]
+            for ci in np.unique(aa):
+                sums[ci] += qa[aa == ci].sum(axis=0)
+                counts[ci] += int((aa == ci).sum())
+        nz = counts > 0
+        out = cents.copy()
+        out[nz] = np.floor_divide(
+            sums[nz] + (counts[nz] // 2)[:, None], counts[nz][:, None]
+        )
+        return out
+
+    base = update(np.arange(97), 1)
+    for seed, splits in [(1, 7), (2, 13), (3, 97)]:
+        perm = np.random.Generator(np.random.PCG64(seed)).permutation(97)
+        assert np.array_equal(update(perm, splits), base)
+
+
+def test_assign_ties_go_to_lowest_cluster():
+    q = np.zeros((3, 2), dtype=np.int64)
+    cents = np.array([[1, 0], [0, 1], [-1, 0]], dtype=np.int64)  # all dist 1
+    assert assign_clusters(q, cents).tolist() == [0, 0, 0]
+
+
+def test_kmeans_fit_matches_sequential_oracle(ray_session):
+    """Distributed blocked fit == sequential pure-Python fit, element
+    for element (the strongest block-order-invariance check: the
+    oracle is a completely different execution order)."""
+    from cs_insights_crawler_ray.pipelines.oracle_artifacts import ensure
+
+    import pyarrow.parquet as pq
+
+    cents = kmeans_fit(SF_DIR)
+    path = ensure("kmeans_seq", SF_DIR)
+    labels_seq = pq.read_table(path).to_pandas().sort_values("vec_id")
+    tbl = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    q = quantize_embeddings(np.stack([np.asarray(v, np.float64) for v in tbl["embedding"]]))
+    assert assign_clusters(q, cents).tolist() == labels_seq["cluster"].tolist()
+
+
+def test_semantic_dedup_points_at_lower_id(ray_session):
+    df = q47_semantic_dedup(SF_DIR).to_pandas()
+    if len(df):
+        assert (df["dup_of"] < df["vec_id"]).all()
+        assert (df["cos"] >= 0.45 - 1e-9).all()
+    # deterministic across runs
+    df2 = q47_semantic_dedup(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("vec_id").reset_index(drop=True),
+        df2.sort_values("vec_id").reset_index(drop=True),
+    )
+
+
+def test_quantile_rank_formula_is_float_safe():
+    """(num*n - 1) // den + 1 == exact ceil(num*n/den) for every n —
+    float ceil is the bug class avoided: ceil(0.07*100) == 8 because
+    0.07*100 == 7.000000000000001 in binary."""
+    import math
+
+    assert math.ceil(0.07 * 100) == 8  # the failure class the ints avoid
+    assert (7 * 100 - 1) // 100 + 1 == 7
+    for n in range(1, 2001):
+        for num, den in ((1, 2), (9, 10), (99, 100), (7, 100)):
+            assert (num * n - 1) // den + 1 == -((-num * n) // den)
+
+
+def test_tfidf_output_shape(ray_session):
+    df = mlprep.q49_tfidf_top_terms(SF_DIR).to_pandas()
+    n_docs = len(pd.read_parquet(f"{SF_DIR}/documents.parquet"))
+    assert (df.groupby("doc_id").size() <= 3).all()
+    assert (df["tf"] >= 1).all()
+    assert df["df"].between(1, n_docs).all()
+
+
+def test_stratified_sample_is_deterministic_subset(ray_session):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    s1 = mlprep.q50_stratified_sample(SF_DIR).to_pandas()
+    s2 = mlprep.q50_stratified_sample(SF_DIR).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "source"]].to_numpy()))
+    assert key(s1) == key(s2)
+    assert set(s1["doc_id"]) <= set(docs["doc_id"])
+    per = s1.groupby("source").size()
+    n_per = docs.groupby("source").size()
+    assert (per <= n_per.loc[per.index]).all()
+    assert len(s1) > 0
