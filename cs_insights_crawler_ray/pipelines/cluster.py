@@ -103,10 +103,19 @@ def _init_centroids(ds: rd.Dataset, k: int) -> np.ndarray:
     return quantize_embeddings(_stack_embeddings(rows["embedding"]))
 
 
+# driver-side fit cache: q46 and q47 share one fit per input (the
+# centroid matrix is k×d ints — trivially small; the fit is `iters`
+# dataset passes, worth not repeating)
+_FIT_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def kmeans_fit(
     sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
 ) -> np.ndarray:
     """Distributed Lloyd's fit -> int64 centroid matrix (k, d)."""
+    key = (sf_dir, k, iters)
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
     ds = _embeddings_ds(sf_dir).materialize()
     cents = _init_centroids(ds, k)
     d = cents.shape[1]
@@ -141,6 +150,7 @@ def kmeans_fit(
         if np.array_equal(new_c, cents):
             break  # converged — further iterations are identity
         cents = new_c
+    _FIT_CACHE[key] = cents
     return cents
 
 
