@@ -68,7 +68,8 @@ def run_bench() -> dict:
 
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
-    from cs_insights_crawler_ray.pipelines import ann, dedup, relational as R, textops
+    from cs_insights_crawler_ray.pipelines import (
+        ann, cluster, dedup, mlprep, relational as R, textops)
 
     # warm the page cache so we measure compute + shuffle, not cold reads
     import pyarrow.parquet as pq
@@ -164,6 +165,14 @@ def run_bench() -> dict:
         timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
         timed("q42_hopping_window", R.q42_hopping_window)
         timed("q44_parts_rollup", R.q44_parts_rollup)
+        timed("q35_count_distinct", R.q35_count_distinct)
+        # round-3 training-data prep family (q46 includes the
+        # iterative k-means fit; q47 reuses it via the fit cache)
+        timed("q46_kmeans", cluster.q46_kmeans)
+        timed("q47_semantic_dedup", cluster.q47_semantic_dedup)
+        timed("q48_grouped_quantiles", mlprep.q48_grouped_quantiles)
+        timed("q49_tfidf_top_terms", mlprep.q49_tfidf_top_terms)
+        timed("q50_stratified_sample", mlprep.q50_stratified_sample)
 
     ray.shutdown()
 
