@@ -383,28 +383,51 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         # pull the (bounded) pair set with a single Arrow->pandas
         # conversion — row-dict iteration (take_all) measured ~800x
         # slower per row at sf0.1
-        pdf = cand.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-        ids = set(pdf["a"]).union(pdf["b"])
-        cand = rd.from_pandas(pdf.reset_index(drop=True).astype("int64"))
-        id_ref = ray.put(ids)
+        pdf = (
+            cand.to_pandas()
+            .drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        ids_arr = np.unique(
+            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
+        )
+        id_ref = ray.put(ids_arr)
         texts = {}
         for bt in docs.map_batches(
             lambda t: t.filter(
-                pa.array([i in bget(id_ref) for i in t["doc_id"].to_pylist()])
+                # vectorized membership vs the sorted candidate-id
+                # array (a Python `in set` loop here cost ~0.3s/pass
+                # at sf0.1)
+                pa.array(np.isin(t["doc_id"].to_numpy(), bget(id_ref)))
             ),
             batch_format="pyarrow",
         ).iter_batches(batch_format="pandas"):
             texts.update(zip(bt["doc_id"], bt["text"]))
         text_ref = ray.put(texts)
 
-        def verify_b(bt: pd.DataFrame) -> pd.DataFrame:
+        @ray.remote
+        def verify_chunk(bt: pd.DataFrame) -> pd.DataFrame:
             lut = bget(text_ref)
             jac = _pair_jaccards(bt["a"].tolist(), bt["b"].tolist(), lut)
             out = pd.DataFrame({"a": bt["a"], "b": bt["b"], "jaccard": jac})
             return out[out["jaccard"] >= threshold]
 
-        out = cand.map_batches(verify_b, batch_format="pandas")
-        return _typed_pairs(out, ("a", "b", "jaccard"))
+        # the candidate set is bounded (<= BROADCAST_PAIR_LIMIT), so
+        # verify in plain Ray tasks over chunks — a Dataset's fixed
+        # per-stage cost (~0.3s) dwarfs this work at small pair counts
+        n_chunks = max(1, min(32, len(pdf) // 2048 + 1))
+        chunks = ray.get(
+            [verify_chunk.remote(c) for c in np.array_split(pdf, n_chunks)]
+        )
+        out = pd.concat(chunks, ignore_index=True)
+        schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        )
+        if out.empty:
+            return schema.empty_table()
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
     cand = _distinct_pairs(cand)
     ta = docs.map_batches(
