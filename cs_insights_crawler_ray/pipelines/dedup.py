@@ -797,6 +797,43 @@ def q23b_embedding_neardup_exact(sf_dir: str, threshold: float = 0.45) -> pa.Tab
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs -> dup GROUPS
 # ---------------------------------------------------------------------------
+# below this many (symmetric) edges, connected components runs as one
+# vectorized driver pass — dup edge sets are bounded by construction
+# (star caps, band verification); above it, the distributed loop runs
+CC_DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _cc_driver(node: np.ndarray, peer: np.ndarray, max_iters: int) -> pa.Table:
+    """Vectorized driver-side min-label propagation with pointer
+    jumping: same fixpoint (min reachable id), same max_iters guard as
+    the distributed loop.  Compressed indices are assigned in node-id
+    order (np.unique sorts), so the min compressed index IS the min
+    node id."""
+    nodes, inv = np.unique(np.concatenate([node, peer]), return_inverse=True)
+    ia, ib = inv[: len(node)], inv[len(node):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_iters):
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])
+        np.minimum.at(new, ib, lab[ia])
+        new = np.minimum(new, new[new])  # pointer jumping: halve chains
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            "(graph diameter exceeds max_iters) — refusing to return "
+            "partially-propagated groups"
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "group_id": pa.array(nodes[lab], pa.int64()),
+        }
+    )
+
+
 def connected_components(pairs: rd.Dataset | pa.Table, max_iters: int = 50) -> rd.Dataset:
     """(a, b) edge list -> (doc_id, group_id) with group_id = the min
     doc id reachable through the near-dup graph — the canonical
@@ -840,8 +877,26 @@ def connected_components(pairs: rd.Dataset | pa.Table, max_iters: int = 50) -> r
         )
 
     edges = ds.map_batches(_sym, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(_empty)
+
+    # ADAPTIVE (the q05/q07/q17 pattern): near-dup edge lists are tiny
+    # relative to the corpus — below the limit, pull the int pairs and
+    # run vectorized min-propagation with pointer jumping on the
+    # driver (each distributed round pays ~1-2s of join-aggregator
+    # startup; the driver form converges the same fixpoint in
+    # microseconds of numpy).  The distributed loop below is the
+    # 100 TB path, forced + oracle-checked in tests.
+    if n_edges <= CC_DRIVER_EDGE_LIMIT:
+        df = edges.to_pandas()
+        return rd.from_arrow(
+            _cc_driver(
+                df["node"].to_numpy().astype(np.int64),
+                df["peer"].to_numpy().astype(np.int64),
+                max_iters,
+            )
+        )
 
     npart = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
     # every endpoint starts labeled with itself (distinct via aggregate)

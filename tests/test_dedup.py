@@ -160,6 +160,27 @@ def test_connected_components_groups():
     assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_distributed_path_matches_driver(monkeypatch):
+    """Force the distributed label-propagation loop (the 100 TB path)
+    and require identical groups to the driver fast path."""
+    import pyarrow as pa
+
+    from cs_insights_crawler_ray.pipelines import dedup
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    # random forest-ish graph: chains, stars, singleton pairs
+    a = rng.integers(0, 400, size=300).astype(np.int64)
+    b = (a + rng.integers(1, 5, size=300)).astype(np.int64)
+    pairs = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    fast = dedup.connected_components(pairs).to_pandas()
+    monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_LIMIT", 0)
+    dist = dedup.connected_components(pairs).to_pandas()
+    f = fast.sort_values("doc_id").reset_index(drop=True)
+    d = dist.sort_values("doc_id").reset_index(drop=True)
+    assert f["doc_id"].tolist() == d["doc_id"].tolist()
+    assert f["group_id"].tolist() == d["group_id"].tolist()
+
+
 def test_star_bucket_cap_preserves_connectivity():
     import pandas as pd
 
