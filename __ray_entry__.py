@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_grouped_quantiles": mlprep.q48_grouped_quantiles,
         "q49_tfidf_top_terms": mlprep.q49_tfidf_top_terms,
         "q50_stratified_sample": mlprep.q50_stratified_sample,
+        "q51_shard_export": mlprep.q51_shard_export,
     }
 
 
@@ -746,5 +747,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN s USING (source)
             WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                        AS BIGINT) % s.n < least(s.n, 8)
+        """,
+        # q51: the Ray side derives its counters from the WRITTEN
+        # hive-partitioned shards (read-back), so this compare
+        # transitively checks the export round trip row for row
+        "q51_shard_export": """
+            SELECT CAST(h % 16 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM (SELECT n_chars,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS h
+                  FROM documents)
+            GROUP BY 1
         """,
     }

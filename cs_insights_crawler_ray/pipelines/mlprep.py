@@ -36,6 +36,7 @@ import hashlib
 import math
 import re
 import zlib
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -199,6 +200,56 @@ def q49_tfidf_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
         )
 
     return docs.map_batches(topk, batch_format="pandas")
+
+
+def q51_shard_export(
+    sf_dir: str, n_shards: int = 16, out_root: str | None = None
+) -> pa.Table:
+    """Deterministic hash-shard export: write documents into
+    ``n_shards`` hive-partitioned parquet directories
+    (``shard=N/``) and return per-shard counters
+    (shard, n_docs, sum_chars) computed from the WRITTEN files.
+
+    The training-data export shape: shard assignment is a pure
+    function of the key (``md5_64(doc_id) mod n_shards`` — no driver
+    state, any cluster shape produces the same layout), output is one
+    directory per shard (a failed export re-runs by replacing
+    partitions, never one giant file), and the returned counters are
+    derived by reading the export back — so the SQL oracle (which
+    recomputes shard assignment from the source table) transitively
+    value-checks the write -> read round trip, row for row."""
+    from ..sources.sinks import clear_partition
+
+    out_root = out_root or f"/tmp/ciq_shards_{Path(sf_dir).name}"
+    clear_partition(out_root)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["shard"] = _md5_mod(b["doc_id"]) % np.int64(n_shards)
+        return b
+
+    docs.map_batches(tag, batch_format="pandas").write_parquet(
+        out_root, partition_cols=["shard"]
+    )
+    back = rd.read_parquet(out_root)
+
+    def counters(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("shard", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        g["shard"] = g["shard"].astype("int64")
+        return g
+
+    partial = back.map_batches(counters, batch_format="pandas").to_pandas()
+    out = partial.groupby("shard", as_index=False)[["n_docs", "sum_chars"]].sum()
+    return pa.table(
+        {
+            "shard": pa.array(out["shard"].astype("int64"), pa.int64()),
+            "n_docs": pa.array(out["n_docs"].astype("int64"), pa.int64()),
+            "sum_chars": pa.array(out["sum_chars"].astype("int64"), pa.int64()),
+        }
+    )
 
 
 def _md5_mod(keys: pd.Series) -> np.ndarray:

@@ -117,6 +117,25 @@ def test_tfidf_output_shape(ray_session):
     assert df["df"].between(1, n_docs).all()
 
 
+def test_shard_export_layout_and_idempotence(ray_session, tmp_path):
+    out_root = str(tmp_path / "shards")
+    t1 = mlprep.q51_shard_export(SF_DIR, out_root=out_root).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    # every row landed in exactly one shard; totals add up
+    assert t1["n_docs"].sum() == len(docs)
+    assert t1["sum_chars"].sum() == docs["n_chars"].sum()
+    shard_dirs = sorted(p.name for p in Path(out_root).iterdir() if p.is_dir())
+    assert all(d.startswith("shard=") for d in shard_dirs)
+    assert len(shard_dirs) == len(t1)
+    # replace-partition semantics: a re-run (simulating a failed
+    # export retried) produces the identical counters and layout
+    t2 = mlprep.q51_shard_export(SF_DIR, out_root=out_root).to_pandas()
+    pd.testing.assert_frame_equal(
+        t1.sort_values("shard").reset_index(drop=True),
+        t2.sort_values("shard").reset_index(drop=True),
+    )
+
+
 def test_stratified_sample_is_deterministic_subset(ray_session):
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     s1 = mlprep.q50_stratified_sample(SF_DIR).to_pandas()
