@@ -173,6 +173,7 @@ def run_bench() -> dict:
         timed("q48_grouped_quantiles", mlprep.q48_grouped_quantiles)
         timed("q49_tfidf_top_terms", mlprep.q49_tfidf_top_terms)
         timed("q50_stratified_sample", mlprep.q50_stratified_sample)
+        timed("q51_shard_export", mlprep.q51_shard_export)
 
     ray.shutdown()
 
