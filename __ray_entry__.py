@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_revenue_by_region": R.q43_revenue_by_region,
         "q44_parts_rollup": R.q44_parts_rollup,
         "q45_supplier_volume": R.q45_supplier_volume,
+        "q52_range_join": R.q52_range_join,
+        "q53_rolling_window": R.q53_rolling_window,
         # -- text analysis ------------------------------------------
         "q13_token_stats": textops.q13_token_stats,
         "q14_quality_scores": textops.q14_quality_scores,
@@ -439,6 +441,35 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * rev4 + 100) // 200) / 100.0 AS revenue,
                    n_items
             FROM a
+        """,
+        "q52_range_join": """
+            SELECT s.event_id,
+                   count(e.user_id) AS n_follow,
+                   CAST(coalesce(sum(CAST(round(e.value * 1000) AS BIGINT)), 0)
+                        AS BIGINT) / 1000.0 AS sum_value
+            FROM events s
+            LEFT JOIN events e
+              ON e.user_id = s.user_id
+             AND e.ts >  s.ts
+             AND e.ts <  s.ts + INTERVAL 7 DAY
+            WHERE s.event_type = 'signup'
+            GROUP BY 1
+        """,
+        "q53_rolling_window": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       count(*) AS n_events,
+                       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                           AS v_c
+                FROM events GROUP BY 1, 2)
+            SELECT user_id, day, n_events,
+                   v_c / 1000.0 AS sum_value,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS roll_n_events,
+                   CAST(sum(v_c) OVER w AS BIGINT) / 1000.0 AS roll_sum_value
+            FROM d
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "q29_asof_last_signup": """
             SELECT e.event_id, max(s.ts) AS last_signup

@@ -164,6 +164,8 @@ def run_bench() -> dict:
         timed("q17_minhash_dedup", dedup.q17_minhash_dedup)
         timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
         timed("q42_hopping_window", R.q42_hopping_window)
+        timed("q52_range_join", R.q52_range_join)
+        timed("q53_rolling_window", R.q53_rolling_window)
         timed("q44_parts_rollup", R.q44_parts_rollup)
         timed("q35_count_distinct", R.q35_count_distinct)
         # round-3 training-data prep family (q46 includes the

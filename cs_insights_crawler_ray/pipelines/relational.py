@@ -1207,3 +1207,192 @@ def q35_count_distinct(sf_dir: str) -> pa.Table:
             "n_parts": pa.array(out["n_parts"].astype("int64"), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — for each 'signup' event, aggregate the same
+# user's strictly-later events inside (signup_ts, signup_ts + 7 days)
+# (a funnel/attribution window).  SURVEY.md §2 custom-operator
+# guidance (a): Ray Data has no non-equi join, so this composes
+# co-partitioning by the equality key with a vectorized banded search
+# inside each partition.  Reference analog: the release-window
+# month-skip pick (metadata.py:36-49) is a serial range predicate
+# over one list; this is the same predicate as a distributed
+# two-sided operator.
+#
+# Scale shape: one pruned read; each batch emits its event rows plus
+# its signup rows re-tagged as anchors, then ONE coarse hash shuffle
+# on the user key co-locates both sides (pre-projected int64 columns
+# only — payloads never move).  Within a partition the match is one
+# lexsort + two np.searchsorted calls on a composite (user-rank,
+# timestamp) key plus prefix-sum differences: no row-pair
+# materialization, so a hot user with k anchors and m events costs
+# O((k+m) log(k+m)), not O(k*m).
+# Partitioning assumption (documented per §2 guidance): one hash
+# partition's distinct-user count * the dataset's time span in µs
+# must fit in int64 — the guard raises with the fix (raise n_parts)
+# instead of overflowing silently.
+# ---------------------------------------------------------------------------
+RANGE_JOIN_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def q52_range_join(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        ev = pa.table(
+            {
+                "user": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "v_c": _fixed(t["value"], 1000),
+                "anchor_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            }
+        )
+        s = t.filter(pc.equal(t["event_type"], pa.scalar("signup")))
+        an = pa.table(
+            {
+                "user": s["user_id"],
+                "ts_us": s["ts"].cast(pa.int64()),
+                "v_c": pa.array(np.zeros(s.num_rows, dtype=np.int64)),
+                "anchor_id": s["event_id"],
+            }
+        )
+        return pa.concat_tables([ev, an])
+
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        od = g[g["anchor_id"] >= 0]
+        if od.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "n_follow": pd.Series([], dtype="int64"),
+                 "sv_c": pd.Series([], dtype="int64")}
+            )
+        ev = g[g["anchor_id"] < 0]
+        eu = ev["user"].to_numpy()
+        ets = ev["ts_us"].to_numpy()
+        ev_order = np.lexsort((ets, eu))
+        eu, ets = eu[ev_order], ets[ev_order]
+        evc = ev["v_c"].to_numpy()[ev_order]
+
+        ou = od["user"].to_numpy()
+        ots = od["ts_us"].to_numpy()
+        users = np.unique(np.concatenate([eu, ou]))
+        t_lo = int(min(ets.min() if len(ets) else ots.min(), ots.min()))
+        t_hi = int(max(ets.max() if len(ets) else ots.max(),
+                       ots.max() + RANGE_JOIN_WINDOW_US))
+        span = t_hi - t_lo + 2
+        if len(users) * span >= 2**62:  # composite-key overflow guard
+            raise ValueError(
+                "q52_range_join: partition too wide for the composite "
+                f"(users={len(users)}, span_us={span}) — raise the "
+                "_add_key_part n_parts so fewer users share a partition"
+            )
+        # composite (user-rank, ts) preserves lexicographic order as a
+        # single monotonic int64 per partition
+        comp_ev = np.searchsorted(users, eu) * span + (ets - t_lo)
+        rank_o = np.searchsorted(users, ou) * span
+        # strictly-after anchor: side='right' at the anchor timestamp
+        lo = np.searchsorted(comp_ev, rank_o + (ots - t_lo), side="right")
+        hi = np.searchsorted(comp_ev, rank_o + (ots + RANGE_JOIN_WINDOW_US - t_lo))
+        csum = np.concatenate([[0], np.cumsum(evc)])
+        return pd.DataFrame(
+            {
+                "event_id": od["anchor_id"].to_numpy(),
+                "n_follow": (hi - lo).astype(np.int64),
+                "sv_c": (csum[hi] - csum[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(both_sides, batch_format="pyarrow")
+        .map_batches(lambda b: _add_key_part(b, "user"), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "n_follow": t["n_follow"],
+                    "sum_value": _unscale(t["sv_c"], 1000),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling (trailing) window aggregate — per user, per day: that day's
+# event count/value plus the trailing-7-day rolling sums.  §2.9
+# windowing family beside tumbling (q12), hopping (q42), session
+# (q28), as-of (q29).  Two-level: block-local (user, day) pre-combine
+# (only daily partials cross the shuffle), then the same composite
+# searchsorted + prefix-sum pattern as q52 inside each coarse
+# partition — the window never materializes row pairs.
+# ---------------------------------------------------------------------------
+ROLL_WINDOW_DAYS = 7
+_DAY_US = 86_400 * 1_000_000
+
+
+def q53_rolling_window(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def local(b: "pd.DataFrame") -> "pd.DataFrame":
+        day = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _DAY_US
+        v_c = np.rint(b["value"].to_numpy() * 1000).astype(np.int64)
+        d = pd.DataFrame({"user_id": b["user_id"], "day": day, "v_c": v_c})
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            n=("v_c", "size"), v_c=("v_c", "sum")
+        )
+        return _add_key_part(g, "user_id")
+
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        # merge block partials, then trailing window over sorted days
+        g = g.groupby(["user_id", "day"], as_index=False).agg(
+            n=("n", "sum"), v_c=("v_c", "sum")
+        ).sort_values(["user_id", "day"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        users = np.unique(uid)
+        d0 = int(day.min())
+        big = int(day.max()) - d0 + 2
+        rank = np.searchsorted(users, uid)
+        off = day - d0
+        comp = rank * big + off
+        # window start clipped to the user's block start: day-6 may
+        # precede the partition's min day
+        lo = np.searchsorted(comp, rank * big + np.maximum(off - (ROLL_WINDOW_DAYS - 1), 0))
+        hi = np.arange(1, len(g) + 1)
+        cn = np.concatenate([[0], np.cumsum(g["n"].to_numpy())])
+        cv = np.concatenate([[0], np.cumsum(g["v_c"].to_numpy())])
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "day": day,
+                "n_events": g["n"].to_numpy().astype(np.int64),
+                "v_c": g["v_c"].to_numpy(),
+                "roll_n_events": (cn[hi] - cn[lo]).astype(np.int64),
+                "roll_v_c": (cv[hi] - cv[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(local, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": t["day"],
+                    "n_events": t["n_events"],
+                    "sum_value": _unscale(t["v_c"], 1000),
+                    "roll_n_events": t["roll_n_events"],
+                    "roll_sum_value": _unscale(t["roll_v_c"], 1000),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -142,3 +142,86 @@ def test_entry_smoke():
     df = _to_pdf(entrymod.entry())
     assert len(df) > 0
     assert "sum_qty" in df.columns
+
+
+def test_q52_window_boundaries(tmp_path):
+    # strictly-after lower bound and exclusive 7-day upper bound:
+    # ties at the anchor ts and events exactly at +7d must NOT count
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ts = [
+        base,                                 # signup (anchor, id=1)
+        base,                                 # tied click: excluded (ts > s.ts is strict)
+        base + pd.Timedelta(microseconds=1),  # just inside: counted
+        base + pd.Timedelta(days=7) - pd.Timedelta(microseconds=1),  # last inside
+        base + pd.Timedelta(days=7),          # exactly +7d: excluded
+        base + pd.Timedelta(days=1),          # other user: excluded
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7, 8], pa.int64()),
+            "ts": pa.array(pd.to_datetime(ts), pa.timestamp("us")),
+            "event_type": pa.array(
+                ["signup", "click", "click", "click", "click", "click"]
+            ),
+            "value": pa.array([0.5, 1.0, 2.0, 4.0, 8.0, 16.0]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.q52_range_join(str(tmp_path)).to_pandas().set_index("event_id")
+    assert list(out.index) == [1]
+    assert out.loc[1, "n_follow"] == 2          # ids 3 and 4 only
+    assert out.loc[1, "sum_value"] == 6.0
+
+
+def test_q52_anchor_without_followers(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([3], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01"]), pa.timestamp("us")),
+            "event_type": pa.array(["signup"]),
+            "value": pa.array([1.0]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.q52_range_join(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_follow"] == 0
+    assert out.iloc[0]["sum_value"] == 0.0
+
+
+def test_q53_gap_resets_window(tmp_path):
+    # daily buckets 10 days apart must not see each other in the
+    # trailing-7-day sum; three consecutive days accumulate
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-13"]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([5, 5, 5, 5], pa.int64()),
+            "ts": pa.array(pd.to_datetime(days), pa.timestamp("us")),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.q53_rolling_window(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(out["roll_n_events"]) == [1, 2, 3, 1]
+    assert list(out["roll_sum_value"]) == [1.0, 3.0, 7.0, 8.0]
