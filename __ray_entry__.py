@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_supplier_volume": R.q45_supplier_volume,
         "q52_range_join": R.q52_range_join,
         "q53_rolling_window": R.q53_rolling_window,
+        "q54_hll_distinct": R.q54_hll_distinct,
         # -- text analysis ------------------------------------------
         "q13_token_stats": textops.q13_token_stats,
         "q14_quality_scores": textops.q14_quality_scores,
@@ -641,6 +642,10 @@ def oracle_sql() -> dict[str, str]:
         # q20/q22: pure-Python-int re-derivations of the sketch
         # kernels written to parquet by the queries() callable — full
         # per-row value cross-check of the vectorized numpy paths
+        "q54_hll_distinct": f"""
+            SELECT l_returnflag, approx_n_parts, registers_md5
+            FROM read_parquet('{_artifact_glob("hll_seq")}')
+        """,
         "q20_fingerprint": f"""
             SELECT doc_id, fingerprint, n_bpeish_tokens
             FROM read_parquet('{_artifact_glob("naive_fingerprint")}')

@@ -288,6 +288,44 @@ def _build_kmeans(sf_dir: str) -> None:
     )
 
 
+def _build_hll(sf_dir: str) -> None:
+    """q54: sequential pure-Python-int HLL registers per l_returnflag
+    (state/hll.registers_seq — no numpy in the hash/register path),
+    estimates via the shared estimator over identical registers.
+    Cross-checks the vectorized splitmix64 + clz construction for
+    uint64-wraparound / dtype / scatter-index bugs."""
+    import hashlib
+
+    import numpy as np
+
+    from ..state import hll
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    by_flag: dict[str, list[int]] = {}
+    for f, p_ in zip(tbl["l_returnflag"].to_pylist(), tbl["l_partkey"].to_pylist()):
+        by_flag.setdefault(f, []).append(p_)
+    flags = sorted(by_flag)
+    regs = [np.array(hll.registers_seq(by_flag[f]), np.uint8) for f in flags]
+    write_atomic(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "approx_n_parts": pa.array(
+                    [hll.estimate(r) for r in regs], pa.int64()
+                ),
+                "registers_md5": pa.array(
+                    [hashlib.md5(r.tobytes()).hexdigest() for r in regs],
+                    pa.string(),
+                ),
+            }
+        ),
+        "hll_seq",
+        sf_dir,
+    )
+
+
 _BUILDERS = {
     "sim_order": _build_sim,
     "sim_payload": _build_sim,
@@ -299,4 +337,5 @@ _BUILDERS = {
     "q41_ivf": _build_q41,
     "q23_lsh": _build_q23,
     "kmeans_seq": _build_kmeans,
+    "hll_seq": _build_hll,
 }

@@ -1396,3 +1396,49 @@ def q53_rolling_window(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct-count per key via HyperLogLog (A4 sketch
+# family beside bloom/cuckoo/MinHash/SimHash; q35 is the exact
+# counterpart).  Scale shape: each block contributes one fixed-size
+# 4 KiB register array per key — cardinality never crosses the
+# shuffle, and the elementwise-max merge is associative/commutative
+# so Ray's block order cannot change a single register.  The oracle
+# is a sequential pure-Python-int re-derivation (state/hll.py
+# registers_seq via oracle_artifacts 'hll_seq'); estimates AND
+# register md5s must both hash-match, so the check is bit-exact.
+# ---------------------------------------------------------------------------
+def q54_hll_distinct(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    from ..state import hll
+
+    def local(b: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for flag, g in b.groupby("l_returnflag"):  # <=3 flags per batch
+            rows.append(
+                {
+                    "l_returnflag": flag,
+                    "reg": hll.registers(g["l_partkey"].to_numpy()).tobytes(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        regs = np.stack([np.frombuffer(r, np.uint8) for r in g["reg"]])
+        reg = regs.max(axis=0)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "approx_n_parts": np.array([hll.estimate(reg)], np.int64),
+                "registers_md5": [hashlib.md5(reg.tobytes()).hexdigest()],
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+        .map_batches(local, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
