@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_tfidf_top_terms": mlprep.q49_tfidf_top_terms,
         "q50_stratified_sample": mlprep.q50_stratified_sample,
         "q51_shard_export": mlprep.q51_shard_export,
+        "q55_weighted_mix": mlprep.q55_weighted_mix,
     }
 
 
@@ -787,6 +788,31 @@ def oracle_sql() -> dict[str, str]:
         # q51: the Ray side derives its counters from the WRITTEN
         # hive-partitioned shards (read-back), so this compare
         # transitively checks the export round trip row for row
+        "q55_weighted_mix": """
+            WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+            w AS (SELECT source, n,
+                         CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT)
+                             AS wt
+                  FROM s),
+            t AS (SELECT sum(wt) AS tw FROM w),
+            q AS (SELECT source, n, (120 * wt) // tw AS fl, (120 * wt) % tw AS rem
+                  FROM w, t),
+            r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+                  FROM q),
+            x AS (SELECT 120 - sum(fl) AS extra FROM q),
+            quota AS (SELECT source,
+                             fl + CASE WHEN rk <= (SELECT extra FROM x)
+                                       THEN 1 ELSE 0 END AS quota
+                      FROM r),
+            h AS (SELECT d.doc_id, d.source,
+                         CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS hk
+                  FROM documents d)
+            SELECT h.doc_id, h.source
+            FROM h JOIN quota USING (source)
+            QUALIFY row_number() OVER (PARTITION BY h.source ORDER BY hk, h.doc_id)
+                    <= quota
+        """,
         "q51_shard_export": """
             SELECT CAST(h % 16 AS BIGINT) AS shard,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -299,3 +299,94 @@ def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
         )
 
     return docs.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Weighted data mixing with exact integer quotas — the "source mix"
+# step of a training-data pipeline (sub-linear source balancing a la
+# multilingual sampling): per-source weight w_s = floor(sqrt(n_s) *
+# 1000) (sub-linear, integer so both sides agree bit-exactly), quotas
+# by LARGEST-REMAINDER allocation of MIX_TOTAL docs (all-integer:
+# floor = T*w // Σw, remainders ranked by (T*w mod Σw) desc, source
+# asc), then a deterministic per-source selection of the quota-many
+# smallest (md5_64(doc_id), doc_id) rows.
+#
+# Scale shape: one tiny per-source count aggregate -> driver computes
+# quotas over |sources| ints -> broadcast -> grouped top-quota with a
+# per-BLOCK local prune (a global top-q row is a top-q row of its
+# block, the q34/politeness safe-prune argument) so only ~quota rows
+# per (block, source) cross the one coarse shuffle.
+# ---------------------------------------------------------------------------
+MIX_TOTAL = 120
+MIX_W_SCALE = 1000
+
+
+def mix_quotas(counts: dict[str, int], total: int = MIX_TOTAL) -> dict[str, int]:
+    """Largest-remainder quotas from per-source counts (pure ints)."""
+    srcs = sorted(counts)
+    w = {s: math.floor(math.isqrt(counts[s] * MIX_W_SCALE * MIX_W_SCALE)) for s in srcs}
+    tw = sum(w.values())
+    fl = {s: (total * w[s]) // tw for s in srcs}
+    rem = {s: (total * w[s]) % tw for s in srcs}
+    extra = total - sum(fl.values())
+    for s in sorted(srcs, key=lambda s: (-rem[s], s))[:extra]:
+        fl[s] += 1
+    for s in srcs:
+        if fl[s] > counts[s]:
+            raise ValueError(
+                f"q55_weighted_mix: quota {fl[s]} exceeds stratum size "
+                f"{counts[s]} for source {s!r} — lower MIX_TOTAL"
+            )
+    return fl
+
+
+def q55_weighted_mix(sf_dir: str, total: int = MIX_TOTAL) -> rd.Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).size()
+        return g.rename(columns={"size": "n_part"})
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()  # bounded: n_blocks × n_strata rows
+        .groupby("source")["n_part"]
+        .sum()
+        .to_dict()
+    )
+    qref = ray.put(mix_quotas(counts, total))
+
+    def local_prune(b: pd.DataFrame) -> pd.DataFrame:
+        quotas = bget(qref)
+        d = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "source": b["source"].astype(str),
+                "hk": _md5_mod(b["doc_id"]),
+            }
+        ).sort_values(["source", "hk", "doc_id"], kind="mergesort")
+        q = d["source"].map(quotas).to_numpy()
+        keep = d.groupby("source", sort=False).cumcount().to_numpy() < q
+        return d.loc[keep]
+
+    def final_pick(g: pd.DataFrame) -> pd.DataFrame:
+        quotas = bget(qref)
+        d = g.sort_values(["source", "hk", "doc_id"], kind="mergesort")
+        q = d["source"].map(quotas).to_numpy()
+        keep = d.groupby("source", sort=False).cumcount().to_numpy() < q
+        return d.loc[keep, ["doc_id", "source"]]
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in b["source"]], dtype=np.uint64
+        )
+        b = b.copy()
+        b["_part"] = (h % np.uint64(8)).astype(np.int32)
+        return b
+
+    return (
+        docs.map_batches(local_prune, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final_pick, batch_format="pandas")
+    )

@@ -1,0 +1,112 @@
+"""requests-backed transport implementing the ``fetch(name) -> bytes``
+contract the pipelines consume (``pipelines/dblp.download_and_filter_release``
+takes any such callable; the crawl fixtures implement the same shape
+over the deterministic content store).
+
+Reference semantics re-expressed (NOT copied):
+- chunked streaming download, 1 MiB chunks (s2client.py:25-47 uses
+  1 MiB; dblpclient.py:72-88 uses 1 KiB — we default to the larger,
+  it is strictly better for release-sized files),
+- retry with exponential backoff on transient failures (5xx /
+  connection errors).  The reference has NO retry (SURVEY.md §4
+  "Retries: none" — it dies on the first failed GET); a 100 TB crawl
+  cannot, so transient-vs-permanent classification is explicit here:
+  4xx raise immediately (permanent), 5xx/connection errors back off
+  and retry.
+
+The sandbox has no network, so the HTTP session is INJECTED (any
+object with ``get(url, stream=..., timeout=...)`` returning a
+response with ``status_code``/``iter_content``/``close``); production
+passes ``requests.Session()`` — the import is deferred so the module
+works (and is contract-tested) without the library installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from pathlib import Path
+
+DEFAULT_CHUNK = 1 << 20  # 1 MiB, reference s2client.py:26
+
+
+class PermanentFetchError(Exception):
+    """4xx — retrying cannot help."""
+
+
+class TransientFetchError(Exception):
+    """5xx / connection failure — retried up to `retries` times."""
+
+
+class HttpFetcher:
+    def __init__(
+        self,
+        base_url: str,
+        session=None,
+        chunk_size: int = DEFAULT_CHUNK,
+        retries: int = 3,
+        backoff_sec: float = 0.5,
+        timeout_sec: float = 60.0,
+        sleep=time.sleep,
+    ):
+        if session is None:  # pragma: no cover - network-blocked sandbox
+            import requests
+
+            session = requests.Session()
+        self.base_url = base_url.rstrip("/")
+        self.session = session
+        self.chunk_size = chunk_size
+        self.retries = retries
+        self.backoff_sec = backoff_sec
+        self.timeout_sec = timeout_sec
+        self._sleep = sleep
+
+    # -- the fetch(name) -> bytes contract ---------------------------
+    def fetch(self, name: str) -> bytes:
+        return b"".join(self._stream(name))
+
+    def fetch_to(self, name: str, path: str | Path, md5sum: str | None = None) -> str:
+        """Chunked download to disk with optional md5 verification
+        (the S7 cached-download shape: the caller owns cache-hit
+        logic; this owns transport + integrity)."""
+        path = Path(path)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        h = hashlib.md5()
+        with open(tmp, "wb") as f:
+            for chunk in self._stream(name):
+                f.write(chunk)
+                h.update(chunk)
+        if md5sum is not None and h.hexdigest() != md5sum:
+            tmp.unlink()
+            raise ValueError(
+                f"md5 mismatch for {name}: got {h.hexdigest()}, want {md5sum}"
+            )
+        tmp.replace(path)
+        return h.hexdigest()
+
+    # -- transport ----------------------------------------------------
+    def _stream(self, name: str):
+        url = f"{self.base_url}/{name.lstrip('/')}"
+        attempt = 0
+        while True:
+            try:
+                resp = self.session.get(url, stream=True, timeout=self.timeout_sec)
+                code = int(resp.status_code)
+                if 400 <= code < 500:
+                    resp.close()
+                    raise PermanentFetchError(f"{code} for {url}")
+                if code >= 500:
+                    resp.close()
+                    raise TransientFetchError(f"{code} for {url}")
+                try:
+                    yield from resp.iter_content(chunk_size=self.chunk_size)
+                finally:
+                    resp.close()
+                return
+            except (TransientFetchError, ConnectionError, OSError) as e:
+                attempt += 1
+                if attempt > self.retries:
+                    raise TransientFetchError(
+                        f"{url} failed after {self.retries} retries: {e}"
+                    ) from e
+                self._sleep(self.backoff_sec * (2 ** (attempt - 1)))

@@ -147,3 +147,29 @@ def test_stratified_sample_is_deterministic_subset(ray_session):
     n_per = docs.groupby("source").size()
     assert (per <= n_per.loc[per.index]).all()
     assert len(s1) > 0
+
+
+def test_mix_quotas_largest_remainder():
+    from cs_insights_crawler_ray.pipelines.mlprep import mix_quotas
+
+    counts = {"a": 100, "b": 400, "c": 2500}
+    q = mix_quotas(counts, total=100)
+    assert sum(q.values()) == 100
+    # sub-linear: sqrt weights 10:20:50 -> 12.5/25/62.5, largest
+    # remainder gives the odd doc to the tied-remainder winner by name
+    assert q == {"a": 13, "b": 25, "c": 62}
+    # quota can never exceed the stratum
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_quotas({"tiny": 1, "big": 100}, total=100)  # tiny quota 9 > 1
+
+
+def test_q55_exact_total_and_determinism(ray_session):
+    from cs_insights_crawler_ray.pipelines import mlprep
+
+    sf = "/root/testdata/sf0.001"
+    a = mlprep.q55_weighted_mix(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = mlprep.q55_weighted_mix(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == mlprep.MIX_TOTAL
+    assert a.equals(b)  # identical row set on re-execution
