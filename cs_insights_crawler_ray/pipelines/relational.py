@@ -241,7 +241,13 @@ def q05_semi_join(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     ).materialize()
     li = _read(sf_dir, "lineitem")
-    if keys.count() > BROADCAST_KEY_LIMIT:
+    n_keys = keys.count()
+    if n_keys > BROADCAST_KEY_LIMIT:
+        if n_keys <= BLOOM_JOIN_LIMIT:
+            # bloom tier: prune the fact side BEFORE the exchange,
+            # then the exact semi-join decides (false positives die
+            # there) — only ~selectivity + 0.8% of rows shuffle
+            li = _bloom_semi_filter(li, keys, "l_orderkey", "o_orderkey", n_keys)
         return li.join(
             keys, join_type="left_semi", num_partitions=_NPART,
             on=("l_orderkey",), right_on=("o_orderkey",), **JOIN_ARGS,
@@ -255,6 +261,85 @@ def q05_semi_join(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(pc.is_in(t["l_orderkey"], value_set=bget(ref))),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join prefilter (the classic distributed bloom join):
+# between the exact-broadcast regime (key set ships verbatim) and the
+# plain hash-join regime (every fact row shuffles) there is a wide
+# band where a 10-bit/key bloom of the key set still broadcasts
+# cheaply (32M keys = 40 MB vs 256 MB of raw int64) and drops most
+# non-matching fact rows BEFORE the join's all-to-all exchange —
+# correctness is unaffected because the exact hash semi-join still
+# runs on the survivors; the bloom only prunes shuffle volume.
+# Build is distributed: per-block bitmask partials OR-fold on the
+# driver streaming (one mask resident, not n_blocks).
+# ---------------------------------------------------------------------------
+BLOOM_JOIN_LIMIT = 32_000_000
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 4
+
+
+def _bloom_probes(vals: np.ndarray, m: int):
+    """k double-hashed probe indices per value (uint64 wrap ok)."""
+    from ..state.hll import splitmix64
+
+    v = vals.astype(np.uint64)
+    h1 = splitmix64(v)
+    h2 = splitmix64(v ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return [
+            ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            for i in range(_BLOOM_K)
+        ]
+
+
+def _bloom_partial(vals: np.ndarray, m: int) -> np.ndarray:
+    mask = np.zeros((m + 7) // 8, np.uint8)
+    for idx in _bloom_probes(vals, m):
+        np.bitwise_or.at(mask, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    return mask
+
+
+def _bloom_contains(mask: np.ndarray, m: int, vals: np.ndarray) -> np.ndarray:
+    ok = np.ones(len(vals), bool)
+    for idx in _bloom_probes(vals, m):
+        ok &= (mask[idx >> 3] & (np.uint8(1) << (idx & 7).astype(np.uint8))) != 0
+    return ok
+
+
+def _bloom_build(keys_ds: rd.Dataset, col: str, n_keys: int) -> tuple[np.ndarray, int]:
+    m = max(1024, n_keys * _BLOOM_BITS_PER_KEY)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = _bloom_partial(t[col].to_numpy(zero_copy_only=False), m)
+        return pa.table({"mask": pa.array([mask.tobytes()], pa.binary())})
+
+    agg = np.zeros((m + 7) // 8, np.uint8)
+    for b in keys_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for mb in b["mask"]:
+            agg |= np.frombuffer(mb.as_py(), np.uint8)
+    return agg, m
+
+
+def _bloom_semi_filter(
+    fact: rd.Dataset, keys_ds: rd.Dataset, fact_col: str, key_col: str, n_keys: int
+) -> rd.Dataset:
+    """Fact rows surviving the broadcast bloom of the key set (may
+    contain ~0.8% false positives at 10 bits/key — callers MUST still
+    run the exact join on the survivors)."""
+    mask, m = _bloom_build(keys_ds, key_col, n_keys)
+    mref = ray.put(mask)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = _bloom_contains(
+            bget(mref), m, t[fact_col].to_numpy(zero_copy_only=False)
+        )
+        return t.filter(pa.array(ok))
+
+    return fact.map_batches(keep, batch_format="pyarrow")
 
 
 # Above this many distinct keys, broadcast side-tables become hash

@@ -93,9 +93,56 @@ def test_adaptive_join_path_matches_oracle(name, monkeypatch):
     from cs_insights_crawler_ray.pipelines import relational as R
 
     monkeypatch.setattr(R, "BROADCAST_KEY_LIMIT", 0)
+    monkeypatch.setattr(R, "BLOOM_JOIN_LIMIT", 0)  # plain hash-join tier
     ray_df = _to_pdf(entrymod.queries()[name](SF_DIR))
     ora_df = _oracle(entrymod.oracle_sql()[name])
     assert_match(name, ray_df, ora_df)
+
+
+def test_q05_bloom_tier_matches_oracle_and_prunes(monkeypatch):
+    # middle tier: bloom prefilter + exact semi-join on survivors
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    monkeypatch.setattr(R, "BROADCAST_KEY_LIMIT", 0)
+    survivors = []
+    orig = R._bloom_semi_filter
+
+    def spy(fact, keys_ds, fact_col, key_col, n_keys):
+        out = orig(fact, keys_ds, fact_col, key_col, n_keys).materialize()
+        survivors.append(out.count())
+        return out
+
+    monkeypatch.setattr(R, "_bloom_semi_filter", spy)
+    ray_df = _to_pdf(R.q05_semi_join(SF_DIR))
+    ora_df = _oracle(entrymod.oracle_sql()["q05_semi_join"])
+    assert_match("q05_bloom", ray_df, ora_df)
+    n_fact = _oracle("SELECT count(*) AS n FROM lineitem")["n"][0]
+    # the prefilter must actually prune shuffle volume, and must keep
+    # at least every true match (no false negatives)
+    assert survivors == [len(ray_df)] or (
+        len(ray_df) <= survivors[0] < n_fact
+    ), (survivors, len(ray_df), n_fact)
+
+
+def test_bloom_filter_kernels():
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    rng = np.random.default_rng(5)
+    keys = rng.choice(2**40, size=50_000, replace=False).astype(np.int64)
+    m = len(keys) * R._BLOOM_BITS_PER_KEY
+    mask = R._bloom_partial(keys, m)
+    # zero false negatives
+    assert R._bloom_contains(mask, m, keys).all()
+    # false-positive rate near the 10-bit/key design point (~0.8%)
+    probe = rng.choice(2**40, size=50_000, replace=False).astype(np.int64) + 2**41
+    fp = R._bloom_contains(mask, m, probe).mean()
+    assert fp < 0.03, fp
+    # distributed build (OR of partials) == one-shot build
+    halves = np.array_split(keys, 3)
+    merged = np.zeros_like(mask)
+    for h in halves:
+        merged |= R._bloom_partial(h, m)
+    assert np.array_equal(merged, mask)
 
 
 def test_rows_only_queries_run():
