@@ -16,8 +16,8 @@ from collections.abc import Callable
 from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
-    ann, cluster, crawl_queries, dblp, dedup, mlprep, multimodal_queries,
-    relational as R, textops)
+    ann, cluster, crawl_queries, dblp, dedup, graph, mlprep,
+    multimodal_queries, relational as R, textops)
 
 
 def entry() -> Any:
@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_stratified_sample": mlprep.q50_stratified_sample,
         "q51_shard_export": mlprep.q51_shard_export,
         "q55_weighted_mix": mlprep.q55_weighted_mix,
+        # -- link-graph authority (frontier prioritization signal) ----
+        "q56_pagerank": graph.q56_pagerank,
     }
 
 
@@ -812,6 +814,15 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN quota USING (source)
             QUALIFY row_number() OVER (PARTITION BY h.source ORDER BY hk, h.doc_id)
                     <= quota
+        """,
+        # q56: sequential pure-Python-int PageRank re-derivation
+        # (oracle_artifacts._build_pagerank) — the engine's int64
+        # fixed-point floor-division contract makes the distributed
+        # fit bit-identical to the serial loop, so this is a genuine
+        # serial-vs-parallel value-hash check (the q30/q46 pattern)
+        "q56_pagerank": f"""
+            SELECT nid, rank
+            FROM read_parquet('{_artifact_glob("pagerank_seq")}')
         """,
         "q51_shard_export": """
             SELECT CAST(h % 16 AS BIGINT) AS shard,

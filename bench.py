@@ -69,7 +69,7 @@ def run_bench() -> dict:
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from cs_insights_crawler_ray.pipelines import (
-        ann, cluster, dedup, mlprep, relational as R, textops)
+        ann, cluster, dedup, graph, mlprep, relational as R, textops)
 
     # warm the page cache so we measure compute + shuffle, not cold reads
     import pyarrow.parquet as pq
@@ -176,6 +176,7 @@ def run_bench() -> dict:
         timed("q49_tfidf_top_terms", mlprep.q49_tfidf_top_terms)
         timed("q50_stratified_sample", mlprep.q50_stratified_sample)
         timed("q51_shard_export", mlprep.q51_shard_export)
+        timed("q56_pagerank", graph.q56_pagerank)
 
     ray.shutdown()
 

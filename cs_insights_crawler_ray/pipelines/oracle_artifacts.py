@@ -326,6 +326,47 @@ def _build_hll(sf_dir: str) -> None:
     )
 
 
+def _build_pagerank(sf_dir: str) -> None:
+    """q56: sequential pure-Python-int PageRank re-derivation of
+    pipelines/graph.py's fixed-point spec — one serial loop over a
+    Python edge list (no numpy in the rank arithmetic), edges rebuilt
+    independently from the pure fixture fn ``page_links``.  The
+    engine's int64 floor-division contract makes the distributed fit
+    (broadcast AND join forms) bit-identical to this, so the driver's
+    value-hash compare is a genuine serial-vs-parallel check."""
+    from ..fixtures.content_store import page_links
+    from .graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE, _graph_cfg
+
+    cfg, n = _graph_cfg(sf_dir)
+    pmf = cfg.host_pmf()
+    per = cfg.pages_per_host
+    edges: list[tuple[int, int, int]] = []
+    for nid in range(n):
+        links = page_links(cfg, cfg.url(nid // per, nid % per), pmf)
+        k = len(links)
+        for link in links:
+            host_s, page_s = link.rsplit("/p/", 1)
+            hi = int(host_s.rsplit("h", 1)[1].split(".")[0])
+            edges.append((nid, hi * per + int(page_s), k))
+    ranks = [PR_SCALE // n] * n
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n)) // PR_DAMP_DEN
+    for _ in range(PR_ITERS):
+        inflow = [0] * n
+        for s, d, k in edges:
+            inflow[d] += ranks[s] // k
+        ranks = [base + (PR_DAMP_NUM * f) // PR_DAMP_DEN for f in inflow]
+    write_atomic(
+        pa.table(
+            {
+                "nid": pa.array(range(n), pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        ),
+        "pagerank_seq",
+        sf_dir,
+    )
+
+
 _BUILDERS = {
     "sim_order": _build_sim,
     "sim_payload": _build_sim,
@@ -338,4 +379,5 @@ _BUILDERS = {
     "q23_lsh": _build_q23,
     "kmeans_seq": _build_kmeans,
     "hll_seq": _build_hll,
+    "pagerank_seq": _build_pagerank,
 }
