@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_stratified_sample": mlprep.q50_stratified_sample,
         "q51_shard_export": mlprep.q51_shard_export,
         "q55_weighted_mix": mlprep.q55_weighted_mix,
+        "q57_sequence_pack": mlprep.q57_sequence_pack,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -814,6 +815,33 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN quota USING (source)
             QUALIFY row_number() OVER (PARTITION BY h.source ORDER BY hk, h.doc_id)
                     <= quota
+        """,
+        # q57: the pack-then-chunk layout is pure window arithmetic in
+        # SQL — exclusive running token sum over doc_id order, then the
+        # same int64 floor divisions as the kernel (token expression
+        # mirrors q13's exactly)
+        "q57_sequence_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(array_length(regexp_extract_all(text, '\\S+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                                ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            AS BIGINT) AS strt
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   strt // 512 AS first_chunk,
+                   (strt + greatest(n_tokens, 1) - 1) // 512 AS last_chunk,
+                   (strt + greatest(n_tokens, 1) - 1) // 512
+                       - strt // 512 + 1 AS n_chunks,
+                   strt % 512 AS chunk_offset
+            FROM c
         """,
         # q56: sequential pure-Python-int PageRank re-derivation
         # (oracle_artifacts._build_pagerank) — the engine's int64

@@ -177,6 +177,7 @@ def run_bench() -> dict:
         timed("q50_stratified_sample", mlprep.q50_stratified_sample)
         timed("q51_shard_export", mlprep.q51_shard_export)
         timed("q56_pagerank", graph.q56_pagerank)
+        timed("q57_sequence_pack", mlprep.q57_sequence_pack)
 
     ray.shutdown()
 

@@ -390,3 +390,88 @@ def q55_weighted_mix(sf_dir: str, total: int = MIX_TOTAL) -> rd.Dataset:
         .groupby("_part")
         .map_groups(final_pick, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — GPT-style sequence packing: concatenate documents in a
+# deterministic global order and split the token stream into
+# fixed-size context windows (the standard "pack then chunk" layout
+# LLM training data takes before sharding; the reference has no
+# analog — its output is one JSON blob per paper, s2processor.py).
+#
+# Semantics: docs ordered by doc_id asc; start(doc) = exclusive
+# prefix sum of whitespace-token counts (the q13 kernel, so the SQL
+# oracle reuses q13's exact regexp expression); a doc occupies
+# context windows [start // ctx, (start + max(n,1) - 1) // ctx]
+# (empty docs pin to the window at their start offset).  All
+# arithmetic is int64 — the driver hash compare is exact.
+#
+# Scale shape: token counting is one vectorized map_batches pass; the
+# global order is one sort on doc_id; the prefix sum is block-offset
+# (the q08/_rank_sorted mechanism, same as the crawl's fetch_seq):
+# per-block token SUMS — n_blocks ints, not rows — come to the
+# driver, their cumsum ships back as one offset per block, and each
+# block finishes independently.  No full materialization, no second
+# shuffle; at 100 TB the driver holds one int per block.
+# ---------------------------------------------------------------------------
+PACK_CTX = 512
+
+
+_PACK_SCHEMA = pa.schema(
+    [(c, pa.int64()) for c in (
+        "doc_id", "n_tokens", "first_chunk", "last_chunk",
+        "n_chunks", "chunk_offset")]
+)
+
+
+@ray.remote
+def _pack_block_sum(t: pa.Table) -> int:
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:  # sort can emit schema-less empty blocks
+        return 0
+    return int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+
+@ray.remote
+def _pack_block(t: pa.Table, offset: int, ctx: int) -> pa.Table:
+    if t.num_rows == 0:
+        return _PACK_SCHEMA.empty_table()
+    n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    start = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+    last = (start + np.maximum(n, 1) - 1) // ctx
+    first = start // ctx
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n),
+            "first_chunk": pa.array(first),
+            "last_chunk": pa.array(last),
+            "n_chunks": pa.array(last - first + 1),
+            "chunk_offset": pa.array(start % ctx),
+        }
+    )
+
+
+def q57_sequence_pack(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
+    from ..functions import text as T
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": T.token_counts(b["text"]),
+            }
+        )
+
+    s = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(count_tokens, batch_format="pandas")
+        .sort("doc_id")
+    )
+    refs = s.to_arrow_refs()
+    sums = ray.get([_pack_block_sum.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(sums)[:-1])) if sums else []
+    return rd.from_arrow_refs(
+        [_pack_block.remote(r, int(o), ctx) for r, o in zip(refs, offs)]
+    )

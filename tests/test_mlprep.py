@@ -173,3 +173,47 @@ def test_q55_exact_total_and_determinism(ray_session):
     b = mlprep.q55_weighted_mix(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(a) == mlprep.MIX_TOTAL
     assert a.equals(b)  # identical row set on re-execution
+
+
+def test_sequence_pack_matches_serial(ray_session):
+    """q57 vs a one-liner pandas recompute: same prefix sums, same
+    window assignment, regardless of Ray block structure."""
+    got = (
+        mlprep.q57_sequence_pack(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values("doc_id")
+    n = docs["text"].str.count(r"\S+").astype("int64").to_numpy()
+    start = np.concatenate(([0], np.cumsum(n)[:-1]))
+    first = start // 512
+    last = (start + np.maximum(n, 1) - 1) // 512
+    assert (got["n_tokens"].to_numpy() == n).all()
+    assert (got["first_chunk"].to_numpy() == first).all()
+    assert (got["last_chunk"].to_numpy() == last).all()
+    assert (got["n_chunks"].to_numpy() == last - first + 1).all()
+    assert (got["chunk_offset"].to_numpy() == start % 512).all()
+    # windows tile the stream: doc at a window boundary starts at 0
+    boundary = got[got["chunk_offset"] == 0]
+    assert len(boundary) >= 1  # doc 0 at minimum
+
+
+def test_sequence_pack_empty_doc_is_pinned(ray_session, tmp_path):
+    """An empty document occupies exactly the window at its start
+    offset (n_chunks == 1) and consumes no tokens."""
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b c", "", "d " * 600]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        mlprep.q57_sequence_pack(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[1, "n_tokens"] == 0
+    assert got.loc[1, "n_chunks"] == 1
+    assert got.loc[1, "first_chunk"] == got.loc[1, "last_chunk"] == 0
+    # the 600-token doc spans two 512-windows from offset 3
+    assert got.loc[2, "chunk_offset"] == 3
+    assert got.loc[2, "n_chunks"] == 2
