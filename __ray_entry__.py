@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_shard_export": mlprep.q51_shard_export,
         "q55_weighted_mix": mlprep.q55_weighted_mix,
         "q57_sequence_pack": mlprep.q57_sequence_pack,
+        "q58_heavy_hitters": mlprep.q58_heavy_hitters,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -842,6 +843,20 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q58: the Misra-Gries sketch only bounds the CANDIDATE set;
+        # the engine's output is exact (rescan pass), so plain
+        # GROUP BY/HAVING is the oracle
+        "q58_heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                       AS term
+                FROM documents),
+            n AS (SELECT count(*) AS n FROM toks)
+            SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+            FROM toks, n
+            GROUP BY term, n.n
+            HAVING count(*) * 200 > n.n
         """,
         # q56: sequential pure-Python-int PageRank re-derivation
         # (oracle_artifacts._build_pagerank) — the engine's int64

@@ -178,6 +178,7 @@ def run_bench() -> dict:
         timed("q51_shard_export", mlprep.q51_shard_export)
         timed("q56_pagerank", graph.q56_pagerank)
         timed("q57_sequence_pack", mlprep.q57_sequence_pack)
+        timed("q58_heavy_hitters", mlprep.q58_heavy_hitters)
 
     ray.shutdown()
 

@@ -475,3 +475,98 @@ def q57_sequence_pack(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
     return rd.from_arrow_refs(
         [_pack_block.remote(r, int(o), ctx) for r, o in zip(refs, offs)]
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — corpus heavy hitters via a mergeable Misra-Gries sketch +
+# exact rescan.  The output is EXACT (term, count) for every term
+# occurring in more than N/HH_K of the token stream — the sketch only
+# bounds the CANDIDATE set, so the driver's value-hash compare against
+# plain SQL GROUP BY/HAVING is legitimate.
+#
+# Guarantee chain: per block, subtracting the (k+1)-th largest count
+# (k = HH_K - 1) from every term is the Misra-Gries offset — the
+# subtraction is ≤ n_b/HH_K per term (because (k+1)·c_{k+1} ≤ n_b) and
+# leaves ≤ k positive residuals.  Residuals SUM across blocks (the
+# mergeable-summaries property, Agarwal et al. 2012), so total error
+# ≤ N/HH_K and every true heavy hitter (count > N/HH_K) survives with
+# a positive merged residual.  Pass 2 re-counts ONLY the surviving
+# candidates exactly and applies the threshold on true counts.
+#
+# Scale shape: raw tokens never shuffle — pass 1 emits ≤ k rows per
+# block into the q49-style crc32-partitioned string grouped-sum;
+# candidates (bounded by the residual>0 set, ≤ vocab ∩ near-heavy)
+# broadcast once via ray.put; pass 2 is another per-block count of
+# candidate tokens only + the same coarse grouped sum.  The only
+# driver materializations are the candidate list and the ≤ |cands|
+# final rows.
+# ---------------------------------------------------------------------------
+HH_K = 200  # heavy hitter = count * HH_K > total tokens
+
+
+def _term_grouped_sum(parts: rd.Dataset, col: str) -> rd.Dataset:
+    """String-keyed coarse grouped sum (the q49 df pattern): partials
+    pre-combined per block, crc32(term) & 7 partitions, vectorized
+    final groupby per partition."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("term", as_index=False)[col].sum()
+        g["_part"] = np.array(
+            [zlib.crc32(t.encode()) & 7 for t in g["term"]], dtype=np.int32
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)[col].sum()
+
+    return (
+        parts.map_batches(part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q58_heavy_hitters(sf_dir: str, hh_k: int = HH_K) -> pa.Table:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_block(b: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            b["text"].str.lower().str.findall(_WORD_RE).explode().dropna()
+            .value_counts()
+        )
+        n_b = int(c.sum())
+        if len(c) >= hh_k:  # MG offset: drop the k+1-th largest count
+            c = c - int(c.iloc[hh_k - 1])
+            c = c[c > 0]
+        out = pd.DataFrame({"term": c.index.astype(str), "resid": c.to_numpy()})
+        # one bookkeeping row per block carries the exact token count
+        # (term "" cannot collide: _WORD_RE never matches empty)
+        return pd.concat(
+            [out, pd.DataFrame({"term": [""], "resid": [n_b]})],
+            ignore_index=True,
+        )
+
+    merged = (
+        _term_grouped_sum(docs.map_batches(mg_block, batch_format="pandas"), "resid")
+        .to_pandas()  # bounded: surviving residuals + 1 total row
+    )
+    total = int(merged.loc[merged["term"] == "", "resid"].sum())
+    cands = set(merged.loc[(merged["term"] != "") & (merged["resid"] > 0), "term"])
+    cref = ray.put(cands)
+
+    def exact_block(b: pd.DataFrame) -> pd.DataFrame:
+        cs = bget(cref)
+        t = b["text"].str.lower().str.findall(_WORD_RE).explode().dropna()
+        c = t[t.isin(cs)].value_counts()
+        return pd.DataFrame({"term": c.index.astype(str), "n_occ": c.to_numpy()})
+
+    exact = _term_grouped_sum(
+        docs.map_batches(exact_block, batch_format="pandas"), "n_occ"
+    ).to_pandas()  # bounded: |cands| rows
+    hh = exact[exact["n_occ"] * hh_k > total].sort_values("term")
+    return pa.table(
+        {
+            "term": pa.array(hh["term"], pa.string()),
+            "n_occ": pa.array(hh["n_occ"].to_numpy(), pa.int64()),
+        }
+    )

@@ -217,3 +217,37 @@ def test_sequence_pack_empty_doc_is_pinned(ray_session, tmp_path):
     # the 600-token doc spans two 512-windows from offset 3
     assert got.loc[2, "chunk_offset"] == 3
     assert got.loc[2, "n_chunks"] == 2
+
+
+def test_heavy_hitters_exact_vs_serial(ray_session):
+    """q58's sketch-then-rescan output equals a plain serial count."""
+    got = mlprep.q58_heavy_hitters(SF_DIR).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs["text"].str.lower().str.findall(r"[0-9a-z_]+").explode().dropna()
+    counts = toks.value_counts()
+    n = len(toks)
+    exp = counts[counts * mlprep.HH_K > n].sort_index()
+    assert list(got["term"]) == list(exp.index)
+    assert list(got["n_occ"]) == list(exp.to_numpy())
+
+
+def test_heavy_hitters_small_k_still_exact(ray_session, tmp_path):
+    """With hh_k tiny enough that per-block MG trimming actually fires
+    (vocab >> k), the candidate superset still contains every true
+    heavy hitter — output stays exact."""
+    rng = np.random.default_rng(11)
+    # 3000 docs: heavy terms hh0/hh1 plus a long unique-word tail that
+    # forces the per-block trim (vocab per block >> hh_k=5)
+    texts = [
+        f"hh0 hh0 hh1 tail{i} tail{i+1} tail{i+2} tail{rng.integers(1e6)}"
+        for i in range(3000)
+    ]
+    pd.DataFrame({"doc_id": range(3000), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = mlprep.q58_heavy_hitters(str(tmp_path), hh_k=5).to_pandas()
+    toks = pd.Series(texts).str.lower().str.findall(r"[0-9a-z_]+").explode()
+    counts = toks.value_counts()
+    exp = counts[counts * 5 > len(toks)].sort_index()
+    assert list(got["term"]) == list(exp.index)
+    assert list(got["n_occ"]) == list(exp.to_numpy())
