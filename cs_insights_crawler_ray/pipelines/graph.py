@@ -93,28 +93,39 @@ def build_edges(sf_dir: str) -> tuple[rd.Dataset, int]:
     return edges, n
 
 
+@ray.remote
+def _inflow_block(t: pa.Table, ranks: np.ndarray, n: int) -> np.ndarray:
+    """Dense int64 inflow partial for one edge block — int sums are
+    order-independent, so any accumulation order is bit-identical.
+    ``ranks`` arrives by ObjectRef (ray.put once per iteration) and is
+    a zero-copy plasma read in every task."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    c = ranks[src] // t["outdeg"].to_numpy(zero_copy_only=False)
+    out = np.zeros(n, np.int64)
+    np.add.at(out, t["dst"].to_numpy(zero_copy_only=False), c)
+    return out
+
+
 def _iterate_broadcast(edges: rd.Dataset, n: int, iters: int) -> np.ndarray:
+    """Ranks fit the broadcast limit -> plain Ray tasks over the
+    materialized edge block refs: one task per block returns a DENSE
+    int64 inflow array (n*8 bytes, <=16 MB at the 2M-key limit) and
+    the driver folds arrays as they land (ray.wait — one accumulator
+    resident, not n_blocks).  This replaces a per-iteration Dataset
+    pipeline whose fixed startup (~0.9 s/iter measured) dominated the
+    actual compute by >100x at bench scale; the join form below
+    remains the >limit path."""
+    refs = edges.to_arrow_refs()
     ranks = np.full(n, PR_SCALE // n, np.int64)
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n)) // PR_DAMP_DEN
     for _ in range(iters):
         rref = ray.put(ranks)
-
-        def contrib(b: pd.DataFrame) -> pd.DataFrame:
-            r = bget(rref)
-            c = r[b["src"].to_numpy()] // b["outdeg"].to_numpy()
-            return pd.DataFrame({"dst": b["dst"].to_numpy(), "c": c})
-
-        inflow = (
-            _grouped_sum_parts(
-                edges.map_batches(contrib, batch_format="pandas"),
-                "dst",
-                {"c": "c"},
-            )
-            .to_pandas()  # bounded: <= n rows, n <= BROADCAST_KEY_LIMIT
-        )
-        ranks = np.full(n, base, np.int64)
-        dst = inflow["dst"].to_numpy()
-        ranks[dst] += (PR_DAMP_NUM * inflow["c"].to_numpy()) // PR_DAMP_DEN
+        pending = [_inflow_block.remote(r, rref, n) for r in refs]
+        inflow = np.zeros(n, np.int64)
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            inflow += ray.get(done[0])
+        ranks = base + (PR_DAMP_NUM * inflow) // PR_DAMP_DEN
     return ranks
 
 
