@@ -16,7 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
-    ann, cluster, crawl_queries, dblp, dedup, graph, mlprep,
+    ann, cluster, crawl_queries, dblp, dedup, diff, graph, mlprep,
     multimodal_queries, relational as R, textops)
 
 
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_weighted_mix": mlprep.q55_weighted_mix,
         "q57_sequence_pack": mlprep.q57_sequence_pack,
         "q58_heavy_hitters": mlprep.q58_heavy_hitters,
+        "q59_release_diff": diff.q59_release_diff,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -843,6 +844,26 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q59: old snapshot derived by the same deterministic transform
+        # on both sides; md5 content hashes replayed verbatim
+        "q59_release_diff": """
+            WITH new AS (SELECT doc_id, md5(text) AS h_new FROM documents),
+            old AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 11 = 3
+                                THEN 'STALE ' || text ELSE text END) AS h_old
+                FROM documents WHERE doc_id % 7 != 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5('tombstone')
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT doc_id,
+                   CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'deleted'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new USING (doc_id)
+            WHERE h_old IS NULL OR h_new IS NULL OR h_old != h_new
         """,
         # q58: the Misra-Gries sketch only bounds the CANDIDATE set;
         # the engine's output is exact (rescan pass), so plain

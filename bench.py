@@ -69,7 +69,7 @@ def run_bench() -> dict:
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from cs_insights_crawler_ray.pipelines import (
-        ann, cluster, dedup, graph, mlprep, relational as R, textops)
+        ann, cluster, dedup, diff, graph, mlprep, relational as R, textops)
 
     # warm the page cache so we measure compute + shuffle, not cold reads
     import pyarrow.parquet as pq
@@ -179,6 +179,7 @@ def run_bench() -> dict:
         timed("q56_pagerank", graph.q56_pagerank)
         timed("q57_sequence_pack", mlprep.q57_sequence_pack)
         timed("q58_heavy_hitters", mlprep.q58_heavy_hitters)
+        timed("q59_release_diff", diff.q59_release_diff)
 
     ray.shutdown()
 
