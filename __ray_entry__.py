@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_sequence_pack": mlprep.q57_sequence_pack,
         "q58_heavy_hitters": mlprep.q58_heavy_hitters,
         "q59_release_diff": diff.q59_release_diff,
+        "q60_token_budget_select": mlprep.q60_token_budget_select,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -844,6 +845,31 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q60: all-int64 quality key + inclusive running token sum in
+        # (quality desc, doc_id) order, cut at total//4 — the window
+        # SUM replays the engine's block-offset prefix sum exactly
+        "q60_token_budget_select": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                                regexp_extract_all(lower(text), '\\w+'),
+                                x -> x IN ({_stoplist_sql('en')}))) * 1000000
+                            // greatest(len(regexp_extract_all(
+                                           lower(text), '\\w+')), 1)
+                            AS BIGINT) AS quality,
+                       CAST(array_length(regexp_extract_all(text, '\\S+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            t AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget FROM s),
+            c AS (SELECT s.*,
+                         CAST(SUM(n_tokens) OVER (
+                                  ORDER BY quality DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                              AS BIGINT) AS cum
+                  FROM s)
+            SELECT doc_id, quality, n_tokens FROM c, t WHERE cum <= budget
         """,
         # q59: old snapshot derived by the same deterministic transform
         # on both sides; md5 content hashes replayed verbatim

@@ -180,6 +180,7 @@ def run_bench() -> dict:
         timed("q57_sequence_pack", mlprep.q57_sequence_pack)
         timed("q58_heavy_hitters", mlprep.q58_heavy_hitters)
         timed("q59_release_diff", diff.q59_release_diff)
+        timed("q60_token_budget_select", mlprep.q60_token_budget_select)
 
     ray.shutdown()
 

@@ -570,3 +570,73 @@ def q58_heavy_hitters(sf_dir: str, hh_k: int = HH_K) -> pa.Table:
             "n_occ": pa.array(hh["n_occ"].to_numpy(), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — token-budget corpus selection: rank every document by an
+# integer quality key and keep the best prefix whose cumulative token
+# count fits a global budget (the FineWeb/DCLM-style "curate the top
+# slice of the crawl under a training-token budget" operation).
+#
+# quality = (english-stopword hits * 10^6) // n_words — all-int64 so
+# the global order (quality desc, doc_id asc) and the budget cutoff
+# are exactly reproducible in SQL.  budget = total_tokens // 4
+# (scale-free).  Selection = rows whose INCLUSIVE running token sum
+# in rank order fits the budget (prefix semantics, not knapsack).
+#
+# Scale shape: one vectorized scoring pass (payload text never leaves
+# it), one sort on two int columns, then the q57 block-offset prefix
+# sum — per-block token sums to the driver, block offsets back, each
+# block truncates itself independently.
+# ---------------------------------------------------------------------------
+_SEL_SCHEMA = pa.schema(
+    [(c, pa.int64()) for c in ("doc_id", "quality", "n_tokens")]
+)
+
+
+@ray.remote
+def _select_block(t: pa.Table, offset: int, budget: int) -> pa.Table:
+    if t.num_rows == 0:
+        return _SEL_SCHEMA.empty_table()
+    n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = offset + np.cumsum(n)  # inclusive
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "quality": t["quality"],
+            "n_tokens": pa.array(n),
+        }
+    ).filter(pa.array(cum <= budget))
+
+
+def q60_token_budget_select(sf_dir: str, budget_frac: int = 4) -> rd.Dataset:
+    from ..functions.text import _LANG_PROFILES, _WORD_RE as _QRE
+
+    stop = _LANG_PROFILES["en"]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.lower().str.findall(_QRE)
+        n_words = words.str.len().clip(lower=1).to_numpy()
+        hits = words.map(lambda ws: sum(w in stop for w in ws)).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "quality": (hits * 1_000_000) // n_words,
+                "n_tokens": b["text"].str.count(r"\S+").astype("int64"),
+            }
+        )
+
+    scored = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .materialize()
+    )
+    total = int(scored.sum("n_tokens"))
+    budget = total // budget_frac
+    s = scored.sort(["quality", "doc_id"], descending=[True, False])
+    refs = s.to_arrow_refs()
+    sums = ray.get([_pack_block_sum.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(sums)[:-1])) if sums else []
+    return rd.from_arrow_refs(
+        [_select_block.remote(r, int(o), budget) for r, o in zip(refs, offs)]
+    )

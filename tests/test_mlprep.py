@@ -251,3 +251,32 @@ def test_heavy_hitters_small_k_still_exact(ray_session, tmp_path):
     exp = counts[counts * 5 > len(toks)].sort_index()
     assert list(got["term"]) == list(exp.index)
     assert list(got["n_occ"]) == list(exp.to_numpy())
+
+
+def test_token_budget_select_matches_serial(ray_session):
+    """q60 vs a serial pandas recompute of the rank order, prefix sum,
+    and budget cut."""
+    got = (
+        mlprep.q60_token_budget_select(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    from cs_insights_crawler_ray.functions.text import _LANG_PROFILES, _WORD_RE
+
+    stop = _LANG_PROFILES["en"]
+    words = docs["text"].str.lower().str.findall(_WORD_RE)
+    quality = (
+        words.map(lambda ws: sum(w in stop for w in ws)).to_numpy() * 1_000_000
+    ) // words.str.len().clip(lower=1).to_numpy()
+    n_tokens = docs["text"].str.count(r"\S+").astype("int64").to_numpy()
+    d = pd.DataFrame(
+        {"doc_id": docs["doc_id"].astype("int64"), "quality": quality,
+         "n_tokens": n_tokens}
+    ).sort_values(["quality", "doc_id"], ascending=[False, True])
+    budget = int(n_tokens.sum()) // 4
+    exp = d[d["n_tokens"].cumsum() <= budget].sort_values("doc_id")
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["quality"]) == list(exp["quality"])
+    assert int(got["n_tokens"].sum()) <= budget
