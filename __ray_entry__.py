@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_heavy_hitters": mlprep.q58_heavy_hitters,
         "q59_release_diff": diff.q59_release_diff,
         "q60_token_budget_select": mlprep.q60_token_budget_select,
+        "q61_decontaminate": dedup.q61_decontaminate,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -845,6 +846,29 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q61: gram strings (not hashes) on both sides — membership is
+        # replayed exactly, zero collision caveat; trigram convention
+        # identical to the _JACCARD_CTE
+        "q61_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ts) >= 3
+                            THEN list_transform(
+                                     generate_series(1, len(ts)-2),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                            ELSE [array_to_string(ts, ' ')]
+                       END AS gs
+                FROM toks),
+            gset AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+            eval_g AS (SELECT DISTINCT g FROM gset WHERE doc_id % 97 = 0)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM gset t JOIN eval_g e USING (g)
+            WHERE t.doc_id % 97 != 0
+            GROUP BY t.doc_id
         """,
         # q60: all-int64 quality key + inclusive running token sum in
         # (quality desc, doc_id) order, cut at total//4 — the window

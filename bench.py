@@ -181,6 +181,7 @@ def run_bench() -> dict:
         timed("q58_heavy_hitters", mlprep.q58_heavy_hitters)
         timed("q59_release_diff", diff.q59_release_diff)
         timed("q60_token_budget_select", mlprep.q60_token_budget_select)
+        timed("q61_decontaminate", dedup.q61_decontaminate)
 
     ray.shutdown()
 

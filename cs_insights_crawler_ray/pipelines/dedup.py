@@ -946,3 +946,72 @@ def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     hand-built graphs in tests/test_dedup.py."""
     verified = q17_minhash_dedup(sf_dir, threshold)
     return connected_components(verified)
+
+
+# ---------------------------------------------------------------------------
+# q61 — benchmark decontamination: flag every training document that
+# shares at least one word trigram with the evaluation set (the
+# GPT-3/Pile-style "remove eval overlap from training data" pass; the
+# reference deduplicates only by md5 cache hit, dblpclient.py:442-443
+# — contamination is invisible to it).
+#
+# Eval set = doc_id % 97 == 0 (benchmarks are small by construction —
+# that smallness IS the operator's scale premise).  Grams follow the
+# house trigram convention (_JACCARD_CTE / _shingle_hashes): distinct
+# word trigrams over \S+ tokens; docs shorter than 3 tokens
+# contribute the whole text as one gram.
+#
+# Scale shape: the eval gram-set broadcasts ONCE (ray.put, bget per
+# process) and the training side is a single map_batches pass — no
+# shuffle anywhere; a 100 TB corpus streams against a benchmark set
+# that is MBs.  Gram STRINGS (not hashes) are used so the SQL oracle
+# replays membership exactly, with zero collision caveat.
+# ---------------------------------------------------------------------------
+def _gram_set(text: str) -> set:
+    ts = text.split()
+    if len(ts) >= 3:
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+    return {" ".join(ts)}
+
+
+def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> pa.Table:
+    import ray
+
+    from ..functions.broadcast import bget
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eval_texts = (
+        docs.map_batches(
+            lambda b: b[b["doc_id"] % eval_mod == 0][["text"]],
+            batch_format="pandas",
+        ).take_all()  # bounded: the benchmark set is small by definition
+    )
+    eval_grams = (
+        set().union(*(_gram_set(r["text"]) for r in eval_texts))
+        if eval_texts
+        else set()
+    )
+    gref = ray.put(eval_grams)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        eg = bget(gref)
+        train = b[b["doc_id"] % eval_mod != 0]
+        n_shared = [
+            len(_gram_set(t) & eg) for t in train["text"]
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": train["doc_id"].astype("int64").to_numpy(),
+                "n_shared": np.asarray(n_shared, dtype=np.int64),
+            }
+        )
+        return out[out["n_shared"] > 0]
+
+    flagged = docs.map_batches(flag, batch_format="pandas").to_pandas()
+    flagged = flagged.sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(flagged["doc_id"].to_numpy(), pa.int64()),
+            "n_shared": pa.array(flagged["n_shared"].to_numpy(), pa.int64()),
+        }
+    )

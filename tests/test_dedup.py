@@ -274,3 +274,30 @@ def test_pair_jaccards_bit_identical_to_scalar():
     want = [dedup._round6_half_up(dedup.ngram_jaccard(texts[x], texts[y]))
             for x, y in zip(a_ids, b_ids)]
     assert got.tolist() == want
+
+
+def test_decontaminate_matches_serial(ray_session):
+    """q61 vs a serial set-arithmetic recompute of eval-gram overlap."""
+    import os
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.dedup import (
+        _gram_set, q61_decontaminate)
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    got = q61_decontaminate(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    eg = set().union(
+        *(_gram_set(t) for t in docs.loc[docs["doc_id"] % 97 == 0, "text"])
+    )
+    train = docs[docs["doc_id"] % 97 != 0]
+    exp = {
+        int(r.doc_id): len(_gram_set(r.text) & eg)
+        for r in train.itertuples()
+        if len(_gram_set(r.text) & eg) > 0
+    }
+    assert dict(zip(got["doc_id"], got["n_shared"])) == exp
+    # eval docs themselves are never flagged
+    assert not set(got["doc_id"]) & set(
+        docs.loc[docs["doc_id"] % 97 == 0, "doc_id"]
+    )
