@@ -974,7 +974,7 @@ def _gram_set(text: str) -> set:
     return {" ".join(ts)}
 
 
-def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> pa.Table:
+def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
     import ray
 
     from ..functions.broadcast import bget
@@ -1007,11 +1007,6 @@ def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> pa.Table:
         )
         return out[out["n_shared"] > 0]
 
-    flagged = docs.map_batches(flag, batch_format="pandas").to_pandas()
-    flagged = flagged.sort_values("doc_id")
-    return pa.table(
-        {
-            "doc_id": pa.array(flagged["doc_id"].to_numpy(), pa.int64()),
-            "n_shared": pa.array(flagged["n_shared"].to_numpy(), pa.int64()),
-        }
-    )
+    # stays a Dataset: a heavily contaminated corpus can flag O(rows),
+    # so the result must stream, not land on the driver
+    return docs.map_batches(flag, batch_format="pandas")
