@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q59_release_diff": diff.q59_release_diff,
         "q60_token_budget_select": mlprep.q60_token_budget_select,
         "q61_decontaminate": dedup.q61_decontaminate,
+        "q62_repetition_filter": textops.q62_repetition_filter,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -846,6 +847,40 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q62: integer-ppm repetition metrics; every division is the
+        # same BIGINT floor division the kernel performs
+        "q62_repetition_filter": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+                FROM documents),
+            bg AS (
+                -- a bigram seen once is not repetition (kernel mirror)
+                SELECT doc_id,
+                       CASE WHEN max(c) >= 2 THEN max(c) ELSE 0 END AS top2
+                FROM (
+                    SELECT doc_id, count(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(
+                                     generate_series(1, len(ts)-1),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS g
+                          FROM t WHERE len(ts) >= 2)
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(ts)) AS BIGINT) * 1000000
+                       // greatest(CAST(len(ts) AS BIGINT), 1) AS distinct_ppm,
+                   CAST(COALESCE(bg.top2, 0) AS BIGINT) * 2 * 1000000
+                       // greatest(CAST(len(ts) AS BIGINT), 1) AS top2gram_ppm,
+                   CAST(
+                       CAST(COALESCE(bg.top2, 0) AS BIGINT) * 2 * 1000000
+                           // greatest(CAST(len(ts) AS BIGINT), 1) <= 200000
+                       AND
+                       CAST(len(list_distinct(ts)) AS BIGINT) * 1000000
+                           // greatest(CAST(len(ts) AS BIGINT), 1) >= 300000
+                       AS BIGINT) AS keep
+            FROM t LEFT JOIN bg USING (doc_id)
         """,
         # q61: gram strings (not hashes) on both sides — membership is
         # replayed exactly, zero collision caveat; trigram convention

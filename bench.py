@@ -182,6 +182,7 @@ def run_bench() -> dict:
         timed("q59_release_diff", diff.q59_release_diff)
         timed("q60_token_budget_select", mlprep.q60_token_budget_select)
         timed("q61_decontaminate", dedup.q61_decontaminate)
+        timed("q62_repetition_filter", textops.q62_repetition_filter)
 
     ray.shutdown()
 

@@ -178,3 +178,50 @@ def q22p_simhash_parity(sf_dir: str) -> "pa.Table":
         return pd.Series([simhash64(t) for t in texts], dtype="int64")
 
     return _parity_query(sf_dir, kernel, _naive_simhash64)
+
+
+# ---------------------------------------------------------------------------
+# q62 — repetition quality gate (the Gopher/MassiveText family of
+# repetition rules, Rae et al. 2021 §A1.1): per document the fraction
+# of the token stream covered by its most frequent 2-gram and the
+# distinct-token ratio, in integer parts-per-million so the SQL
+# oracle replays every division exactly; keep = not repetition-heavy.
+# One vectorized-batch pass, no shuffle — the reference has no
+# quality filtering at all (its only gate is the md5 cache).
+# ---------------------------------------------------------------------------
+TOP2_PPM_MAX = 200_000   # >20% of tokens inside one repeated bigram -> drop
+DISTINCT_PPM_MIN = 300_000  # <30% distinct tokens -> drop
+
+
+def q62_repetition_filter(sf_dir: str) -> rd.Dataset:
+    from collections import Counter
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        nd = toks.map(lambda ws: len(set(ws))).to_numpy(dtype=np.int64)
+        top2 = toks.map(
+            lambda ws: max(Counter(zip(ws, ws[1:])).values()) if len(ws) >= 2 else 0
+        ).to_numpy(dtype=np.int64)
+        # a bigram seen once is not repetition — without this, any doc
+        # shorter than 10 tokens trips the 20% gate on its first bigram
+        top2 = np.where(top2 >= 2, top2, 0)
+        n1 = np.maximum(n, 1)
+        top2_ppm = (top2 * 2 * 1_000_000) // n1
+        distinct_ppm = (nd * 1_000_000) // n1
+        keep = (
+            (top2_ppm <= TOP2_PPM_MAX) & (distinct_ppm >= DISTINCT_PPM_MIN)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "distinct_ppm": distinct_ppm,
+                "top2gram_ppm": top2_ppm,
+                "keep": keep,
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(metrics, batch_format="pandas")

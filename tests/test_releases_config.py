@@ -99,3 +99,33 @@ def test_token_counts_empty_text_matches_duckdb():
         ).fetchall()
     ]
     assert ours == duck == [0, 0, 0, 1, 2, 3]
+
+
+def test_repetition_filter_edges(ray_session, tmp_path):
+    """q62 metric edge cases: repeated-bigram spam is dropped, empty
+    and single-token docs keep integer semantics (top2=0)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q62_repetition_filter
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "buy now " * 50,          # one bigram covers the stream
+                "a unique stream of fresh tokens here",
+                "",                        # empty: n=0, all ppm 0
+                "single",                  # no bigram possible
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q62_repetition_filter(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "keep"] == 0 and got.loc[0, "top2gram_ppm"] > 200_000
+    assert got.loc[1, "keep"] == 1
+    assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "top2gram_ppm"] == 0
+    assert got.loc[3, "top2gram_ppm"] == 0 and got.loc[3, "distinct_ppm"] == 1_000_000
