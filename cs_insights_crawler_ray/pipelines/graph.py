@@ -17,13 +17,14 @@ parallelism.  Mass lost to floor division is NOT redistributed
 
 Scale shape per iteration (the adaptive pattern shared with
 q05/q43): ranks bounded by ``BROADCAST_KEY_LIMIT`` broadcast as one
-dense array (``ray.put`` once) and each edge block computes its
-contributions vectorized, then partial inflow sums cross ONE coarse
-shuffle (``_grouped_sum_parts`` trick).  Above the limit the same
-iteration runs as edges ⋈ ranks hash join + grouped sum — ranks then
-never materialize on the driver (forced and oracle-checked in
-tests).  The edge table is built once from the pure fixture function
-``page_links`` and materialized (iterative re-reads, the q46 trade).
+dense array (``ray.put`` once) to plain tasks over the materialized
+edge block refs, each returning a dense int64 inflow partial the
+driver folds as results land (see ``_iterate_broadcast``).  Above the
+limit the same iteration runs as edges ⋈ ranks hash join + grouped
+sum — ranks then never materialize on the driver (forced and
+oracle-checked in tests).  The edge table is built once from the pure
+fixture function ``page_links`` and materialized (iterative re-reads,
+the q46 trade).
 """
 
 from __future__ import annotations
@@ -35,7 +36,6 @@ import ray
 import ray.data as rd
 
 from ..fixtures.content_store import ContentStoreConfig, page_links
-from ..functions.broadcast import bget
 from .relational import (
     BROADCAST_KEY_LIMIT, JOIN_ARGS, _NPART, _grouped_sum_parts)
 
