@@ -9,7 +9,8 @@ restatement:
   frontier row carries a total discovery key
   ``(disc_wave, disc_parent, disc_link)`` — wave discovered, parent's
   global fetch_seq, position in the parent page's link list.  Fetch
-  order within a wave is the sort by ``(score, discovery key)``;
+  order within a wave is the sort by ``(score, -authority, discovery
+  key)`` (authority optional, 0 when off — CrawlConfig.authority);
   global ``fetch_seq`` is assigned per wave by the driver over the
   politeness-bounded candidate keys (only admitted-set keys — never
   frontier rows — reach the driver).
@@ -83,8 +84,12 @@ FRONTIER_COLS = [
     "depth", "disc_wave", "disc_parent", "disc_link",
 ]
 
-CAND_SCHEMA = FRONTIER_SCHEMA.append(pa.field("score", pa.float64()))
-KEY_COLS = ["score"] + DISCOVERY_KEY
+CAND_SCHEMA = FRONTIER_SCHEMA.append(pa.field("score", pa.float64())).append(
+    pa.field("auth_neg", pa.int64())
+)
+# authority (negated int64, 0 when the signal is off) tie-breaks
+# between score and discovery key — see politeness.partition_candidates
+KEY_COLS = ["score", "auth_neg"] + DISCOVERY_KEY
 
 
 @dataclass
@@ -101,6 +106,11 @@ class CrawlConfig:
     decode_batch: int = 64
     seen_capacity: int = 1 << 18
     extract_features: bool = False  # multimodal feature stage (imagefeat)
+    # optional url_canon -> int64 authority (e.g. pipelines/graph.py
+    # PageRank): tie-breaks wave ranking between score and discovery
+    # key; politeness budgets stay authority-blind.  None/empty keeps
+    # crawl order bit-identical to the authority-free engine.
+    authority: dict | None = None
     # full rest-of-frontier snapshot every K waves; other waves
     # checkpoint only O(wave_size) admitted keys + O(new) link rows
     # (an O(frontier) parquet rewrite per wave is ~1 TB/wave at
@@ -139,24 +149,43 @@ def _split_frontier(t: pa.Table, n_parts: int) -> list[pa.Table]:
 
 
 def _cand_table(df: pd.DataFrame) -> pa.Table:
-    """Candidate frame (frontier cols + score) -> canonical arrow."""
+    """Candidate frame (frontier cols + score + auth_neg) -> canonical
+    arrow."""
     if len(df) == 0:
         return CAND_SCHEMA.empty_table()
     t = _frontier_table(pa.Table.from_pandas(df[FRONTIER_COLS], preserve_index=False))
     return t.append_column(
         "score", pa.array(df["score"].to_numpy(np.float64), pa.float64())
+    ).append_column(
+        "auth_neg", pa.array(df["auth_neg"].to_numpy(np.int64), pa.int64())
     )
 
 
+def _get_auth(auth_ref) -> dict | None:
+    """Resolve the broadcast authority dict (list-wrapped ObjectRef so
+    Ray does not auto-deref; bget caches the deserialized dict per
+    worker process)."""
+    if not auth_ref:
+        return None
+    from ..functions.broadcast import bget
+
+    return bget(auth_ref[0])
+
+
 @ray.remote(num_returns=2)
-def _part_candidates(part: pa.Table, host_budget: int, wave_size: int):
+def _part_candidates(part: pa.Table, host_budget: int, wave_size: int,
+                     auth_ref=None):
     """One partition -> (candidate rows incl score, key frame for the
     driver's global top-k).  Only used for the first wave / resume;
     steady-state waves get candidates from ``_merge_part``."""
     if part.num_rows == 0:
         empty = CAND_SCHEMA.empty_table()
         return empty, empty.select(KEY_COLS)
-    cand = _cand_table(partition_candidates(part.to_pandas(), host_budget, wave_size))
+    cand = _cand_table(
+        partition_candidates(
+            part.to_pandas(), host_budget, wave_size, _get_auth(auth_ref)
+        )
+    )
     return cand, cand.select(KEY_COLS)
 
 
@@ -185,17 +214,22 @@ def _part_rest(seq_map: pd.DataFrame, *tables: pa.Table):
 
 
 @ray.remote
-def _rest_candidates(rest: pa.Table, host_budget: int, wave_size: int) -> pa.Table:
+def _rest_candidates(rest: pa.Table, host_budget: int, wave_size: int,
+                     auth_ref=None) -> pa.Table:
     """Candidate prune of the rest-of-frontier — the O(frontier/n_parts)
     half of next-wave admission, launched at fetch start (hidden)."""
     if rest.num_rows == 0:
         return CAND_SCHEMA.empty_table()
-    return _cand_table(partition_candidates(rest.to_pandas(), host_budget, wave_size))
+    return _cand_table(
+        partition_candidates(
+            rest.to_pandas(), host_budget, wave_size, _get_auth(auth_ref)
+        )
+    )
 
 
 @ray.remote(num_returns=2)
 def _final_candidates(cand_rest: pa.Table, new: pa.Table,
-                      host_budget: int, wave_size: int):
+                      host_budget: int, wave_size: int, auth_ref=None):
     """Next-wave candidates = candidates(cand_rest ∪ raw new links).
 
     EXACTLY equals candidates(rest ∪ new): every new row carries the
@@ -211,14 +245,16 @@ def _final_candidates(cand_rest: pa.Table, new: pa.Table,
     frontier-size-free."""
     frames = []
     if cand_rest.num_rows:
-        frames.append(cand_rest.to_pandas().drop(columns=["score"]))
+        frames.append(cand_rest.to_pandas().drop(columns=["score", "auth_neg"]))
     if new.num_rows:
         frames.append(new.to_pandas())
     if not frames:
         empty = CAND_SCHEMA.empty_table()
         return empty, empty.select(KEY_COLS)
     df = frames[0] if len(frames) == 1 else pd.concat(frames)
-    cand = _cand_table(partition_candidates(df, host_budget, wave_size))
+    cand = _cand_table(
+        partition_candidates(df, host_budget, wave_size, _get_auth(auth_ref))
+    )
     return cand, cand.select(KEY_COLS)
 
 
@@ -488,8 +524,9 @@ def run_crawl(
         else:
             parts = [[r] for r in build_seed_parts(cfg, seen)]
         B = cfg.host_budget
+        auth_ref = [ray.put(cfg.authority)] if cfg.authority else None
         cand_pairs = [
-            _part_candidates.remote(parts[p][0], B, cfg.wave_size)
+            _part_candidates.remote(parts[p][0], B, cfg.wave_size, auth_ref)
             for p in range(n_parts)
         ]
         cand_refs = [c for c, _ in cand_pairs]
@@ -526,7 +563,7 @@ def run_crawl(
                 from ..functions.broadcast import bget
 
                 m = b.merge(bget(seq_ref), on=DISCOVERY_KEY, how="inner")
-                return m.drop(columns=["score"])
+                return m.drop(columns=["score", "auth_neg"])
 
             # repartition: ~2 blocks per core so fetch gets full task
             # parallelism regardless of the candidates' block structure
@@ -567,7 +604,7 @@ def run_crawl(
             # during the fetch; the links barrier then only merges it
             # with the (small) new-link candidates
             cand_rest_refs = [
-                _rest_candidates.remote(rest_refs[p], B, cfg.wave_size)
+                _rest_candidates.remote(rest_refs[p], B, cfg.wave_size, auth_ref)
                 for p in range(n_parts)
             ]
             rest_writes = (
@@ -683,7 +720,8 @@ def run_crawl(
             # _part_rest concatenates them inside its own hidden scan.
             fc = [
                 _final_candidates.remote(
-                    cand_rest_refs[p], frontier_refs[p], B, cfg.wave_size
+                    cand_rest_refs[p], frontier_refs[p], B, cfg.wave_size,
+                    auth_ref,
                 )
                 for p in range(n_parts)
             ]

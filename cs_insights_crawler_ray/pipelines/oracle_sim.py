@@ -65,14 +65,19 @@ def simulate(cfg: CrawlConfig) -> SimResult:
         by_host: dict[str, list] = {}
         for row in backlog:
             by_host.setdefault(row["host"], []).append(row)
+        auth = getattr(cfg, "authority", None) or {}
         admissible = []
         for host, rows in by_host.items():
             rows.sort(key=lambda r: r["dk"])
             for rank, row in enumerate(rows[: cfg.host_budget]):
                 score = row["depth"] + 0.001 * min(rank, HOST_RANK_CAP)
-                admissible.append((score, row["dk"], row))
-        admissible.sort(key=lambda x: (x[0], x[1]))
-        admitted = [row for _, _, row in admissible[: cfg.wave_size]]
+                # authority tie-break (negated: higher authority first),
+                # mirroring politeness.partition_candidates exactly
+                admissible.append(
+                    (score, -auth.get(row["url_canon"], 0), row["dk"], row)
+                )
+        admissible.sort(key=lambda x: (x[0], x[1], x[2]))
+        admitted = [row for _, _, _, row in admissible[: cfg.wave_size]]
         if not admitted:
             break
         admitted_shas = {r["sha"] for r in admitted}

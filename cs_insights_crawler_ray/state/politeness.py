@@ -59,7 +59,8 @@ def host_admission(group: pd.DataFrame, host_budget: int) -> pd.DataFrame:
 
 
 def partition_candidates(
-    part: pd.DataFrame, host_budget: int, wave_size: int
+    part: pd.DataFrame, host_budget: int, wave_size: int,
+    auth: dict | None = None,
 ) -> pd.DataFrame:
     """Admission candidates of one complete host-hash partition (every
     row of every host in the partition is present — the frontier is
@@ -67,13 +68,30 @@ def partition_candidates(
     construction): per-host discovery-order rank, budget cut, score,
     then the partition-local best ``wave_size`` rows.  The global wave
     admits the best ``wave_size`` across partitions, so rows outside a
-    partition's local top-``wave_size`` can never be admitted."""
+    partition's local top-``wave_size`` can never be admitted.
+
+    ``auth`` (optional): url_canon -> int64 authority (e.g. the
+    fixed-point PageRank of pipelines/graph.py).  Authority is a
+    TIE-BREAK between score and discovery key — stored negated
+    (``auth_neg``) so one ascending mergesort ranks higher-authority
+    URLs first.  Per-host BUDGET eligibility stays discovery-order
+    (age), so politeness is authority-blind; only the inter-host wave
+    ranking changes.  With no auth every row gets 0 and the order is
+    bit-identical to the authority-free engine (parity-tested)."""
     g = part.sort_values(["host_hash"] + DISCOVERY_KEY, kind="mergesort")
     rank = g.groupby("host_hash", sort=False).cumcount().to_numpy()
     keep = rank < host_budget
     g = g[keep].copy()
     g["score"] = score_of(g["depth"].to_numpy(), rank[keep])
-    return g.sort_values(["score"] + DISCOVERY_KEY, kind="mergesort").head(wave_size)
+    if auth:
+        g["auth_neg"] = -(
+            g["url_canon"].map(auth).fillna(0).astype(np.int64)
+        )
+    else:
+        g["auth_neg"] = np.zeros(len(g), np.int64)
+    return g.sort_values(
+        ["score", "auth_neg"] + DISCOVERY_KEY, kind="mergesort"
+    ).head(wave_size)
 
 
 def partition_admission(part: pd.DataFrame, host_budget: int) -> pd.DataFrame:

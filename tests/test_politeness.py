@@ -130,3 +130,49 @@ def test_salted_aggregate_matches_plain():
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
     assert np.allclose(got["sum_value"], want["sum_value"].round(6), atol=1e-5)
     assert got[got["k"] == 0]["n"].iloc[0] > 15000   # the hot key really is hot
+
+
+def test_authority_guided_order_matches_simulator(ray_session, tmp_path):
+    """Authority-guided admission: the parallel engine stays
+    byte-identical to the sequential simulator when both receive the
+    same url->authority map, and the map actually changes the order
+    (it is a tie-break between score and discovery key, so politeness
+    budgets are untouched)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.fixtures.content_store import (
+        ContentStoreConfig, seed_urls)
+    from cs_insights_crawler_ray.pipelines import oracle_sim
+    from cs_insights_crawler_ray.pipelines.crawl import (
+        CrawlConfig, read_crawl_log, run_crawl)
+
+    store = ContentStoreConfig(seed=7, n_hosts=12, pages_per_host=32)
+    base = dict(store=store, n_seeds=16, wave_size=24, n_waves=3, n_shards=2)
+
+    # promote every page of two arbitrary hosts
+    auth = {
+        u: 1_000_000
+        for u in seed_urls(store, 64)
+        if "//h0005." in u or "//h0002." in u
+    }
+    assert auth, "fixture must yield promotable seed URLs"
+
+    cfg_auth = CrawlConfig(authority=auth, **base)
+    out_auth = tmp_path / "auth"
+    run_crawl(cfg_auth, str(out_auth))
+    got = read_crawl_log(str(out_auth))
+    got_tuples = [
+        (int(a), b, int(c), d)
+        for a, b, c, d in zip(
+            got["fetch_seq"], got["url_canon"], got["depth"], got["status"]
+        )
+    ]
+    exp = oracle_sim.simulate(cfg_auth)
+    assert got_tuples == exp.crawl_log
+
+    # and the signal is not a no-op: order differs from authority-off
+    cfg_plain = CrawlConfig(**base)
+    exp_plain = oracle_sim.simulate(cfg_plain)
+    assert [u for _, u, _, _ in exp.crawl_log] != [
+        u for _, u, _, _ in exp_plain.crawl_log
+    ]
