@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q31_crawl_payload": crawl_queries.q31_crawl_payload,
         "q32_payload_neardup": crawl_queries.q32_payload_neardup,
         "q39_payload_ann": crawl_queries.q39_payload_ann,
+        "q63_payload_dup_groups": crawl_queries.q63_payload_dup_groups,
         # -- multimodal stages (stub codecs; pytest oracles) ---------
         "q36_audio_features": multimodal_queries.q36_audio_features,
         "q37_video_frame_phashes": multimodal_queries.q37_video_frame_phashes,
@@ -566,6 +567,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
             FROM p a JOIN p b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        # q63: the q32 pair list collapsed to groups by the same
+        # recursive min-label walk as q38, over the int64 of each
+        # image_id's first 15 hex chars (the kernel checks prefix
+        # uniqueness, under which prefix order == string order)
+        "q63_payload_dup_groups": f"""
+            WITH RECURSIVE p AS (
+                SELECT image_id, phash
+                FROM read_parquet('{_crawl_payload_glob()}')),
+            pairs AS (
+                SELECT a.image_id AS a, b.image_id AS b
+                FROM p a JOIN p b ON a.image_id < b.image_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            ids AS (
+                SELECT DISTINCT i AS image_id,
+                       CAST(('0x' || substring(i, 1, 15)) AS BIGINT) AS nid
+                FROM (SELECT a AS i FROM pairs UNION SELECT b FROM pairs)),
+            e AS (
+                SELECT ia.nid AS a, ib.nid AS b
+                FROM pairs JOIN ids ia ON ia.image_id = pairs.a
+                           JOIN ids ib ON ib.image_id = pairs.b),
+            sym AS (SELECT a AS node, b AS peer FROM e
+                    UNION ALL SELECT b, a FROM e),
+            walk(node, label) AS (
+                SELECT DISTINCT node, node FROM sym
+                UNION
+                SELECT s.node, w.label FROM sym s JOIN walk w ON w.node = s.peer),
+            g AS (SELECT node, min(label) AS lab FROM walk GROUP BY node)
+            SELECT idn.image_id AS image_id, idl.image_id AS group_rep
+            FROM g JOIN ids idn ON idn.nid = g.node
+                   JOIN ids idl ON idl.nid = g.lab
         """,
         # CAST to DOUBLE[] so DuckDB's cosine runs in float64 like the
         # numpy kernel, as q23b does (ADVICE r02: float32-list

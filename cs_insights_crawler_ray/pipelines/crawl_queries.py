@@ -177,3 +177,48 @@ def q39_payload_ann(sf_dir: str, k: int = 5, n_queries: int = 3) -> pd.DataFrame
     top = top.assign(rank=top.groupby("query_id").cumcount() + 1)
     out = top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
     return out.astype({"rank": "int64"})  # ids stay object (matches DuckDB varchar)
+
+
+def q63_payload_dup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup CLUSTERS over the crawled payload: the q32 phash pair
+    list collapsed into (image_id, group_rep) via the distributed
+    connected-components kernel (dedup.connected_components) — the
+    image-side analog of q38's text dup-groups, completing pairs ->
+    groups for the multimodal column.
+
+    Ids: image_id is a 40-hex sha1; components run on the int64 of
+    its first 15 hex chars (60 bits).  Uniqueness of the prefixes is
+    CHECKED (raise, not silent corruption); under unique prefixes
+    prefix-int order == full-string order, so min-label group
+    representatives agree exactly with the SQL oracle's recursive
+    min-label walk over the same mapping."""
+    import ray.data as rd
+
+    from .dedup import connected_components
+
+    pairs = q32_payload_neardup(sf_dir, max_hamming)
+    if pairs.empty:
+        return pd.DataFrame({"image_id": [], "group_rep": []}).astype(
+            {"image_id": "object", "group_rep": "object"}
+        )
+    ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+    nid = {s: int(s[:15], 16) for s in ids}
+    if len(set(nid.values())) != len(nid):
+        raise ValueError("q63: 15-hex-char image_id prefix collision")
+    back = {v: k for k, v in nid.items()}
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": [nid[x] for x in pairs["a"]],
+                "b": [nid[x] for x in pairs["b"]],
+            }
+        )
+    )
+    cc = connected_components(edges).to_pandas()  # bounded: paired ids only
+    out = pd.DataFrame(
+        {
+            "image_id": [back[i] for i in cc["doc_id"]],
+            "group_rep": [back[g] for g in cc["group_id"]],
+        }
+    )
+    return out.sort_values("image_id").reset_index(drop=True)

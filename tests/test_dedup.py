@@ -301,3 +301,24 @@ def test_decontaminate_matches_serial(ray_session):
     assert not set(got["doc_id"]) & set(
         docs.loc[docs["doc_id"] % 97 == 0, "doc_id"]
     )
+
+
+def test_payload_dup_groups_consistent_with_pairs(ray_session):
+    """q63 groups exactly cover the q32 pair list: every paired image
+    appears, both ends of a pair share a group, and the representative
+    is the lexicographically smallest member."""
+    import os
+
+    from cs_insights_crawler_ray.pipelines.crawl_queries import (
+        q32_payload_neardup, q63_payload_dup_groups)
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    pairs = q32_payload_neardup(sf)
+    groups = q63_payload_dup_groups(sf)
+    paired = set(pairs["a"]) | set(pairs["b"])
+    assert set(groups["image_id"]) == paired
+    rep = dict(zip(groups["image_id"], groups["group_rep"]))
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert rep[a] == rep[b]
+    for g, members in groups.groupby("group_rep")["image_id"]:
+        assert g == min(members)
