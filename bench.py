@@ -260,7 +260,7 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     Also reports the no-Ray hardware-ceiling control so engine
     scaling can be read independently of the platform's own limits.
 
-    The hi level runs first with GRAFT_SCALING_REPEATS+2 draws (its
+    The hi level runs first with GRAFT_SCALING_REPEATS+4 draws (its
     min is the binding term of the ratio and a draw is ~3x cheaper);
     the lo level then runs GRAFT_SCALING_REPEATS draws (default 3),
     all within a GRAFT_SCALING_BUDGET wall budget (default 1100s).
@@ -293,8 +293,8 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     # start of the invocation, and its min is the binding term of the
     # efficiency ratio (a single noisy-hour T16 min moves the ratio
     # 0.91 -> 0.79 on otherwise identical T4 draws — observed).
-    for r in range(repeats + 2):
-        if r > 0 and time.perf_counter() - t_start > budget / 3:
+    for r in range(repeats + 4):
+        if r > 0 and time.perf_counter() - t_start > budget * 0.45:
             break
         draws_hi.append(one(n_hi))
     for r in range(repeats):
