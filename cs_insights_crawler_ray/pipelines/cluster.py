@@ -86,17 +86,20 @@ def _embeddings_ds(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _init_centroids(ds: rd.Dataset, k: int) -> np.ndarray:
+@ray.remote
+def _block_minK(t, k: int) -> pd.DataFrame:
+    df = t.to_pandas()
+    return df.nsmallest(k, "vec_id") if len(df) else df
+
+
+def _init_centroids_refs(refs: list, k: int) -> np.ndarray:
     """Deterministic data-derived init: the k smallest vec_ids'
-    quantized vectors (partial min-k per block -> bounded driver
-    merge — the q09 top-k shape, no sort shuffle)."""
-
-    def local(b: pd.DataFrame) -> pd.DataFrame:
-        return b.nsmallest(k, "vec_id")
-
+    quantized vectors (partial min-k per block via plain tasks over
+    the materialized refs -> bounded driver merge — the q09 top-k
+    shape, no extra Dataset pipeline)."""
+    parts = ray.get([_block_minK.remote(r, k) for r in refs])
     rows = (
-        ds.map_batches(local, batch_format="pandas")
-        .to_pandas()  # bounded: n_blocks × k rows
+        pd.concat([p for p in parts if len(p)], ignore_index=True)
         .nsmallest(k, "vec_id")
         .sort_values("vec_id")
     )
@@ -109,39 +112,58 @@ def _init_centroids(ds: rd.Dataset, k: int) -> np.ndarray:
 _FIT_CACHE: dict[tuple, np.ndarray] = {}
 
 
+@ray.remote
+def _quantize_block(t) -> np.ndarray:
+    """Arrow block -> quantized int64 (n, d) matrix, computed ONCE and
+    parked in plasma for every Lloyd iteration to read zero-copy (the
+    old per-iteration map_batches re-quantized every block every
+    iteration AND paid ~0.5 s/iter of Dataset pipeline startup)."""
+    df = t.to_pandas()
+    if len(df) == 0:
+        return np.zeros((0, 1), dtype=np.int64)
+    return quantize_embeddings(_stack_embeddings(df["embedding"]))
+
+
+@ray.remote
+def _kmeans_partial(q: np.ndarray, cents: np.ndarray, k: int) -> np.ndarray:
+    """One block's (counts | Σq) partial as a single (k, d+1) int64
+    array — int sums are order-independent, so any fold order is
+    bit-identical."""
+    d = cents.shape[1]
+    out = np.zeros((k, d + 1), dtype=np.int64)
+    if len(q) == 0 or q.shape[1] != d:
+        return out
+    a = assign_clusters(q, cents)
+    np.add.at(out[:, 0], a, 1)
+    np.add.at(out[:, 1:], a, q)
+    return out
+
+
 def kmeans_fit(
     sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
 ) -> np.ndarray:
-    """Distributed Lloyd's fit -> int64 centroid matrix (k, d)."""
+    """Distributed Lloyd's fit -> int64 centroid matrix (k, d).
+
+    Plain tasks over pre-quantized plasma blocks (the q56 PageRank
+    shape): quantization happens once, each iteration is one task
+    round returning (k, d+1) int64 partials the driver folds as they
+    land — O(blocks × k × d) ints move per iteration, never vectors."""
     key = (sf_dir, k, iters)
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
     ds = _embeddings_ds(sf_dir).materialize()
-    cents = _init_centroids(ds, k)
+    refs = ds.to_arrow_refs()
+    cents = _init_centroids_refs(refs, k)
     d = cents.shape[1]
+    qrefs = [_quantize_block.remote(r) for r in refs]
     for _ in range(iters):
         cref = ray.put(cents)
-
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            c = bget(cref)
-            q = quantize_embeddings(_stack_embeddings(b["embedding"]))
-            a = assign_clusters(q, c)
-            out_c, out_n, out_s = [], [], []
-            for ci in np.unique(a):
-                sel = q[a == ci]
-                out_c.append(int(ci))
-                out_n.append(len(sel))
-                out_s.append(sel.sum(axis=0))  # int64 exact
-            return pd.DataFrame({"cluster": out_c, "count": out_n, "sums": out_s})
-
-        # bounded driver materialization: n_blocks × k rows of
-        # (cluster, count, Σq) partials — never vectors
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        counts = np.zeros(k, dtype=np.int64)
-        sums = np.zeros((k, d), dtype=np.int64)
-        for ci, n, s in zip(parts["cluster"], parts["count"], parts["sums"]):
-            counts[ci] += n
-            sums[ci] += np.asarray(s, dtype=np.int64)
+        pending = [_kmeans_partial.remote(qr, cref, k) for qr in qrefs]
+        agg = np.zeros((k, d + 1), dtype=np.int64)
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            agg += ray.get(done[0])
+        counts, sums = agg[:, 0], agg[:, 1:]
         nz = counts > 0
         new_c = cents.copy()
         new_c[nz] = np.floor_divide(
