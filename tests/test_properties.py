@@ -1,0 +1,134 @@
+"""Property tests (hypothesis) for the round-3 operator kernels'
+math — the pure functions behind q56/q57/q58 and the authority
+tie-break, exercised on adversarial random inputs without a Ray
+session (SURVEY.md §5 test-strategy parity: the reference's only
+property surface is URL canonicalization; ours covers the
+distributed-kernel contracts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+
+# --------------------------------------------------------------- q58
+@settings(max_examples=60, deadline=None)
+@given(
+    tokens=st.lists(st.integers(0, 9), min_size=0, max_size=400),
+    n_blocks=st.integers(1, 6),
+    k=st.integers(2, 8),
+)
+def test_misra_gries_block_trim_preserves_heavy_hitters(tokens, n_blocks, k):
+    """The per-block MG offset (subtract the k-th largest count, keep
+    positives) merged by plain summation never loses a true heavy
+    hitter (count * k > N): the mergeable-summaries guarantee the q58
+    rescan relies on."""
+    s = pd.Series([f"t{t}" for t in tokens], dtype="object")
+    bounds = sorted(
+        {0, len(s), *np.random.RandomState(k).randint(0, max(1, len(s)), n_blocks - 1)}
+    )
+    residual: dict[str, int] = {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        c = s.iloc[lo:hi].value_counts()
+        if len(c) >= k:
+            c = c - int(c.iloc[k - 1])
+            c = c[c > 0]
+        for t, v in c.items():
+            residual[t] = residual.get(t, 0) + int(v)
+    total = len(s)
+    true_counts = s.value_counts()
+    heavy = set(true_counts[true_counts * k > total].index)
+    survivors = {t for t, v in residual.items() if v > 0}
+    assert heavy <= survivors
+    # and the per-term subtraction never exceeded N/k overall
+    for t in heavy:
+        assert residual[t] >= int(true_counts[t]) - total // k - 1
+
+
+# --------------------------------------------------------------- q57
+@settings(max_examples=60, deadline=None)
+@given(
+    n_tokens=st.lists(st.integers(0, 1500), min_size=1, max_size=120),
+    ctx=st.integers(2, 700),
+)
+def test_sequence_pack_window_arithmetic(n_tokens, ctx):
+    """Window assignment invariants of the q57 kernel math: windows
+    are contiguous across docs, span counts match ceil arithmetic,
+    empty docs pin to one window."""
+    n = np.asarray(n_tokens, dtype=np.int64)
+    start = np.concatenate(([0], np.cumsum(n)[:-1]))
+    first = start // ctx
+    last = (start + np.maximum(n, 1) - 1) // ctx
+    n_chunks = last - first + 1
+    assert (n_chunks >= 1).all()
+    assert (first <= last).all()
+    # doc i+1 starts exactly where doc i ends (token-stream contiguity)
+    assert ((start[:-1] + n[:-1]) == start[1:]).all()
+    # span matches ceil arithmetic for non-empty docs
+    nz = n > 0
+    off = start[nz] % ctx
+    assert (n_chunks[nz] == (off + n[nz] + ctx - 1) // ctx).all()
+    assert (n_chunks[n == 0] == 1).all()
+
+
+# --------------------------------------------------------------- q56
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(2, 40),
+    seed=st.integers(0, 10_000),
+    order=st.randoms(use_true_random=False),
+)
+def test_pagerank_inflow_is_block_order_independent(n, seed, order):
+    """Folding per-edge int64 contributions in ANY partition/order
+    yields identical inflow — the invariant that makes the distributed
+    PageRank bit-identical to the serial loop."""
+    rng = np.random.RandomState(seed)
+    m = rng.randint(1, 120)
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    outdeg = rng.randint(1, 6, m)
+    ranks = rng.randint(0, 10**12, n).astype(np.int64)
+    c = ranks[src] // outdeg
+
+    def fold(perm):
+        out = np.zeros(n, np.int64)
+        np.add.at(out, dst[perm], c[perm])
+        return out
+
+    idx = np.arange(m)
+    perm = idx.copy()
+    order.shuffle(perm)
+    assert np.array_equal(fold(idx), fold(perm))
+
+
+# -------------------------------------------------- authority tie-break
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    seed=st.integers(0, 10_000),
+    budget=st.integers(1, 5),
+    wave=st.integers(1, 30),
+)
+def test_authority_zero_is_order_identity(n, seed, budget, wave):
+    """partition_candidates with auth=None and with an all-zero / empty
+    authority map produce identical row order — the bit-identical
+    default-path guarantee of the authority feature."""
+    from cs_insights_crawler_ray.state.politeness import partition_candidates
+
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame(
+        {
+            "url_canon": [f"https://h{rng.randint(4)}.test/p/{i}" for i in range(n)],
+            "host_hash": rng.randint(0, 4, n).astype(np.uint64),
+            "depth": rng.randint(0, 5, n),
+            "disc_wave": rng.randint(0, 3, n),
+            "disc_parent": rng.randint(-1, 50, n).astype(np.int64),
+            "disc_link": rng.randint(0, 20, n),
+        }
+    )
+    base = partition_candidates(df.copy(), budget, wave, None)
+    zero = partition_candidates(df.copy(), budget, wave, {})
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), zero.reset_index(drop=True)
+    )
