@@ -965,7 +965,11 @@ def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
 # process) and the training side is a single map_batches pass — no
 # shuffle anywhere; a 100 TB corpus streams against a benchmark set
 # that is MBs.  Gram STRINGS (not hashes) are used so the SQL oracle
-# replays membership exactly, with zero collision caveat.
+# replays membership exactly, with zero collision caveat; at 100 TB
+# you'd switch the train side to the vectorized hashed shingles
+# (_batch_gram_hashes, ~30x the per-doc Python set rate) and accept
+# the 32-bit-collision false-positive rate — same trade as q17's
+# sketch path, with this string form as the correctness anchor.
 # ---------------------------------------------------------------------------
 def _gram_set(text: str) -> set:
     ts = text.split()
