@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_token_budget_select": mlprep.q60_token_budget_select,
         "q61_decontaminate": dedup.q61_decontaminate,
         "q62_repetition_filter": textops.q62_repetition_filter,
+        "q64_dup_spans": dedup.q64_dup_spans,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -879,6 +880,28 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q64: exact W-token window sharing with the same MAX_DF
+        # boilerplate prune (HAVING mirror); window strings equal on
+        # both sides, list slice ts[i:i+7] is inclusive (8 tokens)
+        "q64_dup_spans": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(ts)-7, 0)),
+                           i -> array_to_string(ts[i:i+7], ' '))) AS g
+                FROM toks WHERE len(ts) >= 8),
+            gset AS (SELECT DISTINCT doc_id, g FROM grams),
+            keep AS (SELECT g FROM gset GROUP BY g
+                     HAVING count(*) >= 2 AND count(*) <= 20),
+            gk AS (SELECT gset.doc_id, gset.g FROM gset JOIN keep USING (g))
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM gk x JOIN gk y ON x.g = y.g AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
         """,
         # q62: integer-ppm repetition metrics; every division is the
         # same BIGINT floor division the kernel performs

@@ -183,6 +183,7 @@ def run_bench() -> dict:
         timed("q60_token_budget_select", mlprep.q60_token_budget_select)
         timed("q61_decontaminate", dedup.q61_decontaminate)
         timed("q62_repetition_filter", textops.q62_repetition_filter)
+        timed("q64_dup_spans", dedup.q64_dup_spans)
 
     ray.shutdown()
 

@@ -1014,3 +1014,87 @@ def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
     # stays a Dataset: a heavily contaminated corpus can flag O(rows),
     # so the result must stream, not land on the driver
     return docs.map_batches(flag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# q64 — exact duplicate-span detection (the windowed form of Lee et
+# al. 2022 "Deduplicating Training Data Makes Language Models Better"
+# §3 ExactSubstr): two documents are span-duplicates if they share at
+# least one exact W-token window; output (a, b, n_shared) with the
+# count of distinct shared windows per pair.
+#
+# Boilerplate prune: windows appearing in more than MAX_DF documents
+# are dropped on BOTH sides (SQL HAVING mirror) — standard practice
+# (ubiquitous spans are not duplication evidence) AND the guard that
+# kills the k²-pairs blowup a viral span would cause (the same
+# degenerate-bucket class the MinHash star cap handles).
+#
+# Scale shape: per-doc distinct window strings emit as (g, doc_id)
+# rows, co-located by crc32(g) coarse partition (every row of a gram
+# lands in ONE partition, so the DF prune is exact per partition);
+# pair expansion is numpy triu per gram; per-pair counts pack into
+# one int64 key and cross a second coarse grouped-sum.  Window
+# STRINGS keep the SQL oracle exact; at 100 TB you'd switch to the
+# rolling 64-bit window hashes (_batch_gram_hashes with n=W) — same
+# trade as q61, with this form as the correctness anchor.
+# ---------------------------------------------------------------------------
+SPAN_W = 8
+SPAN_MAX_DF = 20
+
+
+def q64_dup_spans(
+    sf_dir: str, w: int = SPAN_W, max_df: int = SPAN_MAX_DF
+) -> rd.Dataset:
+    from .relational import _grouped_sum_parts
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        gs: list[str] = []
+        ids: list[int] = []
+        for did, text in zip(b["doc_id"].astype("int64"), b["text"]):
+            ts = text.split()
+            if len(ts) < w:
+                continue
+            uniq = {" ".join(ts[i : i + w]) for i in range(len(ts) - w + 1)}
+            gs.extend(uniq)
+            ids.extend([did] * len(uniq))
+        out = pd.DataFrame({"g": pd.Series(gs, dtype="object"), "doc_id": ids})
+        out["_part"] = np.array(
+            [zlib.crc32(g.encode()) & 31 for g in out["g"]], dtype=np.int32
+        ) if len(out) else np.array([], dtype=np.int32)
+        return out
+
+    def pairs_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        keys: list[np.ndarray] = []
+        s = part.sort_values(["g", "doc_id"], kind="mergesort")
+        if len(s) and int(s["doc_id"].max()) >= 1 << 31:
+            raise ValueError("q64: doc_id exceeds the 31-bit pair-pack range")
+        for _, grp in s.groupby("g", sort=False):
+            d = grp["doc_id"].to_numpy(np.int64)
+            if len(d) < 2 or len(d) > max_df:  # DF prune (exact: gram
+                continue                       # is whole in this part)
+            i, j = np.triu_indices(len(d), k=1)
+            keys.append((d[i] << np.int64(32)) | d[j])
+        if not keys:
+            return pd.DataFrame({"k": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        c = pd.Series(np.concatenate(keys)).value_counts()
+        return pd.DataFrame({"k": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pair_parts = (
+        docs.map_batches(windows, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
+    summed = _grouped_sum_parts(pair_parts, "k", {"n": "n"})
+    return summed.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "a": (b["k"].to_numpy(np.int64) >> np.int64(32)),
+                "b": b["k"].to_numpy(np.int64) & np.int64(0xFFFFFFFF),
+                "n_shared": b["n"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -322,3 +322,34 @@ def test_payload_dup_groups_consistent_with_pairs(ray_session):
         assert rep[a] == rep[b]
     for g, members in groups.groupby("group_rep")["image_id"]:
         assert g == min(members)
+
+
+def test_dup_spans_matches_serial_and_prunes(ray_session, tmp_path):
+    """q64: serial set-arithmetic parity on a hand-built corpus, and
+    the MAX_DF boilerplate prune actually drops a viral span."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.dedup import q64_dup_spans
+
+    span = "one two three four five six seven eight"
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = [
+        f"{span} tail0",          # 0 and 1 share the 8-token span
+        f"head1 {span}",
+        "nothing in common here at all with anything else",
+    ] + [f"{boiler} unique{i}" for i in range(30)]  # viral span, df=30
+    pd.DataFrame({"doc_id": range(len(docs)), "text": docs}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = (
+        q64_dup_spans(str(tmp_path))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # only the (0, 1) pair survives: the boilerplate span has df=30 > 20
+    assert list(zip(got["a"], got["b"])) == [(0, 1)]
+    assert int(got.loc[0, "n_shared"]) == 1
+    # without the prune the viral span would emit 30*29/2 = 435 pairs
+    got_hi = q64_dup_spans(str(tmp_path), max_df=64).to_pandas()
+    assert len(got_hi) == 1 + 435
