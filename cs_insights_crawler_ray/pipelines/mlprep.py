@@ -546,12 +546,38 @@ def q58_heavy_hitters(sf_dir: str, hh_k: int = HH_K) -> pa.Table:
             ignore_index=True,
         )
 
-    merged = (
-        _term_grouped_sum(docs.map_batches(mg_block, batch_format="pandas"), "resid")
-        .to_pandas()  # bounded: surviving residuals + 1 total row
+    merged_ds = _term_grouped_sum(
+        docs.map_batches(mg_block, batch_format="pandas"), "resid"
+    ).materialize()
+
+    # Final MG re-trim, DISTRIBUTED (Agarwal et al. 2012: merging MG
+    # summaries by plain sum then trimming back to k counters is again
+    # a valid MG summary with error <= N/k, so every true heavy hitter
+    # still survives).  Without it the merged positive-residual set is
+    # O(n_blocks x k) terms in the disjoint-vocabulary worst case —
+    # too many to land on the driver at 100 TB.  The k-th largest
+    # residual comes from per-block top-k partials (the q09 shape);
+    # candidates = terms strictly above it (<= k-1 of them).
+    def topk_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["term"] != ""].nlargest(hh_k, "resid")
+
+    top = (
+        merged_ds.map_batches(topk_part, batch_format="pandas")
+        .to_pandas()  # bounded: n_blocks x k rows
+        .nlargest(hh_k, "resid")
     )
-    total = int(merged.loc[merged["term"] == "", "resid"].sum())
-    cands = set(merged.loc[(merged["term"] != "") & (merged["resid"] > 0), "term"])
+    trim = int(top["resid"].iloc[-1]) if len(top) >= hh_k else 0
+
+    def cand_part(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[(b["term"] != "") & (b["resid"] > trim)]
+        tot = pd.DataFrame(
+            {"term": [""], "resid": [b.loc[b["term"] == "", "resid"].sum()]}
+        )
+        return pd.concat([keep[["term", "resid"]], tot], ignore_index=True)
+
+    summary = merged_ds.map_batches(cand_part, batch_format="pandas").to_pandas()
+    total = int(summary.loc[summary["term"] == "", "resid"].sum())
+    cands = set(summary.loc[summary["term"] != "", "term"])  # <= hh_k - 1
     cref = ray.put(cands)
 
     def exact_block(b: pd.DataFrame) -> pd.DataFrame:
