@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q61_decontaminate": dedup.q61_decontaminate,
         "q62_repetition_filter": textops.q62_repetition_filter,
         "q64_dup_spans": dedup.q64_dup_spans,
+        "q65_inverted_index": mlprep.q65_inverted_index,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -880,6 +881,20 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q65: counters derive from the WRITTEN posting lists (read
+        # back + parsed), so this compare transitively value-checks
+        # the index build -> write -> read round trip per term
+        "q65_inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                           AS term
+                FROM documents),
+            u AS (SELECT DISTINCT term, doc_id FROM toks)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+            FROM u GROUP BY term
         """,
         # q64: exact W-token window sharing with the same MAX_DF
         # boilerplate prune (HAVING mirror); window strings equal on

@@ -184,6 +184,7 @@ def run_bench() -> dict:
         timed("q61_decontaminate", dedup.q61_decontaminate)
         timed("q62_repetition_filter", textops.q62_repetition_filter)
         timed("q64_dup_spans", dedup.q64_dup_spans)
+        timed("q65_inverted_index", mlprep.q65_inverted_index)
 
     ray.shutdown()
 

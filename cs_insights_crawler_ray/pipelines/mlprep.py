@@ -666,3 +666,79 @@ def q60_token_budget_select(sf_dir: str, budget_frac: int = 4) -> rd.Dataset:
     return rd.from_arrow_refs(
         [_select_block.remote(r, int(o), budget) for r, o in zip(refs, offs)]
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — inverted-index build: (term -> sorted posting list of doc_ids)
+# written as bucket-partitioned parquet (the retrieval-side artifact a
+# training corpus ships with), counters derived from the WRITTEN
+# files so the SQL oracle transitively value-checks the build ->
+# write -> read round trip (the q51 pattern).
+#
+# Scale shape: per-block distinct (term, doc_id) pairs pre-combine
+# into per-block posting fragments; the only shuffle is the
+# crc32(term)-bucket groupby (a term's fragments co-locate in ONE
+# bucket, so list concatenation + sort is bucket-local and the output
+# is one directory per bucket — replace-partition resumable).  The
+# driver sees only the per-term counter rows.
+# ---------------------------------------------------------------------------
+IDX_BUCKETS = 8
+
+
+def q65_inverted_index(sf_dir: str, out_root: str | None = None) -> rd.Dataset:
+    from ..sources.sinks import clear_partition
+
+    out_root = out_root or f"/tmp/ciq_invidx_{Path(sf_dir).name}"
+    clear_partition(out_root)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fragments(b: pd.DataFrame) -> pd.DataFrame:
+        terms = b["text"].str.lower().str.findall(_WORD_RE).map(set)
+        out_t: list[str] = []
+        out_d: list[int] = []
+        for did, ts in zip(b["doc_id"].astype("int64"), terms):
+            out_t.extend(ts)
+            out_d.extend([did] * len(ts))
+        f = pd.DataFrame({"term": pd.Series(out_t, dtype="object"), "doc_id": out_d})
+        f["bucket"] = np.array(
+            [zlib.crc32(t.encode()) % IDX_BUCKETS for t in f["term"]],
+            dtype=np.int64,
+        ) if len(f) else np.array([], dtype=np.int64)
+        return f
+
+    def build_postings(g: pd.DataFrame) -> pd.DataFrame:
+        # postings serialize as a comma-joined string (ndarray cells
+        # break Ray's Arrow conversion; a delimited payload is also
+        # the classic text posting-list encoding)
+        rows = []
+        for term, grp in g.groupby("term", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            rows.append(
+                (term, int(g["bucket"].iloc[0]), len(ids),
+                 ",".join(map(str, ids)))
+            )
+        return pd.DataFrame(rows, columns=["term", "bucket", "df", "postings"])
+
+    (
+        docs.map_batches(fragments, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(build_postings, batch_format="pandas")
+        .write_parquet(out_root, partition_cols=["bucket"])
+    )
+
+    # counters FROM THE WRITTEN INDEX: df + posting-list checksum per
+    # term (sum of doc_ids detects any dropped/duplicated posting)
+    back = rd.read_parquet(out_root)
+
+    def counters(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "term": b["term"].astype(str),
+                "df": b["df"].astype("int64"),
+                "sum_doc_ids": [
+                    sum(int(x) for x in p.split(",")) for p in b["postings"]
+                ],
+            }
+        ).astype({"sum_doc_ids": "int64"})
+
+    return back.map_batches(counters, batch_format="pandas")

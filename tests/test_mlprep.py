@@ -280,3 +280,35 @@ def test_token_budget_select_matches_serial(ray_session):
     assert list(got["doc_id"]) == list(exp["doc_id"])
     assert list(got["quality"]) == list(exp["quality"])
     assert int(got["n_tokens"].sum()) <= budget
+
+
+def test_inverted_index_roundtrip(ray_session, tmp_path):
+    """q65: the written posting lists are complete, sorted, bucketed
+    by crc32(term), and the counters derive from the files."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    out_root = str(tmp_path / "idx")
+    got = (
+        mlprep.q65_inverted_index(SF_DIR, out_root=out_root)
+        .to_pandas()
+        .set_index("term")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    terms = docs["text"].str.lower().str.findall(r"[0-9a-z_]+").map(set)
+    exp: dict[str, set] = {}
+    for did, ts in zip(docs["doc_id"], terms):
+        for t in ts:
+            exp.setdefault(t, set()).add(int(did))
+    assert set(got.index) == set(exp)
+    for t, ids in exp.items():
+        assert got.loc[t, "df"] == len(ids)
+        assert got.loc[t, "sum_doc_ids"] == sum(ids)
+    # file layout: postings sorted, bucket = crc32(term) % 8
+    idx = pq.read_table(out_root).to_pandas()
+    for _, r in idx.iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert int(r["bucket"]) == zlib.crc32(r["term"].encode()) % 8
