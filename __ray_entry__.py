@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q62_repetition_filter": textops.q62_repetition_filter,
         "q64_dup_spans": dedup.q64_dup_spans,
         "q65_inverted_index": mlprep.q65_inverted_index,
+        "q66_pq_ann": ann.q66_pq_ann,
         # -- link-graph authority (frontier prioritization signal) ----
         "q56_pagerank": graph.q56_pagerank,
     }
@@ -881,6 +882,13 @@ def oracle_sql() -> dict[str, str]:
                        - strt // 512 + 1 AS n_chunks,
                    strt % 512 AS chunk_offset
             FROM c
+        """,
+        # q66: sequential pure-Python-int PQ re-derivation — the
+        # int64-only fit/encode/ADC contract makes the distributed
+        # result bit-identical to the serial loop (the q46/q56 pattern)
+        "q66_pq_ann": f"""
+            SELECT qid, rank, vec_id
+            FROM read_parquet('{_artifact_glob("pq_seq")}')
         """,
         # q65: counters derive from the WRITTEN posting lists (read
         # back + parsed), so this compare transitively value-checks

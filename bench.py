@@ -185,6 +185,7 @@ def run_bench() -> dict:
         timed("q62_repetition_filter", textops.q62_repetition_filter)
         timed("q64_dup_spans", dedup.q64_dup_spans)
         timed("q65_inverted_index", mlprep.q65_inverted_index)
+        timed("q66_pq_ann", ann.q66_pq_ann)
 
     ray.shutdown()
 

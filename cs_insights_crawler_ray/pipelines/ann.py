@@ -321,3 +321,186 @@ def q16_lsh_ann(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
     return pa.Table.from_pylist(
         rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())])
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — Product-Quantization ANN (Jégou et al. 2011): the memory-scale
+# path of the similarity-search family.  Vectors compress to PQ_M
+# uint8 codes (one k-means codebook per subspace), queries scan codes
+# with an ADC distance table — at 100 TB the code table is 8 bytes/
+# vector instead of 256, and the scan never touches raw embeddings.
+#
+# Determinism contract (house invariant): everything is int64
+# fixed-point — vectors and queries quantize with the k-means
+# quantizer (round-half-even ``rint`` == Python ``round``), per-
+# subspace assignment is integer argmin (ties to the lowest centroid),
+# codebook updates use the q46 floor-division rounding, and ADC
+# distances are exact int64 sums (subspace squared distance < 2^45,
+# m=8 sum < 2^48) — so the distributed fit+encode+scan is
+# bit-identical to the sequential pure-Python-int re-derivation
+# (``oracle_artifacts._build_pq``) the driver's SQL reads.
+#
+# Scale shape: codebooks train with the q46/q56 plain-task pattern
+# (per-block (m, k, dsub+1) int64 partials folded on the driver);
+# encode+scan is one task per block emitting a partial top-k — only
+# n_blocks × Q × K candidate rows ever reach the driver.
+# ---------------------------------------------------------------------------
+PQ_M, PQ_K, PQ_ITERS = 8, 16, 6
+
+
+@ray.remote
+def _pq_quant_block(t) -> tuple:
+    from .cluster import _stack_embeddings, quantize_embeddings
+
+    df = t.to_pandas()
+    if len(df) == 0:
+        return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
+    return (
+        df["vec_id"].to_numpy(np.int64),
+        quantize_embeddings(_stack_embeddings(df["embedding"])),
+    )
+
+
+@ray.remote
+def _pq_block_minK(blk, k: int) -> tuple:
+    ids, q = blk
+    if len(ids) == 0:
+        return ids, q
+    order = np.argsort(ids)[:k]
+    return ids[order], q[order]
+
+
+def _pq_assign(q: np.ndarray, books: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) int64 -> (n, m) codes; integer argmin per subspace,
+    ties to the lowest centroid index."""
+    from .cluster import assign_clusters
+
+    dsub = q.shape[1] // m
+    return np.stack(
+        [
+            assign_clusters(q[:, s * dsub : (s + 1) * dsub], books[s])
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+
+@ray.remote
+def _pq_partial(blk, books: np.ndarray, m: int, k: int) -> np.ndarray:
+    ids, q = blk
+    dsub = books.shape[2]
+    out = np.zeros((m, k, dsub + 1), np.int64)
+    if len(ids) == 0:
+        return out
+    codes = _pq_assign(q, books, m)
+    for s in range(m):
+        sub = q[:, s * dsub : (s + 1) * dsub]
+        np.add.at(out[s, :, 0], codes[:, s], 1)
+        np.add.at(out[s, :, 1:], codes[:, s], sub)
+    return out
+
+
+@ray.remote
+def _pq_scan_block(blk, books: np.ndarray, qids: np.ndarray,
+                   qmat: np.ndarray, m: int, top_k: int) -> pd.DataFrame:
+    """ADC scan: per query an (m, k) int64 distance table against the
+    codebooks, then dist[vec] = sum_s table[s, code[s, vec]]; partial
+    top-k by (dist asc, vec_id asc)."""
+    ids, q = blk
+    if len(ids) == 0:
+        return pd.DataFrame({"qid": [], "vec_id": [], "dist": []}).astype(
+            {"qid": "int64", "vec_id": "int64", "dist": "int64"}
+        )
+    codes = _pq_assign(q, books, m)
+    dsub = books.shape[2]
+    rows = {"qid": [], "vec_id": [], "dist": []}
+    for qi, qv in zip(qids, qmat):
+        diff = qv.reshape(m, 1, dsub) - books  # (m, k, dsub) int64
+        table = np.einsum("mkd,mkd->mk", diff, diff)  # exact int64
+        dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, dist))[:top_k]
+        rows["qid"].extend([int(qi)] * len(order))
+        rows["vec_id"].extend(ids[order].tolist())
+        rows["dist"].extend(dist[order].tolist())
+    return pd.DataFrame(rows).astype(
+        {"qid": "int64", "vec_id": "int64", "dist": "int64"}
+    )
+
+
+def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+           iters: int = PQ_ITERS) -> np.ndarray:
+    """(m, k, d/m) int64 codebooks via per-subspace Lloyd's."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    blks = [_pq_quant_block.remote(r) for r in ds.to_arrow_refs()]
+    # deterministic init: the k smallest vec_ids' subvectors
+    mins = ray.get([_pq_block_minK.remote(b, k) for b in blks])
+    ids = np.concatenate([i for i, _ in mins])
+    qs = np.concatenate([q for _, q in mins if q.size], axis=0)
+    order = np.argsort(ids)[:k]
+    seed = qs[order]
+    d = seed.shape[1]
+    dsub = d // m
+    books = np.stack(
+        [seed[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )  # (m, k, dsub)
+    for _ in range(iters):
+        bref = ray.put(books)
+        pending = [_pq_partial.remote(b, bref, m, k) for b in blks]
+        agg = np.zeros((m, k, dsub + 1), np.int64)
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            agg += ray.get(done[0])
+        counts, sums = agg[:, :, 0], agg[:, :, 1:]
+        new_books = books.copy()
+        nz = counts > 0
+        new_books[nz] = np.floor_divide(
+            sums[nz] + (counts[nz] // 2)[:, None], counts[nz][:, None]
+        )
+        if np.array_equal(new_books, books):
+            break
+        books = new_books
+    return books
+
+
+def q66_pq_ann(sf_dir: str, top_k: int = TOP_K) -> pa.Table:
+    from .cluster import quantize_embeddings
+
+    books = pq_fit(sf_dir)
+    qids, qmat = _load_queries(sf_dir)
+    # queries quantize UN-normalized like the stored vectors: reload raw
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(N_QUERIES)))
+    raw_ids = tbl["vec_id"].to_numpy()
+    raw = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    qq = quantize_embeddings(raw)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    blks = [_pq_quant_block.remote(r) for r in ds.to_arrow_refs()]
+    bref, qref = ray.put(books), ray.put(qq)
+    parts = ray.get(
+        [_pq_scan_block.remote(b, bref, raw_ids, qref, PQ_M, top_k) for b in blks]
+    )
+    allp = pd.concat(parts, ignore_index=True)
+    rows = []
+    for qi in sorted(set(raw_ids.tolist())):
+        g = allp[allp["qid"] == qi].sort_values(["dist", "vec_id"]).head(top_k)
+        for rank, (_, r) in enumerate(g.iterrows()):
+            rows.append(
+                {"qid": int(qi), "rank": rank, "vec_id": int(r["vec_id"])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("qid", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
+        ),
+    )

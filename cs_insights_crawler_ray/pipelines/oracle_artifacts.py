@@ -381,3 +381,104 @@ _BUILDERS = {
     "hll_seq": _build_hll,
     "pagerank_seq": _build_pagerank,
 }
+
+
+def _build_pq(sf_dir: str) -> None:
+    """q66: sequential pure-Python-int product-quantization
+    re-derivation of pipelines/ann.py's PQ spec — quantize
+    round-half-even to 2^20, per-subspace integer-argmin codebook fit
+    (lowest-index ties, floor-division update, early stop on
+    fixpoint), ADC int distance tables, top-k by (dist, vec_id).  No
+    numpy in the arithmetic; one process; rows in vec_id order."""
+    from .ann import N_QUERIES, PQ_ITERS, PQ_K, PQ_M, TOP_K
+    from .cluster import KM_SCALE
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+        key=lambda r: r[0],
+    )
+    vecs = [[round(float(x) * KM_SCALE) for x in emb] for _, emb in rows]
+    ids = [i for i, _ in rows]
+    d = len(vecs[0])
+    dsub = d // PQ_M
+    subs = [
+        [v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(PQ_M)
+    ]
+    books = [
+        [list(subs[s][i]) for i in range(PQ_K)] for s in range(PQ_M)
+    ]  # k smallest vec_ids' subvectors
+
+    def assign(v: list, book: list) -> int:
+        best, best_d = 0, None
+        for ci, c in enumerate(book):
+            dist = sum((a - b) * (a - b) for a, b in zip(v, c))
+            if best_d is None or dist < best_d:  # ties keep lower
+                best, best_d = ci, dist
+        return best
+
+    for _ in range(PQ_ITERS):
+        new_books = []
+        for s in range(PQ_M):
+            labels = [assign(v, books[s]) for v in subs[s]]
+            sums = [[0] * dsub for _ in range(PQ_K)]
+            counts = [0] * PQ_K
+            for v, a in zip(subs[s], labels):
+                counts[a] += 1
+                for j in range(dsub):
+                    sums[a][j] += v[j]
+            new_books.append(
+                [
+                    [(x + counts[ci] // 2) // counts[ci] for x in sums[ci]]
+                    if counts[ci]
+                    else list(books[s][ci])
+                    for ci in range(PQ_K)
+                ]
+            )
+        if new_books == books:
+            break
+        books = new_books
+
+    codes = [
+        [assign(subs[s][i], books[s]) for s in range(PQ_M)]
+        for i in range(len(vecs))
+    ]
+    out = {"qid": [], "rank": [], "vec_id": []}
+    for qi, qv in zip(ids, vecs):
+        if qi >= N_QUERIES:
+            continue
+        tables = []
+        for s in range(PQ_M):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            tables.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qs, c))
+                    for c in books[s]
+                ]
+            )
+        scored = sorted(
+            (
+                (sum(tables[s][codes[i][s]] for s in range(PQ_M)), ids[i])
+                for i in range(len(vecs))
+            ),
+        )[:TOP_K]
+        for rank, (_, vid) in enumerate(scored):
+            out["qid"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+    write_atomic(
+        pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+            }
+        ),
+        "pq_seq",
+        sf_dir,
+    )
+
+
+_BUILDERS["pq_seq"] = _build_pq

@@ -353,3 +353,46 @@ def test_dup_spans_matches_serial_and_prunes(ray_session, tmp_path):
     # without the prune the viral span would emit 30*29/2 = 435 pairs
     got_hi = q64_dup_spans(str(tmp_path), max_df=64).to_pandas()
     assert len(got_hi) == 1 + 435
+
+
+def test_pq_ann_matches_serial_and_recalls(ray_session):
+    """q66: the distributed PQ fit+encode+ADC scan is bit-identical to
+    the sequential pure-Python-int re-derivation, and PQ recalls a
+    reasonable fraction of the brute top-k (sanity, not exactness —
+    PQ is lossy by design)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines.ann import q66_pq_ann
+    from cs_insights_crawler_ray.pipelines.oracle_artifacts import ensure
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    got = q66_pq_ann(sf).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    exp = (
+        pq.read_table(ensure("pq_seq", sf))
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # self-match: every query's rank-0 neighbor is itself
+    r0 = got[got["rank"] == 0]
+    assert (r0["qid"].to_numpy() == r0["vec_id"].to_numpy()).all()
+    # recall vs exact L2 (PQ's own metric; q15's cosine normalizes and
+    # is a different ordering on these unnormalized fixtures): lossy,
+    # but not garbage
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    mat = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    exact = set()
+    for qi in sorted(got["qid"].unique()):
+        qv = mat[ids == qi][0]
+        d = ((mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:10]
+        exact |= {(int(qi), int(v)) for v in ids[order]}
+    hits = len(set(zip(got["qid"], got["vec_id"])) & exact)
+    assert hits >= len(exact) * 0.3, f"PQ recall too low: {hits}/{len(exact)}"
