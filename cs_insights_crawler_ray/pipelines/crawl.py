@@ -76,7 +76,12 @@ from ..sources.checkpoint import WaveManifest, commit_manifest, latest_manifest
 from ..sources.sinks import clear_partition, write_payload
 from ..stages.fetch import fetch_decode_link_task
 from ..stages.links import RobotsFilterStage, explode_prepared
-from ..state.politeness import DISCOVERY_KEY, partition_candidates
+from ..state.politeness import (
+    DISCOVERY_KEY,
+    joint_candidates,
+    partition_candidates,
+    rest_candidates_and_offsets,
+)
 from ..state.seen import FRONTIER_SCHEMA, ShardedSeenSet, digests_from_sha1_column
 
 FRONTIER_COLS = [
@@ -213,47 +218,68 @@ def _part_rest(seq_map: pd.DataFrame, *tables: pa.Table):
     return out, out.num_rows
 
 
-@ray.remote
-def _rest_candidates(rest: pa.Table, host_budget: int, wave_size: int,
-                     auth_ref=None) -> pa.Table:
-    """Candidate prune of the rest-of-frontier — the O(frontier/n_parts)
-    half of next-wave admission, launched at fetch start (hidden)."""
-    if rest.num_rows == 0:
-        return CAND_SCHEMA.empty_table()
-    return _cand_table(
-        partition_candidates(
-            rest.to_pandas(), host_budget, wave_size, _get_auth(auth_ref)
-        )
-    )
+OFFSETS_SCHEMA = pa.schema(
+    [pa.field("host_hash", pa.uint64()), pa.field("n_rest", pa.int64())]
+)
 
 
 @ray.remote(num_returns=2)
-def _final_candidates(cand_rest: pa.Table, new: pa.Table,
-                      host_budget: int, wave_size: int, auth_ref=None):
-    """Next-wave candidates = candidates(cand_rest ∪ raw new links).
+def _rest_candidates(rest: pa.Table, host_budget: int, wave_size: int,
+                     auth_ref=None):
+    """Candidate prune of the rest-of-frontier — the O(frontier/n_parts)
+    half of next-wave admission, launched at fetch start (hidden).
+    Also returns the per-host pending-row counts (capped at budget,
+    O(hosts-with-pending-rows) tiny rows) that ``_final_candidates``
+    needs to rank NEW links at their exact joint offset."""
+    if rest.num_rows == 0:
+        return CAND_SCHEMA.empty_table(), OFFSETS_SCHEMA.empty_table()
+    cand, offsets = rest_candidates_and_offsets(
+        rest.to_pandas(), host_budget, wave_size, _get_auth(auth_ref)
+    )
+    off_tbl = pa.table(
+        {
+            "host_hash": pa.array(offsets.index.to_numpy(np.uint64), pa.uint64()),
+            "n_rest": pa.array(offsets.to_numpy(np.int64), pa.int64()),
+        }
+    )
+    return _cand_table(cand), off_tbl
 
-    EXACTLY equals candidates(rest ∪ new): every new row carries the
-    current disc_wave — strictly larger than any rest row's — so new
-    rows sort after rest rows in every per-host discovery ranking,
-    leaving rest rows' ranks and scores invariant.  A rest row outside
-    candidates(rest) is therefore still beaten by the same >=budget
-    (per host) / >=wave_size (by score) rest rows in the joint pass —
-    pre-pruning REST is lossless.  New rows are NOT pre-pruned: their
-    joint scores depend on how many rest rows precede them in-host, so
-    a new-only cut could drop a row the joint pass would admit.  Input
-    is O(wave_size + new_links), so this barrier round is
-    frontier-size-free."""
-    frames = []
-    if cand_rest.num_rows:
-        frames.append(cand_rest.to_pandas().drop(columns=["score", "auth_neg"]))
-    if new.num_rows:
-        frames.append(new.to_pandas())
-    if not frames:
+
+@ray.remote(num_returns=2)
+def _final_candidates(cand_rest: pa.Table, rest_offsets: pa.Table,
+                      new: pa.Table, host_budget: int, wave_size: int,
+                      auth_ref=None):
+    """Next-wave candidates = candidates(rest ∪ new), computed by
+    ``politeness.joint_candidates`` from the pruned rest candidates +
+    per-host rest counts (proof in its docstring).  Rest rows keep the
+    scores computed over the FULL rest; new rows rank at
+    ``rest_count(host) + position``.  Input is O(wave_size + hosts +
+    new_links), so this barrier round is frontier-size-free."""
+    cr = (
+        cand_rest.to_pandas()
+        if cand_rest.num_rows
+        else CAND_SCHEMA.empty_table().to_pandas()
+    )
+    nw = (
+        new.to_pandas()
+        if new.num_rows
+        else FRONTIER_SCHEMA.empty_table().to_pandas()
+    )
+    if len(cr) == 0 and len(nw) == 0:
         empty = CAND_SCHEMA.empty_table()
         return empty, empty.select(KEY_COLS)
-    df = frames[0] if len(frames) == 1 else pd.concat(frames)
+    offsets = (
+        pd.Series(
+            rest_offsets["n_rest"].to_numpy(),
+            index=rest_offsets["host_hash"].to_numpy(zero_copy_only=False),
+        )
+        if rest_offsets.num_rows
+        else None
+    )
     cand = _cand_table(
-        partition_candidates(df, host_budget, wave_size, _get_auth(auth_ref))
+        joint_candidates(
+            cr, offsets, nw, host_budget, wave_size, _get_auth(auth_ref)
+        )
     )
     return cand, cand.select(KEY_COLS)
 
@@ -481,6 +507,16 @@ def run_crawl(
         cumulative = {"fetched": 0, "payload_rows": 0, "quarantined": 0, "new_urls": 0}
         manifest = latest_manifest(str(ckpt)) if resume else None
         last_full_wave = -1
+        if manifest is not None and manifest.wave + 1 >= cfg.n_waves:
+            # resume of an already-complete run: nothing to do — don't
+            # launch frontier replay / candidate tasks whose results
+            # the (empty) wave loop would never consume
+            return {
+                "cumulative": dict(manifest.cumulative),
+                "by_wave": {},
+                "next_fetch_seq": manifest.next_fetch_seq,
+                "seen_stats": seen.stats(),
+            }
         if manifest is not None:
             # delta-log replay of every committed wave's snapshot
             seen.restore_from_dir(str(ckpt), manifest.wave)
@@ -603,10 +639,12 @@ def run_crawl(
             # the O(frontier) half of NEXT wave's admission also runs
             # during the fetch; the links barrier then only merges it
             # with the (small) new-link candidates
-            cand_rest_refs = [
+            rc_pairs = [
                 _rest_candidates.remote(rest_refs[p], B, cfg.wave_size, auth_ref)
                 for p in range(n_parts)
             ]
+            cand_rest_refs = [c for c, _ in rc_pairs]
+            rest_off_refs = [o for _, o in rc_pairs]
             rest_writes = (
                 [
                     _write_part.remote(
@@ -720,8 +758,8 @@ def run_crawl(
             # _part_rest concatenates them inside its own hidden scan.
             fc = [
                 _final_candidates.remote(
-                    cand_rest_refs[p], frontier_refs[p], B, cfg.wave_size,
-                    auth_ref,
+                    cand_rest_refs[p], rest_off_refs[p], frontier_refs[p],
+                    B, cfg.wave_size, auth_ref,
                 )
                 for p in range(n_parts)
             ]

@@ -168,6 +168,32 @@ def test_crawl_to_exhaustion_reaches_closure(tmp_path):
     )
 
 
+def test_parity_under_candidate_truncation(tmp_path):
+    """Byte-identical ordering when per-partition candidates far
+    exceed wave_size (hosts x budget >> wave_size) over many waves —
+    the regime where the pre-r4 head(wave_size) pre-prune compacted
+    new links' per-host ranks (this exact config diverged from the
+    oracle before the joint_candidates fix)."""
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(
+            seed=5605, n_hosts=11, pages_per_host=116, zipf_a=1.25,
+            dead_link_rate=0.01, links_min=0, links_max=3,
+        ),
+        n_seeds=20,
+        host_budget=2,
+        wave_size=6,
+        n_waves=18,
+        max_depth=7,
+        n_shards=2,
+    )
+    out = str(tmp_path)
+    run_crawl(cfg, out)
+    log = read_crawl_log(out)
+    sim = simulate(cfg)
+    eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
+    assert eng == sim.crawl_log
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_parity_across_universes(seed, tmp_path):
     """Byte-identical ordering must hold for arbitrary content-store
