@@ -63,7 +63,10 @@ class HttpFetcher:
 
     # -- the fetch(name) -> bytes contract ---------------------------
     def fetch(self, name: str) -> bytes:
-        return b"".join(self._stream(name))
+        # retry wraps the WHOLE attempt, not the chunk iterator: a
+        # connection drop mid-body restarts the buffer from byte 0, so
+        # a retried stream can never deliver a duplicated prefix
+        return self._with_retries(name, lambda: b"".join(self._stream_once(name)))
 
     def fetch_to(self, name: str, path: str | Path, md5sum: str | None = None) -> str:
         """Chunked download to disk with optional md5 verification
@@ -71,11 +74,23 @@ class HttpFetcher:
         logic; this owns transport + integrity)."""
         path = Path(path)
         tmp = path.with_suffix(path.suffix + ".tmp")
-        h = hashlib.md5()
-        with open(tmp, "wb") as f:
-            for chunk in self._stream(name):
-                f.write(chunk)
-                h.update(chunk)
+
+        def attempt() -> "hashlib._Hash":
+            h = hashlib.md5()
+            # "wb" truncates: a mid-body retry restarts the tmp file
+            # from byte 0 (appending to the partial write corrupted
+            # the payload and was only caught when md5sum was given)
+            with open(tmp, "wb") as f:
+                for chunk in self._stream_once(name):
+                    f.write(chunk)
+                    h.update(chunk)
+            return h
+
+        try:
+            h = self._with_retries(name, attempt)
+        except Exception:
+            tmp.unlink(missing_ok=True)
+            raise
         if md5sum is not None and h.hexdigest() != md5sum:
             tmp.unlink()
             raise ValueError(
@@ -85,28 +100,35 @@ class HttpFetcher:
         return h.hexdigest()
 
     # -- transport ----------------------------------------------------
-    def _stream(self, name: str):
-        url = f"{self.base_url}/{name.lstrip('/')}"
-        attempt = 0
+    def _url(self, name: str) -> str:
+        return f"{self.base_url}/{name.lstrip('/')}"
+
+    def _stream_once(self, name: str):
+        """ONE streaming GET — no retry here; consumers that can reset
+        their output (fetch's buffer, fetch_to's tmp file) retry the
+        whole attempt via ``_with_retries``."""
+        resp = self.session.get(self._url(name), stream=True, timeout=self.timeout_sec)
+        code = int(resp.status_code)
+        if 400 <= code < 500:
+            resp.close()
+            raise PermanentFetchError(f"{code} for {self._url(name)}")
+        if code >= 500:
+            resp.close()
+            raise TransientFetchError(f"{code} for {self._url(name)}")
+        try:
+            yield from resp.iter_content(chunk_size=self.chunk_size)
+        finally:
+            resp.close()
+
+    def _with_retries(self, name: str, attempt):
+        n = 0
         while True:
             try:
-                resp = self.session.get(url, stream=True, timeout=self.timeout_sec)
-                code = int(resp.status_code)
-                if 400 <= code < 500:
-                    resp.close()
-                    raise PermanentFetchError(f"{code} for {url}")
-                if code >= 500:
-                    resp.close()
-                    raise TransientFetchError(f"{code} for {url}")
-                try:
-                    yield from resp.iter_content(chunk_size=self.chunk_size)
-                finally:
-                    resp.close()
-                return
+                return attempt()
             except (TransientFetchError, ConnectionError, OSError) as e:
-                attempt += 1
-                if attempt > self.retries:
+                n += 1
+                if n > self.retries:
                     raise TransientFetchError(
-                        f"{url} failed after {self.retries} retries: {e}"
+                        f"{self._url(name)} failed after {self.retries} retries: {e}"
                     ) from e
-                self._sleep(self.backoff_sec * (2 ** (attempt - 1)))
+                self._sleep(self.backoff_sec * (2 ** (n - 1)))

@@ -98,6 +98,68 @@ def test_fetch_to_verifies_md5_and_is_atomic(tmp_path):
     assert not list(tmp_path.glob("*.tmp"))
 
 
+class _MidStreamFailResp:
+    """200 response whose body dies after `n_good` chunks — the
+    mid-download connection drop."""
+
+    def __init__(self, payload: bytes, n_good: int):
+        self.status_code = 200
+        self._payload = payload
+        self._n_good = n_good
+        self.closed = False
+
+    def iter_content(self, chunk_size: int):
+        sent = 0
+        for i in range(0, len(self._payload), chunk_size):
+            if sent == self._n_good:
+                raise ConnectionError("reset mid-body")
+            yield self._payload[i : i + chunk_size]
+            sent += 1
+
+    def close(self):
+        self.closed = True
+
+
+def test_fetch_restarts_from_byte_zero_on_midstream_failure():
+    """A connection drop AFTER chunks were delivered must not leave
+    the already-consumed prefix in the result: the retry restarts the
+    buffer, so the payload comes back exact (the pre-r4 code re-yielded
+    the full stream after the kept prefix -> duplicated-prefix bytes)."""
+    payload = bytes(range(256)) * 8
+    f, sleeps = _fetcher(
+        [_MidStreamFailResp(payload, n_good=3), _Resp(200, payload)],
+        chunk_size=64,
+    )
+    assert f.fetch("a") == payload  # exact, no duplicated prefix
+    assert sleeps == [0.5]
+    assert len(f.session.calls) == 2
+
+
+def test_fetch_to_truncates_tmp_on_midstream_failure(tmp_path):
+    payload = b"release-bytes" * 500
+    good = hashlib.md5(payload).hexdigest()
+    f, _ = _fetcher(
+        [_MidStreamFailResp(payload, n_good=5), _Resp(200, payload)],
+        chunk_size=128,
+    )
+    out = tmp_path / "rel.xml.gz"
+    assert f.fetch_to("rel.xml.gz", out, md5sum=good) == good
+    assert out.read_bytes() == payload
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_fetch_to_midstream_exhaustion_removes_tmp(tmp_path):
+    payload = b"x" * 4096
+    f, _ = _fetcher(
+        [_MidStreamFailResp(payload, 1), _MidStreamFailResp(payload, 1),
+         _MidStreamFailResp(payload, 1)],
+        chunk_size=512,
+    )
+    with pytest.raises(TransientFetchError):
+        f.fetch_to("a", tmp_path / "a.bin")
+    assert not list(tmp_path.glob("*.tmp")) and not (tmp_path / "a.bin").exists()
+
+
 def test_plugs_into_dblp_fetch_contract(tmp_path):
     # HttpFetcher.fetch satisfies the fetch(name)->bytes parameter of
     # pipelines/dblp.download_and_filter_release (interface check: the
