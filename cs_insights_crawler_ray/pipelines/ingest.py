@@ -303,7 +303,7 @@ def ingest_release(
         meta = _read_jsonl_gz(files)
         if broadcast_keys:
             meta = meta.map_batches(
-                lambda b: b[b["corpusid"].map(lambda c: c in bget(cid_ref))],
+                lambda b: b[b["corpusid"].isin(bget(cid_ref))],
                 batch_format="pandas",
             )
         else:
@@ -353,7 +353,7 @@ def ingest_release(
             authors = _read_jsonl_gz(author_files).map_batches(
                 # NOTE lowercase 'authorid' here vs camelCase in papers —
                 # the reference's asymmetry, preserved (s2processor.py:93)
-                lambda b: b[b["authorid"].map(lambda i: i in bget(aid_ref))],
+                lambda b: b[b["authorid"].isin(bget(aid_ref))],
                 batch_format="pandas",
             )
         else:

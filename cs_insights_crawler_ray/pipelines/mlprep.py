@@ -24,15 +24,16 @@ Scale shapes:
 - stratified sample: per-stratum counts (one tiny aggregate) broadcast
   into a stateless keep-predicate ``h(doc_id) mod n_s < target`` — no
   reservoir state, no driver pass, identical row set on ANY cluster
-  shape/ordering.  md5 is the hash so DuckDB can replay the predicate
-  verbatim (production would use the vectorized crc32 kernel in
-  pipelines/dedup.py; md5-per-key is the price of a bit-exact SQL
-  cross-check and is cheap next to tokenization).
+  shape/ordering.  The hash is the vectorized Fibonacci multiplicative
+  kernel (``_key_hash32``), which DuckDB replays EXACTLY with HUGEINT
+  arithmetic — so the production kernel and the SQL oracle are the
+  same function (no md5-per-row anchor needed).
 """
 
 from __future__ import annotations
 
 import hashlib
+import itertools
 import math
 import re
 import zlib
@@ -211,7 +212,7 @@ def q51_shard_export(
     (shard, n_docs, sum_chars) computed from the WRITTEN files.
 
     The training-data export shape: shard assignment is a pure
-    function of the key (``md5_64(doc_id) mod n_shards`` — no driver
+    function of the key (``fib_hash32(doc_id) mod n_shards`` — no driver
     state, any cluster shape produces the same layout), output is one
     directory per shard (a failed export re-runs by replacing
     partitions, never one giant file), and the returned counters are
@@ -226,7 +227,7 @@ def q51_shard_export(
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["shard"] = _md5_mod(b["doc_id"]) % np.int64(n_shards)
+        b["shard"] = _key_hash32(b["doc_id"]) % np.int64(n_shards)
         return b
 
     docs.map_batches(tag, batch_format="pandas").write_parquet(
@@ -252,23 +253,33 @@ def q51_shard_export(
     )
 
 
-def _md5_mod(keys: pd.Series) -> np.ndarray:
-    """First-8-hex-chars of md5(str(key)) as uint64 — DuckDB-replayable
-    (``CAST('0x' || substring(md5(k),1,8) AS BIGINT)``)."""
-    return np.array(
-        [
-            int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
-            for k in keys.to_numpy()
-        ],
-        dtype=np.int64,
-    )
+_FIB = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio (Knuth)
+
+
+def _key_hash32(keys: pd.Series | np.ndarray) -> np.ndarray:
+    """Fibonacci (Knuth multiplicative) hash of an int64 key column:
+    high 32 bits of ``key * 2^64/phi mod 2^64`` — ONE vectorized numpy
+    multiply+shift per block.  Replaces the per-row ``hashlib.md5``
+    loop that sat in the q50/q51/q55 keep-predicates (r03 hot-path
+    finding: every corpus row paid a Python md5 call; this kernel is
+    ~3 orders of magnitude faster per row, pytest-microbenched).
+
+    DuckDB replays it EXACTLY with HUGEINT arithmetic, so the driver's
+    value-hash compare gates this very kernel::
+
+        CAST(((CAST(k AS HUGEINT) * 11400714819323198485)
+              % 18446744073709551616) // 4294967296 AS BIGINT)
+    """
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return ((k * _FIB) >> np.uint64(32)).astype(np.int64)
 
 
 def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
     """Deterministic stratified subsample: ~``target`` docs per source
     stratum -> (doc_id, source).
 
-    keep iff  md5_64(doc_id) mod n_s < min(n_s, target)  — an exact,
+    keep iff  fib_hash32(doc_id) mod n_s < min(n_s, target)  — an exact,
     stateless, order-independent predicate (expected kept count =
     target for a uniform hash; EXACT row set fixed by the data alone).
     The per-stratum counts are the only coordination: one tiny
@@ -290,7 +301,7 @@ def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         cmap = bget(cref)
-        h = _md5_mod(b["doc_id"])
+        h = _key_hash32(b["doc_id"])
         ns = b["source"].map(cmap).to_numpy().astype(np.int64)
         mask = (h % ns) < np.minimum(ns, target)
         out = b.loc[mask, ["doc_id", "source"]]
@@ -309,7 +320,7 @@ def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
 # by LARGEST-REMAINDER allocation of MIX_TOTAL docs (all-integer:
 # floor = T*w // Σw, remainders ranked by (T*w mod Σw) desc, source
 # asc), then a deterministic per-source selection of the quota-many
-# smallest (md5_64(doc_id), doc_id) rows.
+# smallest (fib_hash32(doc_id), doc_id) rows.
 #
 # Scale shape: one tiny per-source count aggregate -> driver computes
 # quotas over |sources| ints -> broadcast -> grouped top-quota with a
@@ -362,7 +373,7 @@ def q55_weighted_mix(sf_dir: str, total: int = MIX_TOTAL) -> rd.Dataset:
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "source": b["source"].astype(str),
-                "hk": _md5_mod(b["doc_id"]),
+                "hk": _key_hash32(b["doc_id"]),
             }
         ).sort_values(["source", "hk", "doc_id"], kind="mergesort")
         q = d["source"].map(quotas).to_numpy()
@@ -693,31 +704,63 @@ def q65_inverted_index(sf_dir: str, out_root: str | None = None) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fragments(b: pd.DataFrame) -> pd.DataFrame:
-        terms = b["text"].str.lower().str.findall(_WORD_RE).map(set)
-        out_t: list[str] = []
-        out_d: list[int] = []
-        for did, ts in zip(b["doc_id"].astype("int64"), terms):
-            out_t.extend(ts)
-            out_d.extend([did] * len(ts))
-        f = pd.DataFrame({"term": pd.Series(out_t, dtype="object"), "doc_id": out_d})
-        f["bucket"] = np.array(
-            [zlib.crc32(t.encode()) % IDX_BUCKETS for t in f["term"]],
-            dtype=np.int64,
-        ) if len(f) else np.array([], dtype=np.int64)
-        return f
-
-    def build_postings(g: pd.DataFrame) -> pd.DataFrame:
-        # postings serialize as a comma-joined string (ndarray cells
-        # break Ray's Arrow conversion; a delimited payload is also
-        # the classic text posting-list encoding)
-        rows = []
-        for term, grp in g.groupby("term", sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
-            rows.append(
-                (term, int(g["bucket"].iloc[0]), len(ids),
-                 ",".join(map(str, ids)))
+        # distinct (doc, term) pairs, numpy-deduped: crc32 runs once
+        # per UNIQUE term of the batch, not once per pair (the r03
+        # verdict's per-term-Python-loop finding)
+        tok_lists = b["text"].str.lower().str.findall(_WORD_RE)
+        dids = np.repeat(
+            b["doc_id"].to_numpy().astype(np.int64),
+            tok_lists.str.len().to_numpy(),
+        )
+        flat = np.asarray(
+            list(itertools.chain.from_iterable(tok_lists)), dtype=object
+        )
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "doc_id": np.zeros(0, np.int64),
+                    "bucket": np.zeros(0, np.int64),
+                }
             )
-        return pd.DataFrame(rows, columns=["term", "bucket", "df", "postings"])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        order = np.lexsort((inv, dids))
+        di, ti = dids[order], inv[order]
+        keep = np.ones(len(di), bool)
+        keep[1:] = (di[1:] != di[:-1]) | (ti[1:] != ti[:-1])
+        di, ti = di[keep], ti[keep]
+        ubuck = np.fromiter(
+            (zlib.crc32(t.encode()) % IDX_BUCKETS for t in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return pd.DataFrame(
+            {"term": uniq[ti], "doc_id": di, "bucket": ubuck[ti]}
+        )
+
+    def build_postings(g: pd.DataFrame) -> pa.Table:
+        # one sort per bucket + numpy run-boundary slicing; postings
+        # are an Arrow list<int64> column (the comma-string encode /
+        # per-element int() parse round trip is gone — r03 verdict #4)
+        d = g.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = d["term"].to_numpy()
+        ids = d["doc_id"].to_numpy().astype(np.int64)
+        change = np.ones(len(d), bool)
+        change[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(change)
+        offsets = np.append(starts, len(d)).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(terms[starts], pa.string()),
+                "bucket": pa.array(
+                    np.full(len(starts), int(g["bucket"].iloc[0]), np.int64)
+                ),
+                "df": pa.array((offsets[1:] - offsets[:-1]).astype(np.int64)),
+                "postings": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(ids, pa.int64())
+                ),
+            }
+        )
 
     (
         docs.map_batches(fragments, batch_format="pandas")
@@ -730,15 +773,23 @@ def q65_inverted_index(sf_dir: str, out_root: str | None = None) -> rd.Dataset:
     # term (sum of doc_ids detects any dropped/duplicated posting)
     back = rd.read_parquet(out_root)
 
-    def counters(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def counters(t: pa.Table) -> pa.Table:
+        col = t["postings"].combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        # df >= 1 for every written term, so offsets strictly increase
+        # and reduceat segments are never empty
+        sums = (
+            np.add.reduceat(values, offs[:-1])
+            if len(values)
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
             {
-                "term": b["term"].astype(str),
-                "df": b["df"].astype("int64"),
-                "sum_doc_ids": [
-                    sum(int(x) for x in p.split(",")) for p in b["postings"]
-                ],
+                "term": t["term"].cast(pa.string()),
+                "df": t["df"].cast(pa.int64()),
+                "sum_doc_ids": pa.array(sums.astype(np.int64), pa.int64()),
             }
-        ).astype({"sum_doc_ids": "int64"})
+        )
 
-    return back.map_batches(counters, batch_format="pandas")
+    return back.map_batches(counters, batch_format="pyarrow")

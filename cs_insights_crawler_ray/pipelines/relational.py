@@ -483,10 +483,23 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
         )
 
     merged = right.map_batches(merge_right, batch_format="pyarrow")
-    right_keys = set(
-        right.select_columns(["l_orderkey"]).to_pandas()["l_orderkey"]
+    # left-only rows WITHOUT collecting the fact-side key column: each
+    # block emits only its keys that hit the (bounded) broadcast left
+    # key set — the right was key-grouped above, so every key appears
+    # in exactly one block and the driver pull is <= |left| rows total
+    # (the old form pulled ALL distinct right keys to the driver:
+    # O(distinct orderkeys), unbounded at scale).
+    lkeys_ref = ray.put(pa.array(lpdf.index.to_numpy(), pa.int64()))
+
+    def matched_keys(t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t["l_orderkey"], value_set=bget(lkeys_ref))
+        return pa.table({"o_orderkey": t["l_orderkey"].filter(hit)})
+
+    hit_keys = (
+        right.map_batches(matched_keys, batch_format="pyarrow")
+        .to_pandas()["o_orderkey"]
     )
-    left_only = lpdf[~lpdf.index.isin(right_keys)].reset_index()
+    left_only = lpdf[~lpdf.index.isin(hit_keys)].reset_index()
     extra = pa.table(
         {
             "orderkey": pa.array(left_only["o_orderkey"], pa.int64()),

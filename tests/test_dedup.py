@@ -396,3 +396,42 @@ def test_pq_ann_matches_serial_and_recalls(ray_session):
         exact |= {(int(qi), int(v)) for v in ids[order]}
     hits = len(set(zip(got["qid"], got["vec_id"])) & exact)
     assert hits >= len(exact) * 0.3, f"PQ recall too low: {hits}/{len(exact)}"
+
+
+def test_q61_hashed_default_matches_string_anchor(ray_session):
+    """The production decontamination kernel (64-bit hashed shingles,
+    vectorized membership) must flag the identical (doc_id, n_shared)
+    row set as the string-gram anchor — the anchor/production split
+    the r03 verdict asked for (the string form is what the SQL oracle
+    replays; 64 bits keep the collision false-positive probability
+    negligible where the MinHash path's folded 32 would not)."""
+    import os
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    a = (
+        dedup.q61_decontaminate(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup.q61_decontaminate_exact(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0, "fixture produced no contaminated docs"
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_batch_gram_hashes64_short_and_empty_docs():
+    texts = ["", "one", "one two", "a b c d e", "a b c"]
+    grams, counts = dedup._batch_gram_hashes64(texts)
+    assert counts.tolist() == [1, 1, 1, 3, 1]
+    # empty doc -> sentinel 0; short docs hash their whole stream
+    assert grams[0] == 0
+    # the 3-token doc's single trigram equals the 5-token doc's first
+    s5 = grams[3:6]
+    assert grams[6] == s5[0]
+    # distinct trigrams hash distinctly (here)
+    assert len(np.unique(s5)) == 3

@@ -306,9 +306,33 @@ def test_inverted_index_roundtrip(ray_session, tmp_path):
     for t, ids in exp.items():
         assert got.loc[t, "df"] == len(ids)
         assert got.loc[t, "sum_doc_ids"] == sum(ids)
-    # file layout: postings sorted, bucket = crc32(term) % 8
-    idx = pq.read_table(out_root).to_pandas()
+    # file layout: postings are a parquet list<int64> column, sorted,
+    # bucket = crc32(term) % 8
+    idx_t = pq.read_table(out_root)
+    assert idx_t.schema.field("postings").type == __import__("pyarrow").list_(
+        __import__("pyarrow").int64()
+    )
+    idx = idx_t.to_pandas()
     for _, r in idx.iterrows():
-        ids = [int(x) for x in r["postings"].split(",")]
+        ids = [int(x) for x in r["postings"]]
         assert ids == sorted(ids)
         assert int(r["bucket"]) == zlib.crc32(r["term"].encode()) % 8
+
+
+def test_key_hash32_scalar_reference_and_vectorized_rate():
+    """The sampling-family keep-predicate hash must match the scalar
+    definition bit-for-bit AND run at numpy rates (the r03 finding:
+    a per-row Python hashlib call in this spot made the hash the
+    stage bottleneck — 1M rows took seconds; the vectorized kernel is
+    milliseconds, so a 1s bound holds 200x of VM noise)."""
+    import time
+
+    keys = np.arange(1_000_000, dtype=np.int64) * 7919 + 3
+    t0 = time.perf_counter()
+    h = mlprep._key_hash32(keys)
+    dt = time.perf_counter() - t0
+    for i in (0, 1, 97, 12345, 999_999):
+        k = int(keys[i])
+        assert int(h[i]) == ((k * 0x9E3779B97F4A7C15) % 2**64) >> 32
+    assert h.dtype == np.int64 and (h >= 0).all() and (h < 2**32).all()
+    assert dt < 1.0, f"keep-predicate hash not vectorized: {dt:.3f}s for 1M keys"
