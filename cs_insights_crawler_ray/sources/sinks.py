@@ -62,7 +62,16 @@ def write_payload(ds: rd.Dataset, root: str, partition: str) -> str:
 
 def read_payload(root: str) -> rd.Dataset:
     if HAVE_LANCE:
-        return rd.read_lance(root)
+        # each wave/partition is its own Lance dataset (write_payload's
+        # replace-partition unit); the whole payload is their union.
+        # A bare root with no partition subdirs is read as one dataset.
+        parts = [p for p in list_partitions(root) if "=" in p]
+        if not parts:
+            return rd.read_lance(root)
+        out = rd.read_lance(f"{root}/{parts[0]}")
+        for p in parts[1:]:
+            out = out.union(rd.read_lance(f"{root}/{p}"))
+        return out
     return rd.read_parquet(root)
 
 
