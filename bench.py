@@ -308,6 +308,14 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     hi = min(draws_hi, key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo * n_lo) / (t_hi * n_hi)
+    # symmetric-protocol control (ADVICE r03): the hi level's extra
+    # draws and cool-start position both bias the min-based ratio
+    # upward, so ALSO report the efficiency computed from the FIRST
+    # `repeats` draws of each level (equal counts) — readers of the
+    # gate see the hi-favored number and the symmetric one side by
+    # side, with every raw draw in the lists above.
+    t_hi_sym = min(d["value"] for d in draws_hi[:repeats])
+    eff_sym = (t_lo * n_lo) / (t_hi_sym * n_hi)
     hw = _hardware_ceiling(n_lo, n_hi)
     return {
         "metric": f"scaling efficiency (T{n_lo}*{n_lo})/(T{n_hi}*{n_hi}), crawl headline, min over repeats",
@@ -318,6 +326,8 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
         f"urls_per_sec_{n_lo}": lo["urls_per_sec"],
         f"urls_per_sec_{n_hi}": hi["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_symmetric": round(eff_sym, 3),
+        f"sec_{n_hi}_symmetric": t_hi_sym,
         "hardware_ceiling": hw,
         "efficiency_vs_ceiling": round(eff / hw["hardware_ceiling_efficiency"], 3),
         "sf": lo["sf"],

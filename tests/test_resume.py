@@ -111,3 +111,105 @@ def test_delta_backlog_chain_resume(tmp_path):
     assert part2["cumulative"] == full_metrics["cumulative"]
     pd.testing.assert_frame_equal(read_crawl_log(full_dir), read_crawl_log(resumed_dir))
     pd.testing.assert_frame_equal(_payload_df(full_dir), _payload_df(resumed_dir))
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+class _KillingWritePart:
+    """Wraps the crawl's _write_part remote fn: raises at SUBMISSION
+    time for paths matching the target (wave, kind) — so no write task
+    for the killed wave is ever in flight when the 'crash' happens."""
+
+    def __init__(self, orig, wave: int, kind: str):
+        self._orig = orig
+        self._needle = f"wave={wave:06d}"
+        self._kind = kind  # 'rest' or 'new'
+
+    def remote(self, tbl, path):
+        if self._needle in path and f"_{self._kind}.parquet" in path:
+            raise _Boom(path)
+        return self._orig.remote(tbl, path)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kill_wave", [2, 3])  # full wave / delta wave
+@pytest.mark.parametrize(
+    "kill_point", ["rest_write", "new_write", "snapshot", "commit"]
+)
+def test_replay_chain_survives_intra_wave_kill(
+    tmp_path, monkeypatch, kill_point, kill_wave
+):
+    """VERDICT r03 #10: crash the run at every persistence seam BETWEEN
+    the wave's admitted.parquet write and its manifest commit — on both
+    a FULL-backlog wave and a DELTA wave (backlog_full_every=2, so the
+    replay chain crosses the snapshot boundary) — then resume.  The
+    resumed run must redo exactly the killed wave onward (no re-fetch
+    of committed waves) and end byte-identical to an uninterrupted run,
+    whatever partial wave-K files the crash left behind."""
+    import time
+
+    from cs_insights_crawler_ray.pipelines import crawl as crawl_mod
+    from cs_insights_crawler_ray.sources import checkpoint as ckpt_mod
+    from cs_insights_crawler_ray.state.seen import ShardedSeenSet as SeenCls
+
+    cfg = replace(
+        CFG,
+        store=ContentStoreConfig(seed=13, n_hosts=8, pages_per_host=150),
+        n_seeds=12,
+        wave_size=16,
+        n_waves=5,
+        backlog_full_every=2,
+    )
+    if kill_point == "rest_write" and kill_wave % 2 == 1:
+        pytest.skip("delta waves write no rest files")
+
+    full_dir, killed_dir = str(tmp_path / "full"), str(tmp_path / "killed")
+    full_metrics = run_crawl(cfg, full_dir)
+
+    # ---- killed run: raise at the chosen seam of kill_wave ----------
+    if kill_point in ("rest_write", "new_write"):
+        kind = "rest" if kill_point == "rest_write" else "new"
+        monkeypatch.setattr(
+            crawl_mod,
+            "_write_part",
+            _KillingWritePart(crawl_mod._write_part, kill_wave, kind),
+        )
+    elif kill_point == "snapshot":
+        orig_snap = SeenCls.snapshot
+
+        def killing_snapshot(self, root, wave):
+            if wave == kill_wave:
+                raise _Boom(f"snapshot wave {wave}")
+            return orig_snap(self, root, wave)
+
+        monkeypatch.setattr(SeenCls, "snapshot", killing_snapshot)
+    else:  # commit: everything on disk, manifest never written
+        orig_commit = ckpt_mod.commit_manifest
+
+        def killing_commit(root, m):
+            if m.wave == kill_wave:
+                raise _Boom(f"commit wave {m.wave}")
+            return orig_commit(root, m)
+
+        monkeypatch.setattr(crawl_mod, "commit_manifest", killing_commit)
+
+    with pytest.raises(_Boom):
+        run_crawl(cfg, killed_dir)
+    monkeypatch.undo()
+    time.sleep(1.0)  # let any read-only stragglers of the dead run drain
+
+    m = latest_manifest(f"{killed_dir}/checkpoints")
+    assert m is not None and m.wave == kill_wave - 1
+
+    # ---- resume: redo kill_wave..4, byte-identical everywhere -------
+    part2 = run_crawl(cfg, killed_dir, resume=True)
+    assert sorted(part2["by_wave"].keys()) == list(range(kill_wave, cfg.n_waves))
+    assert part2["cumulative"] == full_metrics["cumulative"]
+    pd.testing.assert_frame_equal(
+        read_crawl_log(full_dir), read_crawl_log(killed_dir)
+    )
+    pd.testing.assert_frame_equal(_payload_df(full_dir), _payload_df(killed_dir))
