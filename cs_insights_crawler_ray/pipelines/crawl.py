@@ -284,6 +284,42 @@ def _final_candidates(cand_rest: pa.Table, rest_offsets: pa.Table,
     return cand, cand.select(KEY_COLS)
 
 
+def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
+                       n_blocks: int):
+    """Key sort + seq map + admitted-dataset materialize for one wave.
+    Driver-side cost is the sort of n_parts x wave_size KEY rows plus
+    one small Dataset round (attach seq, repartition to ~2 blocks per
+    core — a single-block seed wave fetched near-serially otherwise:
+    41s vs 6s for the same width, measured).  Called inline for the
+    first wave; steady-state waves run it on a thread overlapping the
+    previous wave's payload join + checkpoint barrier.  Returns None
+    when no candidates remain (crawl exhausted)."""
+    keys = pa.concat_tables(ray.get(key_refs)).to_pandas()
+    keys = keys.sort_values(KEY_COLS, kind="mergesort").head(wave_size)
+    n_admitted = len(keys)
+    if n_admitted == 0:
+        return None
+    seq_map = keys[DISCOVERY_KEY].copy()
+    seq_map["fetch_seq"] = np.arange(
+        next_seq, next_seq + n_admitted, dtype=np.int64
+    )
+    seq_ref = ray.put(seq_map)
+
+    def _attach_seq(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import bget
+
+        m = b.merge(bget(seq_ref), on=DISCOVERY_KEY, how="inner")
+        return m.drop(columns=["score", "auth_neg"])
+
+    admitted = (
+        rd.from_arrow_refs(cand_refs)
+        .map_batches(_attach_seq, batch_format="pandas")
+        .repartition(n_blocks)
+        .materialize()
+    )
+    return admitted, seq_map, seq_ref, n_admitted
+
+
 @ray.remote
 def _write_part(tbl: pa.Table, path: str) -> int:
     Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -569,6 +605,7 @@ def run_crawl(
         key_refs = [k for _, k in cand_pairs]
         n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         metrics_by_wave = {}
+        prebuilt = None  # next wave's admission, built on an overlap thread
 
         for wave in range(start_wave, cfg.n_waves):
             phase_t: dict[str, float] = {}
@@ -584,33 +621,22 @@ def run_crawl(
             # ran (previous wave's merge tasks / the seed round); the
             # driver sorts candidate KEYS only — bounded by n_parts x
             # wave_size — and ships back a broadcast dk->fetch_seq map.
-            keys = pa.concat_tables(ray.get(key_refs)).to_pandas()
-            keys = keys.sort_values(KEY_COLS, kind="mergesort").head(cfg.wave_size)
-            n_admitted = len(keys)
-            if n_admitted == 0:
+            # Steady-state waves find their admission PREBUILT: a
+            # driver thread overlapped the key sort + admitted
+            # materialize with the previous wave's payload join +
+            # checkpoint barrier (both driver-side, independent — the
+            # last O(wave) serial-residue term).
+            if prebuilt is None:
+                prebuilt = _prepare_admission(
+                    key_refs, cand_refs, next_seq, cfg.wave_size, n_blocks
+                )
+            adm = prebuilt
+            prebuilt = None
+            if adm is None:
                 _mark("admission")
                 break
-            seq_map = keys[DISCOVERY_KEY].copy()
-            seq_map["fetch_seq"] = np.arange(next_seq, next_seq + n_admitted, dtype=np.int64)
+            admitted, seq_map, seq_ref, n_admitted = adm
             next_seq += n_admitted
-            seq_ref = ray.put(seq_map)
-
-            def _attach_seq(b: pd.DataFrame) -> pd.DataFrame:
-                from ..functions.broadcast import bget
-
-                m = b.merge(bget(seq_ref), on=DISCOVERY_KEY, how="inner")
-                return m.drop(columns=["score", "auth_neg"])
-
-            # repartition: ~2 blocks per core so fetch gets full task
-            # parallelism regardless of the candidates' block structure
-            # (single-block seed wave fetched near-serially otherwise:
-            # 41s vs 6s for the same width, measured).
-            admitted = (
-                rd.from_arrow_refs(cand_refs)
-                .map_batches(_attach_seq, batch_format="pandas")
-                .repartition(n_blocks)
-                .materialize()
-            )
             _mark("admission")
 
             # ---- overlapped with fetch: rest-of-frontier (partition ∖
@@ -774,6 +800,28 @@ def run_crawl(
             ]
             _mark("merge_launch")
 
+            # ---- prebuild NEXT wave's admission on a thread: the key
+            # sort + admitted materialize (the last O(wave) serial
+            # term) overlaps this wave's payload join + checkpoint
+            # barrier below.  A prebuild failure aborts AFTER this
+            # wave's manifest commits, so resume redoes only wave+1.
+            adm_thread = None
+            prebuild_err: list[BaseException] = []
+            if wave + 1 < cfg.n_waves:
+                nseq, krefs, crefs = next_seq, list(key_refs), list(cand_refs)
+
+                def _prebuild() -> None:
+                    nonlocal prebuilt
+                    try:
+                        prebuilt = _prepare_admission(
+                            krefs, crefs, nseq, cfg.wave_size, n_blocks
+                        )
+                    except BaseException as e:  # noqa: BLE001 - re-raised on join
+                        prebuild_err.append(e)
+
+                adm_thread = threading.Thread(target=_prebuild)
+                adm_thread.start()
+
             # join the payload write before the checkpoint barrier
             payload_thread.join()
             if payload_err:
@@ -824,6 +872,17 @@ def run_crawl(
                     backlog_full=write_full,
                 ),
             )
+            # join the admission prebuild AFTER the commit: a prebuild
+            # failure aborts with this wave safely committed (resume
+            # redoes only wave+1).  phase lands in the in-memory
+            # metrics (the manifest snapshot above precedes it).
+            if adm_thread is not None:
+                adm_thread.join()
+                if prebuild_err:
+                    raise RuntimeError(
+                        f"admission prebuild for wave {wave + 1} failed"
+                    ) from prebuild_err[0]
+                _mark("adm_prebuild_join")
         return {
             "cumulative": cumulative,
             "by_wave": metrics_by_wave,

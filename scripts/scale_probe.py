@@ -65,10 +65,60 @@ def probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
     return {"n_seeds": n_seeds, "wall_sec": round(wall, 2), "waves": waves}
 
 
+def resume_probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
+    """Resume wall time from the probe run's last manifest with one
+    extra wave: measures the replay chain (base snapshot + delta
+    (admitted, new) pairs — O(waves since full snapshot), never
+    O(waves)) plus one steady-state wave at this frontier size."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from dataclasses import replace
+
+    from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
+    from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        store=ContentStoreConfig(seed=42, n_hosts=512, pages_per_host=10_000_000,
+                                 img_min=96, img_max=128),
+        n_seeds=n_seeds,
+        host_budget=32,
+        wave_size=8192,
+        n_waves=4,  # probe() ran 3: replay chain + exactly one new wave
+        max_depth=10,
+        n_shards=8,
+        fetch_batch=256,
+        seen_capacity=1 << 20,
+        extract_features=False,
+    )
+    out = f"/tmp/scale_probe_{tag}"
+    t0 = time.perf_counter()
+    m = run_crawl(cfg, out, resume=True)
+    wall = time.perf_counter() - t0
+    wave_phases = m["by_wave"][3]["phase_sec"]
+    return {
+        "resume_wall_sec": round(wall, 2),
+        "resumed_wave_phase_sec": wave_phases,
+        "replay_plus_admission_sec": round(
+            wall - sum(v for k, v in wave_phases.items() if k != "admission"), 2
+        ),
+    }
+
+
 def main() -> None:
     num_cpus = 32
-    small = probe(200_000, "small", num_cpus)
-    large = probe(2_000_000, "large", num_cpus)
+    deep = "--deep" in sys.argv
+    if deep:
+        # VERDICT r03 #7: one decade further — 2M -> 20M frontier rows
+        # at the SAME wave width, plus the resume replay cost at 20M
+        small = probe(2_000_000, "small20", num_cpus)
+        large = probe(20_000_000, "large20", num_cpus)
+    else:
+        small = probe(200_000, "small", num_cpus)
+        large = probe(2_000_000, "large", num_cpus)
 
     def serial_residue(r: dict) -> float:
         # phases serial at the wave barrier (not overlapped), steady
@@ -96,6 +146,10 @@ def main() -> None:
             serial_residue(large) / max(serial_residue(small), 1e-9), 2
         ),
     }
+    if deep:
+        result["resume_at_large"] = resume_probe(
+            20_000_000, "large20", num_cpus
+        )
     print(json.dumps(result))
 
 
