@@ -64,6 +64,37 @@ FRONTIER_SCHEMA = pa.schema(
 _DISCOVERY_KEY = ["disc_wave", "disc_parent", "disc_link"]
 
 
+def _digest_bytes(rows: np.ndarray):
+    """(N,20) uint8 -> iterator of 20-byte ``bytes`` keys.  Slicing one
+    materialized buffer beats per-row ``row.tobytes()`` (numpy-scalar
+    overhead) ~5x on 1M rows.  NOT a ``view('S20').tolist()``: numpy
+    'S' kind strips trailing NUL bytes, which silently truncated ~1/256
+    digests and broke the exact-set lookup (observed as false "new"
+    reports on re-check)."""
+    buf = np.ascontiguousarray(rows).tobytes()
+    return (buf[i : i + 20] for i in range(0, len(buf), 20))
+
+
+def _unique_rows(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``np.unique(d, axis=0, return_index=True)`` for (N,20) uint8
+    rows via a 3-key lexsort on packed big-endian words — identical
+    output (memcmp row order, first-occurrence indices; lexsort is
+    stable) at ~3x the speed of the void-dtype path on 2.5M rows."""
+    d = np.ascontiguousarray(d)
+    if d.shape[0] == 0:
+        return d, np.zeros(0, dtype=np.intp)
+    k1 = np.ascontiguousarray(d[:, :8]).view(">u8").ravel()
+    k2 = np.ascontiguousarray(d[:, 8:16]).view(">u8").ravel()
+    k3 = np.ascontiguousarray(d[:, 16:20]).view(">u4").ravel()
+    order = np.lexsort((k3, k2, k1))
+    s1, s2, s3 = k1[order], k2[order], k3[order]
+    first = np.r_[
+        True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
+    ]
+    first_idx = order[first]
+    return d[first_idx], first_idx
+
+
 def digests_from_sha1_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(N,) fixed_size_binary(20) arrow column -> (N, 20) uint8 view,
     zero-copy from the arrow buffer (replaces a per-row
@@ -90,7 +121,12 @@ class _SeenShardImpl:
         # "maybe" for everything, which forced every lookup through
         # the exact-set Python path (158s/wave observed at 2 shards).
         self.blooms = [CountingBloom(capacity, fp_rate)]
-        self.cuckoo = CuckooFilter(capacity, seed=0x5EED ^ shard_id)
+        # the cuckoo chains the same way: a table driven past its
+        # design load (~0.84) degrades into the per-item kick loop —
+        # 200 numpy-scalar kicks per overflow item, measured as a
+        # 37-CPU-minute stall when 2.5M digests hit a 1M-capacity
+        # filter. Adds go to the newest filter; membership checks all.
+        self.cuckoos = [CuckooFilter(capacity, seed=0x5EED ^ shard_id)]
         self.exact: set[bytes] | None = set() if exact else None
         self.n_checked = 0
         self.n_new = 0
@@ -181,6 +217,38 @@ class _SeenShardImpl:
     def bloom(self) -> CountingBloom:  # newest filter (adds go here)
         return self.blooms[-1]
 
+    @property
+    def cuckoo(self) -> CuckooFilter:  # newest filter (adds go here)
+        return self.cuckoos[-1]
+
+    def cuckoo_capacity(self) -> int:
+        return self.capacity * (2 ** (len(self.cuckoos) - 1))
+
+    def _cuckoo_add(self, new: np.ndarray) -> None:
+        """Chained add: grow BEFORE the active filter would exceed its
+        design capacity (0.84 table load), keeping every bulk insert on
+        the vectorized two-round path. Oversized batches split so no
+        single filter is driven past design load."""
+        start = 0
+        while start < new.shape[0]:
+            room = self.cuckoo_capacity() - self.cuckoo.n_added
+            if room <= 0:
+                self.cuckoos.append(
+                    CuckooFilter(
+                        self.cuckoo_capacity() * 2,
+                        seed=0x5EED ^ self.shard_id ^ len(self.cuckoos),
+                    )
+                )
+                continue
+            self.cuckoo.add(new[start : start + room])
+            start += room
+
+    def _cuckoo_contains(self, d: np.ndarray) -> np.ndarray:
+        maybe = self.cuckoos[0].contains(d)
+        for c in self.cuckoos[1:]:
+            maybe |= c.contains(d)
+        return maybe
+
     def _bloom_contains(self, d: np.ndarray) -> np.ndarray:
         maybe = self.blooms[0].contains(d)
         for b in self.blooms[1:]:
@@ -208,7 +276,7 @@ class _SeenShardImpl:
         so without the unique() pass every copy would read "new"."""
         d = np.ascontiguousarray(digests).reshape(-1, 20)
         self.n_checked += d.shape[0]
-        uniq, first_idx = np.unique(d, axis=0, return_index=True)
+        uniq, first_idx = _unique_rows(d)
         maybe_seen = self._bloom_contains(uniq)
         new_uniq = ~maybe_seen
         if self.exact is not None and maybe_seen.any():
@@ -218,9 +286,9 @@ class _SeenShardImpl:
         new = uniq[new_uniq]
         if new.shape[0]:
             self._bloom_add(new)
-            self.cuckoo.add(new)
+            self._cuckoo_add(new)
             if self.exact is not None:
-                self.exact.update(row.tobytes() for row in new)
+                self.exact.update(_digest_bytes(new))
             self._pending_deltas.append(new.copy())
         new_mask = np.zeros(d.shape[0], dtype=bool)
         new_mask[first_idx[new_uniq]] = True
@@ -243,7 +311,7 @@ class _SeenShardImpl:
             "checked": self.n_checked,
             "new": self.n_new,
             "bloom_added": sum(b.n_added for b in self.blooms),
-            "cuckoo_added": self.cuckoo.n_added,
+            "cuckoo_added": sum(c.n_added for c in self.cuckoos),
             "exact_size": len(self.exact) if self.exact is not None else -1,
         }
 
@@ -299,16 +367,18 @@ class _SeenShardImpl:
                 self.capacity = state["capacity"]
                 self.fp_rate = state["fp_rate"]
                 self.blooms = [CountingBloom(self.capacity, self.fp_rate)]
-                self.cuckoo = CuckooFilter(self.capacity, seed=0x5EED ^ self.shard_id)
+                self.cuckoos = [
+                    CuckooFilter(self.capacity, seed=0x5EED ^ self.shard_id)
+                ]
                 if self.exact is not None:
                     self.exact = set()
                 first = False
             d = np.asarray(state["deltas"], dtype=np.uint8).reshape(-1, 20)
             if d.shape[0]:
                 self._bloom_add(d)
-                self.cuckoo.add(d)
+                self._cuckoo_add(d)
                 if self.exact is not None:
-                    self.exact.update(row.tobytes() for row in d)
+                    self.exact.update(_digest_bytes(d))
             self.n_checked = state["n_checked"]
             self.n_new = state["n_new"]
         self._pending_deltas = []

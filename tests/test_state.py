@@ -97,3 +97,44 @@ def test_sharded_seen_set_routing():
         assert all(x["new"] > 0 for x in stats)            # all shards used
     finally:
         sset.shutdown()
+
+
+def test_unique_rows_matches_np_unique():
+    from cs_insights_crawler_ray.state.seen import _unique_rows
+
+    rng = np.random.default_rng(3)
+    d = rng.integers(0, 256, size=(20_000, 20), dtype=np.uint8)
+    d = np.vstack([d, d[::3], d[:7]])          # duplicates
+    d[::11, 19] = 0                            # NUL tails
+    d[::13, 0] = 255                           # high leading bytes
+    u1, i1 = np.unique(d, axis=0, return_index=True)
+    u2, i2 = _unique_rows(d)
+    assert np.array_equal(u1, u2)
+    assert np.array_equal(i1, i2)
+    u0, i0 = _unique_rows(d[:0])
+    assert u0.shape == (0, 20) and i0.shape == (0,)
+
+
+def test_seen_shard_overflow_chains_cuckoo():
+    """Driving a shard past its design capacity must chain a new cuckoo
+    filter (vectorized path), not fall into the per-item kick loop —
+    a 2.4x-capacity bulk insert stalled 37 CPU-minutes before the fix."""
+    import time
+
+    cap = 1 << 12
+    sh = _SeenShardImpl(0, capacity=cap)
+    d = _digests(int(cap * 2.5), b"overflow")
+    t0 = time.perf_counter()
+    mask = sh.check_and_add(d)
+    assert mask.all()
+    assert time.perf_counter() - t0 < 10.0
+    assert len(sh.cuckoos) >= 2
+    assert sum(c.n_added for c in sh.cuckoos) == d.shape[0]
+    # exactness survives overflow: nothing is "new" on re-check, even
+    # digests whose trailing bytes are NUL (a bytes-key truncation trap)
+    d2 = d.copy()
+    assert not sh.check_and_add(d2).any()
+    nul = _digests(64, b"nul").copy()
+    nul[:, 18:] = 0
+    assert sh.check_and_add(nul).all()
+    assert not sh.check_and_add(nul).any()
