@@ -76,12 +76,8 @@ from ..sources.checkpoint import WaveManifest, commit_manifest, latest_manifest
 from ..sources.sinks import clear_partition, write_payload
 from ..stages.fetch import fetch_decode_link_task
 from ..stages.links import RobotsFilterStage, explode_prepared
-from ..state.politeness import (
-    DISCOVERY_KEY,
-    joint_candidates,
-    partition_candidates,
-    rest_candidates_and_offsets,
-)
+from ..state import frontier
+from ..state.politeness import DISCOVERY_KEY, partition_candidates
 from ..state.seen import FRONTIER_SCHEMA, ShardedSeenSet, digests_from_sha1_column
 
 FRONTIER_COLS = [
@@ -177,111 +173,80 @@ def _get_auth(auth_ref) -> dict | None:
     return bget(auth_ref[0])
 
 
-@ray.remote(num_returns=2)
-def _part_candidates(part: pa.Table, host_budget: int, wave_size: int,
-                     auth_ref=None):
-    """One partition -> (candidate rows incl score, key frame for the
-    driver's global top-k).  Only used for the first wave / resume;
-    steady-state waves get candidates from ``_merge_part``."""
-    if part.num_rows == 0:
-        empty = CAND_SCHEMA.empty_table()
-        return empty, empty.select(KEY_COLS)
+# ---- incremental frontier tasks (state/frontier.py) ----------------
+# Each host-hash partition is an LSM-style structure: a per-host
+# budget-prefix HEAD (the politeness working set), immutable sorted
+# RUNS (seed/compacted base + one per wave), and per-run cursors.
+# Per-wave work is O(head + new + refilled) — the per-wave O(frontier)
+# rest scan of the previous design is gone (it cost 53 s/wave of
+# barrier wait at a 20M-row frontier, residue ratio 67x per decade).
+# Run refs are passed wrapped as (run_id, [ref]) so Ray does not
+# auto-materialize them; tasks fetch only the runs a refill touches.
+
+
+def _run_getter(runs: list):
+    lut = {rid: wrapped[0] for rid, wrapped in runs}
+    return lambda rid: ray.get(lut[rid])
+
+
+@ray.remote(num_returns=4)
+def _init_frontier(table: pa.Table, host_budget: int, wave_size: int,
+                   auth_ref=None):
+    """Seed/resume partition table -> (state, base run, candidates,
+    key frame).  The only O(partition) sort; every later wave is
+    incremental."""
+    state, base = frontier.init_state(table, host_budget, run_id=-1)
     cand = _cand_table(
         partition_candidates(
-            part.to_pandas(), host_budget, wave_size, _get_auth(auth_ref)
+            state["head"].to_pandas(), host_budget, wave_size,
+            _get_auth(auth_ref),
         )
     )
-    return cand, cand.select(KEY_COLS)
+    return state, base, cand, cand.select(KEY_COLS)
+
+
+@ray.remote
+def _advance_frontier(state: dict, seq_map: pd.DataFrame, runs: list,
+                      host_budget: int) -> dict:
+    """Remove this wave's admitted rows from the head and refill from
+    the runs (cursor advance).  Launched at fetch start — O(head +
+    refilled), so it hides behind any fetch."""
+    return frontier.advance(
+        state, seq_map, [rid for rid, _ in runs], _run_getter(runs),
+        host_budget,
+    )
 
 
 @ray.remote(num_returns=2)
-def _part_rest(seq_map: pd.DataFrame, *tables: pa.Table):
-    """Partition (one or more slices — the previous wave's rest/new
-    halves are concatenated here rather than in a barrier round) ∖
-    admitted (anti-merge on the unique discovery key) -> (table, rows).
-    Launched at fetch start, so this O(frontier/n_parts) scan runs
-    DURING the fetch."""
-    tabs = [t for t in tables if t.num_rows]
-    if not tabs:
-        return FRONTIER_SCHEMA.empty_table(), 0
-    part = tabs[0] if len(tabs) == 1 else pa.concat_tables(
-        [t.cast(FRONTIER_SCHEMA) for t in tabs]
+def _compact_frontier(state: dict, runs: list, run_id: int):
+    """Full-snapshot waves: merge every unconsumed run suffix + head
+    into ONE base run (this wave's partNNNN_rest.parquet payload,
+    written by a downstream ``_write_part`` task) and reset cursors.
+    O(frontier/n_parts), amortized over ``backlog_full_every`` waves
+    and launched during the fetch."""
+    state, rest = frontier.compact(
+        state, [rid for rid, _ in runs], _run_getter(runs), run_id
     )
-    df = part.to_pandas()
-    m = df.merge(
-        seq_map[DISCOVERY_KEY].assign(_adm=1), on=DISCOVERY_KEY, how="left"
-    )
-    kept = m[m["_adm"].isna()].drop(columns=["_adm"])
-    if len(kept) == 0:
-        return FRONTIER_SCHEMA.empty_table(), 0
-    out = _frontier_table(pa.Table.from_pandas(kept, preserve_index=False))
-    return out, out.num_rows
+    return state, rest
 
 
-OFFSETS_SCHEMA = pa.schema(
-    [pa.field("host_hash", pa.uint64()), pa.field("n_rest", pa.int64())]
-)
-
-
-@ray.remote(num_returns=2)
-def _rest_candidates(rest: pa.Table, host_budget: int, wave_size: int,
-                     auth_ref=None):
-    """Candidate prune of the rest-of-frontier — the O(frontier/n_parts)
-    half of next-wave admission, launched at fetch start (hidden).
-    Also returns the per-host pending-row counts (capped at budget,
-    O(hosts-with-pending-rows) tiny rows) that ``_final_candidates``
-    needs to rank NEW links at their exact joint offset."""
-    if rest.num_rows == 0:
-        return CAND_SCHEMA.empty_table(), OFFSETS_SCHEMA.empty_table()
-    cand, offsets = rest_candidates_and_offsets(
-        rest.to_pandas(), host_budget, wave_size, _get_auth(auth_ref)
+@ray.remote(num_returns=5)
+def _merge_frontier(state: dict, new: pa.Table, run_id: int,
+                    host_budget: int, wave_size: int, auth_ref=None):
+    """Links barrier: append the wave's new rows as a run (or top up
+    heads directly — see frontier.merge_new) and emit the next wave's
+    admission candidates.  Returns (state, sorted run, candidates,
+    key frame, total pending)."""
+    state, run_t, cand_df = frontier.merge_new(
+        state, new, run_id, host_budget, wave_size, _get_auth(auth_ref)
     )
-    off_tbl = pa.table(
-        {
-            "host_hash": pa.array(offsets.index.to_numpy(np.uint64), pa.uint64()),
-            "n_rest": pa.array(offsets.to_numpy(np.int64), pa.int64()),
-        }
+    cand = _cand_table(cand_df)
+    if run_t is None:
+        run_t = FRONTIER_SCHEMA.empty_table()
+    return (
+        state, run_t, cand, cand.select(KEY_COLS),
+        frontier.pending_total(state),
     )
-    return _cand_table(cand), off_tbl
-
-
-@ray.remote(num_returns=2)
-def _final_candidates(cand_rest: pa.Table, rest_offsets: pa.Table,
-                      new: pa.Table, host_budget: int, wave_size: int,
-                      auth_ref=None):
-    """Next-wave candidates = candidates(rest ∪ new), computed by
-    ``politeness.joint_candidates`` from the pruned rest candidates +
-    per-host rest counts (proof in its docstring).  Rest rows keep the
-    scores computed over the FULL rest; new rows rank at
-    ``rest_count(host) + position``.  Input is O(wave_size + hosts +
-    new_links), so this barrier round is frontier-size-free."""
-    cr = (
-        cand_rest.to_pandas()
-        if cand_rest.num_rows
-        else CAND_SCHEMA.empty_table().to_pandas()
-    )
-    nw = (
-        new.to_pandas()
-        if new.num_rows
-        else FRONTIER_SCHEMA.empty_table().to_pandas()
-    )
-    if len(cr) == 0 and len(nw) == 0:
-        empty = CAND_SCHEMA.empty_table()
-        return empty, empty.select(KEY_COLS)
-    offsets = (
-        pd.Series(
-            rest_offsets["n_rest"].to_numpy(),
-            index=rest_offsets["host_hash"].to_numpy(zero_copy_only=False),
-        )
-        if rest_offsets.num_rows
-        else None
-    )
-    cand = _cand_table(
-        joint_candidates(
-            cr, offsets, nw, host_budget, wave_size, _get_auth(auth_ref)
-        )
-    )
-    return cand, cand.select(KEY_COLS)
 
 
 def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
@@ -587,22 +552,26 @@ def run_crawl(
                     for m in chain
                 ]
                 parts.append(
-                    [_replay_part.remote(base_ref, steps) if steps else base_ref]
+                    _replay_part.remote(base_ref, steps) if steps else base_ref
                 )
             last_full_wave = base_m.wave
             start_wave = manifest.wave + 1
             next_seq = manifest.next_fetch_seq
             cumulative = dict(manifest.cumulative)
         else:
-            parts = [[r] for r in build_seed_parts(cfg, seen)]
+            parts = build_seed_parts(cfg, seen)
         B = cfg.host_budget
         auth_ref = [ray.put(cfg.authority)] if cfg.authority else None
-        cand_pairs = [
-            _part_candidates.remote(parts[p][0], B, cfg.wave_size, auth_ref)
+        init_rets = [
+            _init_frontier.remote(parts[p], B, cfg.wave_size, auth_ref)
             for p in range(n_parts)
         ]
-        cand_refs = [c for c, _ in cand_pairs]
-        key_refs = [k for _, k in cand_pairs]
+        states = [r[0] for r in init_rets]
+        # per-partition run lists: (run_id, [table_ref]) wrapped so Ray
+        # never auto-materializes a run a task doesn't touch
+        runs = [[(-1, [r[1]])] for r in init_rets]
+        cand_refs = [r[2] for r in init_rets]
+        key_refs = [r[3] for r in init_rets]
         n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         metrics_by_wave = {}
         prebuilt = None  # next wave's admission, built on an overlap thread
@@ -639,13 +608,17 @@ def run_crawl(
             next_seq += n_admitted
             _mark("admission")
 
-            # ---- overlapped with fetch: rest-of-frontier (partition ∖
-            # admitted) and its checkpoint parquet write.  Plain Ray
-            # tasks — they fill scheduler gaps during the fetch and are
-            # joined before the manifest commit below.  Delta waves
-            # skip the O(frontier) rest rewrite and persist only the
-            # admitted keys (+ the new rows after the links barrier):
-            # resume replays the chain from the latest full snapshot.
+            # ---- overlapped with fetch: advance the incremental
+            # frontier (drop admitted rows from each partition's head,
+            # refill by cursor advance — O(head + refilled), never
+            # O(frontier)).  On full-snapshot waves the compaction task
+            # additionally merges every unconsumed run suffix into one
+            # base run and writes it as this wave's rest parquet —
+            # the only O(frontier) work left, amortized over
+            # ``backlog_full_every`` waves.  Delta waves persist only
+            # the admitted keys (+ the new rows after the links
+            # barrier); resume replays the chain from the latest full
+            # snapshot.
             backlog_path = str(out / "backlog" / f"wave={wave:06d}")
             clear_partition(backlog_path)
             Path(backlog_path).mkdir(parents=True, exist_ok=True)
@@ -657,30 +630,24 @@ def run_crawl(
                 last_full_wave < 0
                 or wave - last_full_wave >= cfg.backlog_full_every
             )
-            rest_pairs = [
-                _part_rest.remote(seq_ref, *parts[p]) for p in range(n_parts)
-            ]
-            rest_refs = [t for t, _ in rest_pairs]
-            rest_count_refs = [c for _, c in rest_pairs]
-            # the O(frontier) half of NEXT wave's admission also runs
-            # during the fetch; the links barrier then only merges it
-            # with the (small) new-link candidates
-            rc_pairs = [
-                _rest_candidates.remote(rest_refs[p], B, cfg.wave_size, auth_ref)
+            states = [
+                _advance_frontier.remote(states[p], seq_ref, runs[p], B)
                 for p in range(n_parts)
             ]
-            cand_rest_refs = [c for c, _ in rc_pairs]
-            rest_off_refs = [o for _, o in rc_pairs]
-            rest_writes = (
-                [
+            rest_writes = []
+            if write_full:
+                comp = [
+                    _compact_frontier.remote(states[p], runs[p], 2 * wave)
+                    for p in range(n_parts)
+                ]
+                states = [c[0] for c in comp]
+                runs = [[(2 * wave, [c[1]])] for c in comp]
+                rest_writes = [
                     _write_part.remote(
-                        rest_refs[p], f"{backlog_path}/part{p:04d}_rest.parquet"
+                        comp[p][1], f"{backlog_path}/part{p:04d}_rest.parquet"
                     )
                     for p in range(n_parts)
                 ]
-                if write_full
-                else []
-            )
 
             # ---- fetch + decode-verify(+features), FUSED (cached
             # tasks; politeness already enforced).  One pass per row
@@ -777,24 +744,26 @@ def run_crawl(
                 )
             _mark("links")
 
-            # ---- next-wave candidates: merge the (pre-pruned, fetch-
-            # hidden) rest candidates with the new links' candidates —
-            # an O(wave_size + new) round, frontier-size-free.  The
-            # partition itself stays as its two halves; next wave's
-            # _part_rest concatenates them inside its own hidden scan.
-            fc = [
-                _final_candidates.remote(
-                    cand_rest_refs[p], rest_off_refs[p], frontier_refs[p],
-                    B, cfg.wave_size, auth_ref,
+            # ---- merge the new links into the incremental frontier
+            # and emit next-wave candidates in the same task round —
+            # O(head + new) per partition, frontier-size-free.
+            mg = [
+                _merge_frontier.remote(
+                    states[p], frontier_refs[p], 2 * wave + 1, B,
+                    cfg.wave_size, auth_ref,
                 )
                 for p in range(n_parts)
             ]
-            cand_refs = [c for c, _ in fc]
-            key_refs = [k for _, k in fc]
-            parts = [[rest_refs[p], frontier_refs[p]] for p in range(n_parts)]
+            states = [m[0] for m in mg]
+            cand_refs = [m[2] for m in mg]
+            key_refs = [m[3] for m in mg]
+            total_refs = [m[4] for m in mg]
+            for p in range(n_parts):
+                if infos[p][0] > 0:
+                    runs[p] = runs[p] + [(2 * wave + 1, [mg[p][1]])]
             new_writes = [
                 _write_part.remote(
-                    frontier_refs[p], f"{backlog_path}/part{p:04d}_new.parquet"
+                    mg[p][1], f"{backlog_path}/part{p:04d}_new.parquet"
                 )
                 for p in range(n_parts)
             ]
@@ -834,14 +803,16 @@ def run_crawl(
             )
             _mark("payload_join")
 
-            # ---- wave barrier: checkpoint commit.  The rest-half of
-            # the backlog was written during the fetch; only the new-
-            # half writes + seen snapshots remain serial here.
+            # ---- wave barrier: checkpoint commit.  Delta waves wait
+            # only on the O(new) parquet writes + O(delta) seen
+            # snapshots; full-snapshot waves additionally join the
+            # compaction write launched at fetch start.  The backlog
+            # count is actor-free bookkeeping inside the merge tasks.
             ray.get(rest_writes + new_writes)
             if write_full:
                 last_full_wave = wave
             snaps = seen.snapshot(str(ckpt), wave)
-            n_backlog = int(sum(ray.get(rest_count_refs))) + int(n_new)
+            n_backlog = int(sum(ray.get(total_refs)))
             _mark("checkpoint")
             wave_metrics = {
                 "phase_sec": phase_t,
