@@ -25,35 +25,44 @@ restatement:
   a killed run restarts from the last committed wave with zero
   re-fetches (tests/test_resume.py asserts this).
 
-**One partitioning key, zero steady-state shuffles**: the frontier
-lives as ``n_shards`` partition tables keyed by ``host_hash %
-n_shards`` — the SAME key that routes link slices to the seen shards —
-so every per-wave frontier operation is partition-local:
+**One partitioning key, zero steady-state shuffles, zero steady-state
+frontier scans**: the frontier lives as ``n_shards`` INCREMENTAL
+partition structures keyed by ``host_hash % n_shards`` (the SAME key
+that routes link slices to the seen shards) — LSM-style head + sorted
+runs + cursors, see ``state/frontier.py``.  Every per-wave frontier
+operation is partition-local AND frontier-size-free:
 
-    wave start   per-partition candidate prune (host rank + budget +
-                 score + local top-wave_size) was already computed by
+    wave start   admission candidates (per-host budget prefix of each
+                 partition's HEAD, scored) were already computed by
                  the previous wave's merge tasks; the driver sorts
                  candidate KEYS only and broadcasts dk->fetch_seq
     admitted     candidates dataset ─ seq attach ─ repartition ─
                  FUSED task: fetch + decode-verify(+features) + link
                  canonicalize/robots, slices mailed to seen shards
-    during fetch rest_p = partition ∖ admitted (anti-merge) AND its
-                 checkpoint parquet write run as plain Ray tasks,
-                 hidden behind the fetch barrier
+    during fetch ADVANCE each partition: drop admitted rows from the
+                 head, refill by run-cursor advance — O(head +
+                 refilled).  Full-snapshot waves also COMPACT (merge
+                 unconsumed run suffixes into one base run = the rest
+                 parquet), the only O(frontier) step, amortized over
+                 backlog_full_every waves
     links        per-shard process_wave (pre-folded mailbox merge +
                  seen test-and-set) -> new frontier partition tables
-    merge        partition' = rest_p ∪ new_p, next wave's candidates
-                 computed in the same task round
+    merge        MERGE new rows into the structure (append as a run /
+                 top up heads) + next wave's candidates, same round —
+                 O(head + new)
 
 Hosts never straddle partitions, so per-host politeness ranking needs
 no cross-partition exchange; the old combiner → ``groupby`` →
 ``map_groups`` admission (a full hash shuffle of the backlog every
-wave, ~1.4 s/wave fixed at sf0.1) is gone.  Partition tables are
-plain object-store Arrow tables: at 10^10-URL scale ``n_shards``
-scales with the cluster and each partition holds frontier rows only
-(no payloads), spillable by the object store.  The Dataset API still
-carries the heavy data path (admitted rows → fused fetch → payload
-sink).
+wave, ~1.4 s/wave fixed at sf0.1) is gone, and so is round 3's
+per-wave rest-of-frontier scan (53 s/wave of barrier wait at a 20M-row
+frontier — measured by scripts/scale_probe.py --deep).  Heads are
+O(hosts x budget) per partition (the politeness floor); runs are plain
+object-store Arrow tables fetched only when a refill or compaction
+draws from them: at 10^10-URL scale ``n_shards`` scales with the
+cluster, partitions hold frontier rows only (no payloads), and the
+object store spills cold runs.  The Dataset API still carries the
+heavy data path (admitted rows → fused fetch → payload sink).
 """
 
 from __future__ import annotations

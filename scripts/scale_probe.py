@@ -2,13 +2,15 @@
 
 Runs the crawl twice at identical wave width but a 10x different
 frontier (seed) size and reports per-wave phase constants.  The claim
-under test: with the host-hash-partitioned frontier, the SERIAL
-per-wave residue (driver key sort, links barrier, checkpoint commit)
-is O(wave_size + new_links), while everything O(frontier) — the
-rest-of-frontier scan, its checkpoint write, and the next wave's
-candidate prune — rides inside task rounds that scale with cores and
-overlap the fetch.  A 10x backlog must therefore NOT produce a 10x
-wave wall.
+under test: with the incremental LSM-style frontier (state/frontier.py
+— per-host head + sorted runs + cursors), steady-state per-wave work
+is O(wave_size + head + new_links) with NO frontier-sized scan at all;
+the only O(frontier) steps are the one-time seed/resume sort and the
+compaction fused with full checkpoint snapshots every
+``backlog_full_every`` waves (hidden behind the fetch).  A 10x backlog
+must therefore NOT produce a 10x delta-wave wall.  This probe is what
+killed the round-3 design (per-wave rest scan: 53 s/wave of barrier
+wait at 20M rows, residue ratio 67x).
 
 Usage: python scripts/scale_probe.py  (prints one JSON line)
 """
