@@ -82,7 +82,7 @@ import ray.data as rd
 from ..fixtures.content_store import ContentStoreConfig, seed_urls
 from ..functions.urls import canonicalize_batch
 from ..sources.checkpoint import WaveManifest, commit_manifest, latest_manifest
-from ..sources.sinks import clear_partition, write_payload
+from ..sources.sinks import HAVE_LANCE, clear_partition, write_payload
 from ..stages.fetch import fetch_decode_link_task
 from ..stages.links import RobotsFilterStage, explode_prepared
 from ..state import frontier
@@ -518,9 +518,13 @@ def run_crawl(
         manifest = latest_manifest(str(ckpt)) if resume else None
         last_full_wave = -1
         if manifest is not None and manifest.wave + 1 >= cfg.n_waves:
-            # resume of an already-complete run: nothing to do — don't
-            # launch frontier replay / candidate tasks whose results
-            # the (empty) wave loop would never consume
+            # resume of an already-complete run: nothing to fetch —
+            # don't launch frontier replay / candidate tasks whose
+            # results the (empty) wave loop would never consume.  The
+            # seen set IS still restored: callers who pass their own
+            # seen rely on post-resume membership/stats, and the stats
+            # in the return value must reflect the committed state.
+            seen.restore_from_dir(str(ckpt), manifest.wave)
             return {
                 "cumulative": dict(manifest.cumulative),
                 "by_wave": {},
@@ -807,9 +811,17 @@ def run_crawl(
                     f"payload write failed for wave {wave}; aborting before "
                     "manifest commit so resume re-runs this wave"
                 ) from payload_err[0]
+            # recursive glob: the parquet backend writes part files at
+            # the top level, the lance shim under data/; a lance store
+            # with no parquet fragments is counted via its own manifest
             payload_rows = sum(
-                pq.read_metadata(f).num_rows for f in Path(payload_path).glob("*.parquet")
+                pq.read_metadata(f).num_rows
+                for f in Path(payload_path).glob("**/*.parquet")
             )
+            if payload_rows == 0 and HAVE_LANCE:
+                import lance
+
+                payload_rows = lance.dataset(payload_path).count_rows()
             _mark("payload_join")
 
             # ---- wave barrier: checkpoint commit.  Delta waves wait

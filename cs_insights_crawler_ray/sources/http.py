@@ -38,6 +38,16 @@ class TransientFetchError(Exception):
     """5xx / connection failure — retried up to `retries` times."""
 
 
+class _LocalWriteError(Exception):
+    """Internal marker: the tmp-file open/write failed (disk full,
+    permissions).  NOT a network failure — _with_retries re-raises the
+    original OSError immediately instead of retrying+rebranding it."""
+
+    def __init__(self, original: OSError):
+        super().__init__(str(original))
+        self.original = original
+
+
 class HttpFetcher:
     def __init__(
         self,
@@ -79,10 +89,19 @@ class HttpFetcher:
             h = hashlib.md5()
             # "wb" truncates: a mid-body retry restarts the tmp file
             # from byte 0 (appending to the partial write corrupted
-            # the payload and was only caught when md5sum was given)
-            with open(tmp, "wb") as f:
+            # the payload and was only caught when md5sum was given).
+            # File-side OSErrors are marked so the retry loop re-raises
+            # them untouched — only the network stream is retryable.
+            try:
+                f = open(tmp, "wb")
+            except OSError as e:
+                raise _LocalWriteError(e) from e
+            with f:
                 for chunk in self._stream_once(name):
-                    f.write(chunk)
+                    try:
+                        f.write(chunk)
+                    except OSError as e:
+                        raise _LocalWriteError(e) from e
                     h.update(chunk)
             return h
 
@@ -125,6 +144,8 @@ class HttpFetcher:
         while True:
             try:
                 return attempt()
+            except _LocalWriteError as e:
+                raise e.original
             except (TransientFetchError, ConnectionError, OSError) as e:
                 n += 1
                 if n > self.retries:

@@ -107,77 +107,6 @@ def partition_candidates(
     ).head(wave_size)
 
 
-def rest_candidates_and_offsets(
-    part: pd.DataFrame, host_budget: int, wave_size: int,
-    auth: dict | None = None,
-) -> tuple[pd.DataFrame, pd.Series]:
-    """``partition_candidates`` over a REST partition, plus each
-    host's pending-row count capped at ``host_budget`` — the rank
-    offset ``joint_candidates`` needs to place NEW rows exactly where
-    ``partition_candidates(rest ∪ new)`` would.  Capping is lossless:
-    any offset >= budget cuts all of a host's new rows regardless of
-    magnitude."""
-    g, counts = _budget_scored(part, host_budget, auth)
-    cand = g.sort_values(
-        ["score", "auth_neg"] + DISCOVERY_KEY, kind="mergesort"
-    ).head(wave_size)
-    return cand, counts.clip(upper=host_budget).astype(np.int64)
-
-
-def joint_candidates(
-    cand_rest: pd.DataFrame,
-    rest_offsets: pd.Series | None,
-    new: pd.DataFrame,
-    host_budget: int,
-    wave_size: int,
-    auth: dict | None = None,
-) -> pd.DataFrame:
-    """EXACTLY ``partition_candidates(rest ∪ new)``, computed from the
-    pruned rest candidates + per-host rest counts instead of the full
-    rest (so the wave-barrier round stays O(wave_size + new), never
-    O(frontier)).  Correctness argument, both halves:
-
-    - REST rows keep the scores computed over the FULL rest.  Every
-      new row carries the current ``disc_wave`` — strictly larger than
-      any rest row's — so rest ranks over ``rest ∪ new`` equal ranks
-      over rest alone; and a rest row cut by ``head(wave_size)`` had
-      >= wave_size rest rows with strictly better
-      ``(score, auth_neg, dk)``, all still present in ``cand_rest``,
-      so it can never re-enter the joint top-``wave_size``.
-    - NEW rows rank at ``rest_count(host) + position`` (offset from
-      ``rest_offsets``; 0 for hosts with no pending rows).  Re-ranking
-      over the PRUNED rest instead (the pre-r4 code) compacted these
-      ranks whenever the head cut removed budget-kept rows: new rows
-      became budget-eligible when the true rank is >= budget
-      (politeness violation) and surviving rows' scores shifted under
-      in-host depth inversions (tests/test_politeness.py
-      ``test_joint_candidates_*`` property-gates both)."""
-    frames = []
-    if len(cand_rest):
-        frames.append(cand_rest)
-    if len(new):
-        g = new.sort_values(["host_hash"] + DISCOVERY_KEY, kind="mergesort")
-        pos = g.groupby("host_hash", sort=False).cumcount().to_numpy()
-        if rest_offsets is not None and len(rest_offsets):
-            off = (
-                g["host_hash"].map(rest_offsets).fillna(0).astype(np.int64).to_numpy()
-            )
-        else:
-            off = np.zeros(len(g), np.int64)
-        rank = pos + off
-        keep = rank < host_budget
-        g = g[keep].copy()
-        g["score"] = score_of(g["depth"].to_numpy(), rank[keep])
-        g["auth_neg"] = _auth_neg(g, auth)
-        frames.append(g)
-    if not frames:
-        return cand_rest
-    df = frames[0] if len(frames) == 1 else pd.concat(frames)
-    return df.sort_values(
-        ["score", "auth_neg"] + DISCOVERY_KEY, kind="mergesort"
-    ).head(wave_size)
-
-
 def partition_admission(part: pd.DataFrame, host_budget: int) -> pd.DataFrame:
     """Vectorized multi-host admission for one hash PARTITION
     (``host_hash % n_parts`` — every host's rows are fully contained

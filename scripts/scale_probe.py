@@ -26,7 +26,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
+def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512) -> dict:
     import ray
 
     ray.init(
@@ -41,7 +41,8 @@ def probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
 
     cfg = CrawlConfig(
-        store=ContentStoreConfig(seed=42, n_hosts=512, pages_per_host=10_000_000,
+        store=ContentStoreConfig(seed=42, n_hosts=n_hosts,
+                                 pages_per_host=10_000_000,
                                  img_min=96, img_max=128),
         n_seeds=n_seeds,
         host_budget=32,
@@ -112,8 +113,18 @@ def resume_probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
 
 def main() -> None:
     num_cpus = 32
-    deep = "--deep" in sys.argv
-    if deep:
+    hosts_mode = "--hosts" in sys.argv
+    deep = "--deep" in sys.argv and not hosts_mode
+    if hosts_mode:
+        # politeness-floor probe: SAME 2M-row frontier, 64x the hosts
+        # (512 -> 32,768), so each partition's head grows from
+        # 64 x budget = 2k rows to 4,096 x budget = 131k rows.  The
+        # claim: per-wave cost is O(head + new) — the head IS the
+        # irreducible per-host politeness working set, and at cluster
+        # scale n_shards grows to hold per-partition heads constant.
+        small = probe(2_000_000, "hosts_lo", num_cpus, n_hosts=512)
+        large = probe(2_000_000, "hosts_hi", num_cpus, n_hosts=32_768)
+    elif deep:
         # VERDICT r03 #7: one decade further — 2M -> 20M frontier rows
         # at the SAME wave width, plus the resume replay cost at 20M
         small = probe(2_000_000, "small20", num_cpus)
@@ -125,8 +136,12 @@ def main() -> None:
     def serial_residue(r: dict) -> float:
         # phases serial at the wave barrier (not overlapped), steady
         # state only: wave 0's admission absorbs the pipelined seed
-        # canonicalization tail, which is O(seeds) by definition
-        keys = ("admission", "links", "log", "merge_launch", "payload_join", "checkpoint")
+        # canonicalization tail, which is O(seeds) by definition.
+        # adm_prebuild_join is the NON-overlapped remainder of the next
+        # wave's admission build — it must count, or a frontier-size-
+        # dependent regression in the key-sort path would be invisible
+        keys = ("admission", "links", "log", "merge_launch",
+                "payload_join", "checkpoint", "adm_prebuild_join")
         return round(
             sum(
                 sum(w.get(k, 0.0) for k in keys)
@@ -137,13 +152,17 @@ def main() -> None:
         )
 
     result = {
-        "metric": "per-wave serial residue vs frontier size (same wave width)",
+        "metric": (
+            "per-wave serial residue vs host count (same frontier size)"
+            if hosts_mode
+            else "per-wave serial residue vs frontier size (same wave width)"
+        ),
         "num_cpus": num_cpus,
         "small": small,
         "large": large,
         "serial_residue_small_sec": serial_residue(small),
         "serial_residue_large_sec": serial_residue(large),
-        "frontier_ratio": 10.0,
+        ("head_ratio" if hosts_mode else "frontier_ratio"): 64.0 if hosts_mode else 10.0,
         "residue_ratio": round(
             serial_residue(large) / max(serial_residue(small), 1e-9), 2
         ),

@@ -171,9 +171,10 @@ def test_crawl_to_exhaustion_reaches_closure(tmp_path):
 def test_parity_under_candidate_truncation(tmp_path):
     """Byte-identical ordering when per-partition candidates far
     exceed wave_size (hosts x budget >> wave_size) over many waves —
-    the regime where the pre-r4 head(wave_size) pre-prune compacted
+    the regime where round 3's head(wave_size) pre-prune compacted
     new links' per-host ranks (this exact config diverged from the
-    oracle before the joint_candidates fix)."""
+    oracle then; the incremental frontier's head is a true per-host
+    prefix, so no joint-rank correction is needed)."""
     cfg = CrawlConfig(
         store=ContentStoreConfig(
             seed=5605, n_hosts=11, pages_per_host=116, zipf_a=1.25,

@@ -167,3 +167,16 @@ def test_plugs_into_dblp_fetch_contract(tmp_path):
     f, _ = _fetcher([_Resp(200, b"x")])
     fetch = f.fetch
     assert callable(fetch) and fetch("n") == b"x"
+
+
+def test_fetch_to_local_write_error_not_retried(tmp_path):
+    """A tmp-file OSError (disk full, permissions) is a LOCAL failure:
+    it must surface immediately and untouched, not be retried with
+    backoff and rebranded TransientFetchError."""
+    target = tmp_path / "no_such_dir" / "f.bin"  # parent doesn't exist
+    f, sleeps = _fetcher([_Resp(200, b"abc"), _Resp(200, b"abc")])
+    with pytest.raises(OSError) as ei:
+        f.fetch_to("/x", str(target))
+    assert not isinstance(ei.value, TransientFetchError)
+    assert sleeps == []                      # zero retries, zero backoff
+    assert len(f.session.calls) <= 1         # at most one network attempt

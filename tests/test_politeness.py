@@ -11,11 +11,9 @@ from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
 from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, read_crawl_log, run_crawl
 from cs_insights_crawler_ray.state.politeness import (
     DISCOVERY_KEY,
-    joint_candidates,
     local_host_topk,
     partition_admission,
     partition_candidates,
-    rest_candidates_and_offsets,
 )
 
 
@@ -71,78 +69,6 @@ def test_partition_admission_budget_invariant():
     # the hot host is capped at B despite having 50x the rows
     hot = df.groupby("host_hash").size().idxmax()
     assert per_host.get(hot, 0) == B
-
-
-def _rand_frontier(rng, n, hosts, wave_lo, wave_hi, depth_hi, seed0):
-    """Random frontier slice with in-host depth inversions (depth is
-    independent of discovery order) — the adversarial shape for the
-    head(wave_size)-truncation family of bugs."""
-    return pd.DataFrame(
-        {
-            "host_hash": rng.integers(0, hosts, n).astype("uint64"),
-            "depth": rng.integers(0, depth_hi, n).astype("int32"),
-            "disc_wave": rng.integers(wave_lo, wave_hi, n).astype("int32"),
-            "disc_parent": (np.arange(n) + seed0).astype("int64"),
-            "disc_link": rng.integers(0, 50, n).astype("int32"),
-            "url_canon": [f"u{seed0 + i}" for i in range(n)],
-        }
-    )
-
-
-def test_joint_candidates_equals_full_recompute():
-    """joint_candidates(prune(rest), offsets, new) must EXACTLY equal
-    partition_candidates(rest ∪ new) — including under truncation
-    (candidates >> wave_size), in-host depth inversions, hosts seen
-    only in `new`, hosts over budget, and the authority tie-break."""
-    rng = np.random.Generator(np.random.PCG64(3))
-    for trial in range(60):
-        B = int(rng.integers(1, 7))
-        W = int(rng.integers(3, 30))
-        hosts = int(rng.integers(1, 15))
-        nr = int(rng.integers(0, 300))
-        nn = int(rng.integers(0, 120))
-        auth = None
-        if trial % 3 == 0:
-            auth = {
-                f"u{trial * 10000 + i}": int(rng.integers(0, 5))
-                for i in range(0, nr + nn, 7)
-            }
-        rest = _rand_frontier(rng, nr, hosts, 0, 5, 6, trial * 10000)
-        new = _rand_frontier(rng, nn, hosts, 6, 7, 6, trial * 10000 + 5000)
-        truth = partition_candidates(pd.concat([rest, new]), B, W, auth)
-        cand_rest, offs = rest_candidates_and_offsets(rest, B, W, auth)
-        got = joint_candidates(cand_rest, offs, new, B, W, auth)
-        cols = DISCOVERY_KEY + ["score", "auth_neg"]
-        pd.testing.assert_frame_equal(
-            got[cols].reset_index(drop=True),
-            truth[cols].reset_index(drop=True),
-        )
-
-
-def test_joint_candidates_rank_compaction_regression():
-    """The pre-r4 formula — re-running partition_candidates over the
-    head(wave_size)-PRUNED rest ∪ new — compacts new rows' in-host
-    ranks (politeness violation: rows with true rank >= budget became
-    budget-eligible).  Pin a case where the old formula demonstrably
-    diverges from the full recompute and assert the shipped path
-    matches the full recompute."""
-    rng = np.random.Generator(np.random.PCG64(3))
-    B, W = 4, 12
-    rest = _rand_frontier(rng, 200, 10, 0, 5, 6, 0)
-    new = _rand_frontier(rng, 60, 10, 6, 7, 6, 5000)
-    truth = partition_candidates(pd.concat([rest, new]), B, W)
-    # old (buggy) formula: recompute ranks over the pruned rest
-    pruned = partition_candidates(rest, B, W).drop(columns=["score", "auth_neg"])
-    old = partition_candidates(pd.concat([pruned, new]), B, W)
-    cols = DISCOVERY_KEY + ["score"]
-    assert not old[cols].reset_index(drop=True).equals(
-        truth[cols].reset_index(drop=True)
-    ), "fixture no longer exercises the truncation divergence"
-    cand_rest, offs = rest_candidates_and_offsets(rest, B, W)
-    got = joint_candidates(cand_rest, offs, new, B, W)
-    pd.testing.assert_frame_equal(
-        got[cols].reset_index(drop=True), truth[cols].reset_index(drop=True)
-    )
 
 
 def test_crawl_respects_budget_per_wave(tmp_path):

@@ -75,11 +75,16 @@ def test_kill_and_resume_identical(tmp_path):
 
 def test_resume_noop_when_complete(tmp_path):
     out = str(tmp_path / "done")
-    run_crawl(CFG, out)
+    full = run_crawl(CFG, out)
     before = read_crawl_log(out)
     again = run_crawl(CFG, out, resume=True)
     assert again["by_wave"] == {}          # nothing left to do
     pd.testing.assert_frame_equal(before, read_crawl_log(out))
+    # the early return must still restore the seen set: stats reflect
+    # the committed run, not an empty fresh actor set
+    assert sum(s["new"] for s in again["seen_stats"]) == sum(
+        s["new"] for s in full["seen_stats"]
+    ) > 0
 
 
 def test_delta_backlog_chain_resume(tmp_path):

@@ -127,7 +127,9 @@ def test_seen_shard_overflow_chains_cuckoo():
     t0 = time.perf_counter()
     mask = sh.check_and_add(d)
     assert mask.all()
-    assert time.perf_counter() - t0 < 10.0
+    # generous wall bound (shared-VM noise): the pre-fix kick loop took
+    # MINUTES at this overflow ratio; the chained path takes <1s idle
+    assert time.perf_counter() - t0 < 30.0
     assert len(sh.cuckoos) >= 2
     assert sum(c.n_added for c in sh.cuckoos) == d.shape[0]
     # exactness survives overflow: nothing is "new" on re-check, even
