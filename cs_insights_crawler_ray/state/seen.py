@@ -64,15 +64,90 @@ FRONTIER_SCHEMA = pa.schema(
 _DISCOVERY_KEY = ["disc_wave", "disc_parent", "disc_link"]
 
 
-def _digest_bytes(rows: np.ndarray):
-    """(N,20) uint8 -> iterator of 20-byte ``bytes`` keys.  Slicing one
-    materialized buffer beats per-row ``row.tobytes()`` (numpy-scalar
-    overhead) ~5x on 1M rows.  NOT a ``view('S20').tolist()``: numpy
-    'S' kind strips trailing NUL bytes, which silently truncated ~1/256
-    digests and broke the exact-set lookup (observed as false "new"
-    reports on re-check)."""
-    buf = np.ascontiguousarray(rows).tobytes()
-    return (buf[i : i + 20] for i in range(0, len(buf), 20))
+def _digest_keys(rows: np.ndarray):
+    """(N,20) uint8 -> three packed big-endian key arrays (u8,u8,u4)
+    that together encode all 20 bytes; their lexicographic order equals
+    memcmp row order."""
+    d = np.ascontiguousarray(rows).reshape(-1, 20)
+    k1 = np.ascontiguousarray(d[:, :8]).view(">u8").ravel().astype(np.uint64)
+    k2 = np.ascontiguousarray(d[:, 8:16]).view(">u8").ravel().astype(np.uint64)
+    k3 = np.ascontiguousarray(d[:, 16:20]).view(">u4").ravel().astype(np.uint32)
+    return k1, k2, k3
+
+
+class SortedDigestSet:
+    """Exact membership authority over 20-byte digests as SORTED packed
+    key arrays — 20 bytes/row contiguous (a Python ``set`` of bytes
+    keys costs ~4-5x that in object headers at 10^6+ rows) with fully
+    vectorized ``contains`` via searchsorted, no per-row Python on the
+    bloom-positive path.
+
+    LSM layout (the same pattern as ``state/frontier.py``): an ordered
+    list of sorted runs; adds append a run (check_and_add's new rows
+    arrive already sorted and unique), runs merge into one when the
+    list exceeds ``max_runs``.  Membership: per run, locate the
+    k1-equal range with two searchsorteds and confirm k2/k3 — SHA-1
+    top-8-byte collisions are ~n^2/2^64, so the range is almost always
+    a single row; wider ranges fall to a tiny Python loop."""
+
+    __slots__ = ("runs", "max_runs", "n")
+
+    def __init__(self, max_runs: int = 8):
+        self.runs: list[tuple] = []  # [(k1,k2,k3) sorted asc], oldest first
+        self.max_runs = max_runs
+        self.n = 0
+
+    def __len__(self) -> int:
+        return self.n
+
+    def add_rows(self, rows: np.ndarray, assume_sorted: bool = False) -> None:
+        """Append (N,20) rows DISJOINT from the current contents
+        (check_and_add guarantees it: new = sorted-unique minus seen;
+        restore replays deltas, which are disjoint by construction).
+        Pass assume_sorted=True when rows are already in memcmp order
+        (check_and_add's new rows are); otherwise the keys are sorted
+        here."""
+        if rows.shape[0] == 0:
+            return
+        k1, k2, k3 = _digest_keys(rows)
+        if not assume_sorted:
+            order = np.lexsort((k3, k2, k1))
+            k1, k2, k3 = k1[order], k2[order], k3[order]
+        self.runs.append((k1, k2, k3))
+        self.n += rows.shape[0]
+        if len(self.runs) > self.max_runs:
+            self._compact()
+
+    def _compact(self) -> None:
+        k1 = np.concatenate([r[0] for r in self.runs])
+        k2 = np.concatenate([r[1] for r in self.runs])
+        k3 = np.concatenate([r[2] for r in self.runs])
+        order = np.lexsort((k3, k2, k1))
+        self.runs = [(k1[order], k2[order], k3[order])]
+
+    def contains_rows(self, rows: np.ndarray) -> np.ndarray:
+        q1, q2, q3 = _digest_keys(rows)
+        out = np.zeros(q1.shape[0], dtype=bool)
+        for r1, r2, r3 in self.runs:
+            pending = ~out
+            if not pending.any():
+                break
+            p1, p2, p3 = q1[pending], q2[pending], q3[pending]
+            lo = np.searchsorted(r1, p1, "left")
+            hi = np.searchsorted(r1, p1, "right")
+            hit = np.zeros(p1.shape[0], dtype=bool)
+            one = hi - lo == 1
+            if one.any():
+                at = lo[one]
+                hit[one] = (r2[at] == p2[one]) & (r3[at] == p3[one])
+            for i in np.nonzero(hi - lo > 1)[0]:  # ~never: u64 collision
+                seg = slice(lo[i], hi[i])
+                hit[i] = bool(
+                    ((r2[seg] == p2[i]) & (r3[seg] == p3[i])).any()
+                )
+            idx = np.nonzero(pending)[0]
+            out[idx[hit]] = True
+        return out
 
 
 def _unique_rows(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -127,7 +202,7 @@ class _SeenShardImpl:
         # 37-CPU-minute stall when 2.5M digests hit a 1M-capacity
         # filter. Adds go to the newest filter; membership checks all.
         self.cuckoos = [CuckooFilter(capacity, seed=0x5EED ^ shard_id)]
-        self.exact: set[bytes] | None = set() if exact else None
+        self.exact: SortedDigestSet | None = SortedDigestSet() if exact else None
         self.n_checked = 0
         self.n_new = 0
         self.mailbox: list = []  # buffered link slices for the current wave
@@ -280,15 +355,16 @@ class _SeenShardImpl:
         maybe_seen = self._bloom_contains(uniq)
         new_uniq = ~maybe_seen
         if self.exact is not None and maybe_seen.any():
-            for i in np.nonzero(maybe_seen)[0]:
-                if uniq[i].tobytes() not in self.exact:
-                    new_uniq[i] = True
+            # vectorized exact confirmation of the bloom positives
+            idx = np.nonzero(maybe_seen)[0]
+            confirmed = self.exact.contains_rows(uniq[idx])
+            new_uniq[idx[~confirmed]] = True
         new = uniq[new_uniq]
         if new.shape[0]:
             self._bloom_add(new)
             self._cuckoo_add(new)
             if self.exact is not None:
-                self.exact.update(_digest_bytes(new))
+                self.exact.add_rows(new, assume_sorted=True)
             self._pending_deltas.append(new.copy())
         new_mask = np.zeros(d.shape[0], dtype=bool)
         new_mask[first_idx[new_uniq]] = True
@@ -301,8 +377,9 @@ class _SeenShardImpl:
         if self.exact is None:
             return maybe
         out = maybe.copy()
-        for i in np.nonzero(maybe)[0]:
-            out[i] = d[i].tobytes() in self.exact
+        idx = np.nonzero(maybe)[0]
+        if idx.size:
+            out[idx] = self.exact.contains_rows(d[idx])
         return out
 
     def stats(self) -> dict:
@@ -371,14 +448,14 @@ class _SeenShardImpl:
                     CuckooFilter(self.capacity, seed=0x5EED ^ self.shard_id)
                 ]
                 if self.exact is not None:
-                    self.exact = set()
+                    self.exact = SortedDigestSet()
                 first = False
             d = np.asarray(state["deltas"], dtype=np.uint8).reshape(-1, 20)
             if d.shape[0]:
                 self._bloom_add(d)
                 self._cuckoo_add(d)
                 if self.exact is not None:
-                    self.exact.update(_digest_bytes(d))
+                    self.exact.add_rows(d)
             self.n_checked = state["n_checked"]
             self.n_new = state["n_new"]
         self._pending_deltas = []

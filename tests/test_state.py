@@ -140,3 +140,34 @@ def test_seen_shard_overflow_chains_cuckoo():
     nul[:, 18:] = 0
     assert sh.check_and_add(nul).all()
     assert not sh.check_and_add(nul).any()
+
+
+def test_sorted_digest_set_matches_python_set():
+    """SortedDigestSet vs a Python set oracle: multi-run adds, unsorted
+    restore-style adds, forced k1 (top-8-byte) collisions, NUL tails."""
+    from cs_insights_crawler_ray.state.seen import SortedDigestSet, _unique_rows
+
+    rng = np.random.default_rng(11)
+    s = SortedDigestSet(max_runs=3)  # force compactions
+    oracle = set()
+    for step in range(9):
+        d = rng.integers(0, 256, size=(500, 20), dtype=np.uint8)
+        d[::17, :8] = 7           # many shared k1 prefixes (collision path)
+        d[::13, 16:] = 0          # NUL tails
+        uniq, _ = _unique_rows(d)
+        fresh = np.array(
+            [r for r in uniq if r.tobytes() not in oracle], dtype=np.uint8
+        ).reshape(-1, 20)
+        if step % 2:
+            s.add_rows(fresh, assume_sorted=True)   # check_and_add path
+        else:
+            perm = rng.permutation(fresh.shape[0])  # restore path
+            s.add_rows(fresh[perm])
+        oracle.update(r.tobytes() for r in fresh)
+        assert len(s) == len(oracle)
+        probe = np.vstack(
+            [d, rng.integers(0, 256, size=(300, 20), dtype=np.uint8)]
+        )
+        got = s.contains_rows(probe)
+        want = np.array([r.tobytes() in oracle for r in probe])
+        assert np.array_equal(got, want)
