@@ -156,3 +156,40 @@ def test_drain_to_empty():
     assert pending_total(state) == 0
     assert state["head"].num_rows == 0
     assert pending_rest(state, sorted(runs), lambda r: runs[r]).num_rows == 0
+
+
+def test_candidates_with_authority_match_naive():
+    """The auth tie-break must flow through merge_new's candidate
+    compute identically to a full-table recompute."""
+    rng = np.random.default_rng(21)
+    hosts = np.arange(1, 7, dtype=np.uint64) * np.uint64(97)
+    t = _rows(rng, 60, -1, hosts)
+    sdf = t.to_pandas().drop_duplicates(DISCOVERY_KEY)
+    t = pa.Table.from_pandas(sdf, preserve_index=False).cast(FRONTIER_SCHEMA)
+    auth = {u: int(rng.integers(0, 4)) for u in sdf["url_canon"][::2]}
+    budget, wave_size = 3, 9
+    state, base = init_state(t, budget, run_id=-1)
+    runs = {-1: base}
+    naive = t.to_pandas()
+    for wave in range(4):
+        want = partition_candidates(naive, budget, wave_size, auth)
+        adm = want.head(4)
+        naive = naive.merge(
+            adm[DISCOVERY_KEY].assign(_a=1), on=DISCOVERY_KEY, how="left"
+        )
+        naive = naive[naive["_a"].isna()].drop(columns=["_a"])
+        state = advance(state, adm[DISCOVERY_KEY], sorted(runs),
+                        lambda r: runs[r], budget)
+        new = _rows(rng, 15, wave, hosts, parent_base=500 * (wave + 1))
+        ndf = new.to_pandas().drop_duplicates(DISCOVERY_KEY)
+        new = pa.Table.from_pandas(ndf, preserve_index=False).cast(FRONTIER_SCHEMA)
+        state, run_t, cand = merge_new(
+            state, new, 2 * wave + 1, budget, wave_size, auth
+        )
+        if run_t is not None:
+            runs[2 * wave + 1] = run_t
+        naive = pd.concat([naive, new.to_pandas()], ignore_index=True)
+        want2 = partition_candidates(naive, budget, wave_size, auth)
+        pd.testing.assert_frame_equal(
+            cand.reset_index(drop=True), want2.reset_index(drop=True)
+        )
