@@ -96,11 +96,12 @@ def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _aligned(hosts: np.ndarray, sub_hosts: np.ndarray,
-             sub_vals: np.ndarray) -> np.ndarray:
+             sub_vals) -> np.ndarray:
     """Scatter (sub_hosts -> sub_vals) onto the ``hosts`` axis (both
-    sorted unique); hosts absent from sub_hosts get 0."""
+    sorted unique); hosts absent from sub_hosts (or a None sub_vals,
+    the empty-cursor case) get 0."""
     out = np.zeros(hosts.shape[0], np.int64)
-    if sub_hosts.shape[0]:
+    if sub_vals is not None and sub_hosts.shape[0]:
         pos = np.searchsorted(hosts, sub_hosts)
         out[pos] = sub_vals
     return out
@@ -172,7 +173,7 @@ def advance(state: dict, admitted_dk: pd.DataFrame, run_ids: list,
         if r_hosts.shape[0] == 0:
             continue
         c_hosts, c_taken = cursors.get(rid, (r_hosts[:0], None))
-        taken = _aligned_on(r_hosts, c_hosts, c_taken)
+        taken = _aligned(r_hosts, c_hosts, c_taken)
         avail = r_counts - taken
         # needy hosts present in this run with unconsumed rows
         pos = np.searchsorted(r_hosts, hosts)
@@ -198,15 +199,6 @@ def advance(state: dict, admitted_dk: pd.DataFrame, run_ids: list,
         )
         state["cursors"] = cursors
     return state
-
-
-def _aligned_on(axis_hosts: np.ndarray, sub_hosts: np.ndarray,
-                sub_vals) -> np.ndarray:
-    if sub_vals is None or sub_hosts.shape[0] == 0:
-        return np.zeros(axis_hosts.shape[0], np.int64)
-    out = np.zeros(axis_hosts.shape[0], np.int64)
-    out[np.searchsorted(axis_hosts, sub_hosts)] = sub_vals
-    return out
 
 
 def merge_new(state: dict, new_table: pa.Table, run_id: int, budget: int,
@@ -270,7 +262,7 @@ def pending_rest(state: dict, run_ids: list, get_run) -> pa.Table:
     for rid in run_ids:
         r_hosts, r_starts, r_counts = state["run_index"][rid]
         c_hosts, c_taken = state["cursors"].get(rid, (r_hosts[:0], None))
-        taken = _aligned_on(r_hosts, c_hosts, c_taken)
+        taken = _aligned(r_hosts, c_hosts, c_taken)
         rest_n = r_counts - taken
         if (rest_n > 0).any():
             idx = _ranges(r_starts + taken, np.maximum(rest_n, 0))
