@@ -115,15 +115,26 @@ class SortedDigestSet:
             k1, k2, k3 = k1[order], k2[order], k3[order]
         self.runs.append((k1, k2, k3))
         self.n += rows.shape[0]
-        if len(self.runs) > self.max_runs:
-            self._compact()
+        while len(self.runs) > self.max_runs:
+            self._merge_smallest_two()
 
-    def _compact(self) -> None:
-        k1 = np.concatenate([r[0] for r in self.runs])
-        k2 = np.concatenate([r[1] for r in self.runs])
-        k3 = np.concatenate([r[2] for r in self.runs])
+    def _merge_smallest_two(self) -> None:
+        """Tiered merge (LSM): combine the two SMALLEST runs, so merge
+        sizes grow geometrically and total merge work stays
+        O(n log n) over the whole crawl — a full-set compaction every
+        max_runs adds would re-sort the entire authority at the wave
+        barrier (quadratic over a long run, and a barrier spike a
+        wave-width fetch can't hide once shards hold 10^8 digests)."""
+        a, b = sorted(range(len(self.runs)), key=lambda i: self.runs[i][0].shape[0])[:2]
+        ra, rb = self.runs[a], self.runs[b]
+        k1 = np.concatenate([ra[0], rb[0]])
+        k2 = np.concatenate([ra[1], rb[1]])
+        k3 = np.concatenate([ra[2], rb[2]])
         order = np.lexsort((k3, k2, k1))
-        self.runs = [(k1[order], k2[order], k3[order])]
+        merged = (k1[order], k2[order], k3[order])
+        self.runs = [
+            r for i, r in enumerate(self.runs) if i not in (a, b)
+        ] + [merged]
 
     def contains_rows(self, rows: np.ndarray) -> np.ndarray:
         q1, q2, q3 = _digest_keys(rows)
@@ -158,9 +169,7 @@ def _unique_rows(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     d = np.ascontiguousarray(d)
     if d.shape[0] == 0:
         return d, np.zeros(0, dtype=np.intp)
-    k1 = np.ascontiguousarray(d[:, :8]).view(">u8").ravel()
-    k2 = np.ascontiguousarray(d[:, 8:16]).view(">u8").ravel()
-    k3 = np.ascontiguousarray(d[:, 16:20]).view(">u4").ravel()
+    k1, k2, k3 = _digest_keys(d)
     order = np.lexsort((k3, k2, k1))
     s1, s2, s3 = k1[order], k2[order], k3[order]
     first = np.r_[
@@ -436,6 +445,8 @@ class _SeenShardImpl:
         if isinstance(paths, str):
             paths = [paths]
         first = True
+        deltas = []  # bulk-add ONCE: per-file adds re-sorted the whole
+        #              exact set every max_runs files (O(chain^2) work)
         for path in paths:
             with open(path, "rb") as f:
                 state = pickle.load(f)
@@ -452,12 +463,15 @@ class _SeenShardImpl:
                 first = False
             d = np.asarray(state["deltas"], dtype=np.uint8).reshape(-1, 20)
             if d.shape[0]:
-                self._bloom_add(d)
-                self._cuckoo_add(d)
-                if self.exact is not None:
-                    self.exact.add_rows(d)
+                deltas.append(d)
             self.n_checked = state["n_checked"]
             self.n_new = state["n_new"]
+        if deltas:
+            d = deltas[0] if len(deltas) == 1 else np.concatenate(deltas)
+            self._bloom_add(d)
+            self._cuckoo_add(d)
+            if self.exact is not None:
+                self.exact.add_rows(d)
         self._pending_deltas = []
 
 

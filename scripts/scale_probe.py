@@ -26,7 +26,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512) -> dict:
+def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512,
+          n_waves: int = 3) -> dict:
     import ray
 
     ray.init(
@@ -47,7 +48,7 @@ def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512) -> dict:
         n_seeds=n_seeds,
         host_budget=32,
         wave_size=8192,
-        n_waves=3,
+        n_waves=n_waves,
         max_depth=10,
         n_shards=8,
         fetch_batch=256,
@@ -113,6 +114,20 @@ def resume_probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
 
 def main() -> None:
     num_cpus = 32
+    if "--endurance" in sys.argv:
+        # 12 waves over a 2M-row frontier: per-wave serial residue must
+        # stay FLAT across the wave-8 compaction (its O(frontier)
+        # merge+write hides behind that wave's fetch)
+        r = probe(2_000_000, "endurance", num_cpus, n_waves=12)
+        keys = ("admission", "links", "log", "merge_launch",
+                "payload_join", "checkpoint", "adm_prebuild_join")
+        r["serial_per_wave"] = {
+            wv: round(sum(w.get(k, 0.0) for k in keys), 2)
+            for wv, w in r["waves"].items()
+        }
+        r["metric"] = "12-wave endurance: serial residue across compaction"
+        print(json.dumps(r))
+        return
     hosts_mode = "--hosts" in sys.argv
     deep = "--deep" in sys.argv and not hosts_mode
     if hosts_mode:
