@@ -195,6 +195,51 @@ def test_parity_under_candidate_truncation(tmp_path):
     assert eng == sim.crawl_log
 
 
+def test_parity_torture_authority_truncation_resume(tmp_path):
+    """Every adversarial regime at once: authority tie-break ON,
+    per-partition candidates far exceeding wave_size (13 hosts x
+    budget 2 >> wave_size 5 — the regime of round 3's latent
+    rank-compaction bug), dead links, delta backlog checkpoints
+    crossing two compaction boundaries (backlog_full_every=3 over 16
+    waves), and a kill+resume from a DELTA wave between compactions.
+    Both the uninterrupted and the resumed run must stay
+    byte-identical to the sequential oracle."""
+    from dataclasses import replace
+
+    from cs_insights_crawler_ray.functions.urls import canonicalize_url
+
+    store = ContentStoreConfig(
+        seed=9091, n_hosts=13, pages_per_host=90, zipf_a=1.3,
+        dead_link_rate=0.05, links_min=0, links_max=4,
+    )
+    # deterministic authority over a broad URL slice; small value range
+    # so equal-authority fallbacks to discovery key are exercised too
+    auth = {
+        canonicalize_url(store.url(h, p)): ((h * 37 + p) * 2654435761) % 7
+        for h in range(store.n_hosts)
+        for p in range(40)
+    }
+    cfg = CrawlConfig(
+        store=store, n_seeds=18, host_budget=2, wave_size=5,
+        n_waves=16, max_depth=9, n_shards=3, backlog_full_every=3,
+        authority=auth,
+    )
+    full_dir, res_dir = str(tmp_path / "full"), str(tmp_path / "res")
+    run_crawl(cfg, full_dir)
+    run_crawl(replace(cfg, n_waves=8), res_dir)   # killed after wave 7
+    run_crawl(cfg, res_dir, resume=True)
+    sim = simulate(cfg)
+    for out in (full_dir, res_dir):
+        log = read_crawl_log(out)
+        eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
+        assert eng == sim.crawl_log, f"{out} diverged from oracle"
+    # the authority signal is live in this config, not a no-op
+    plain = simulate(replace(cfg, authority=None))
+    assert [u for _, u, _, _ in sim.crawl_log] != [
+        u for _, u, _, _ in plain.crawl_log
+    ]
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_parity_across_universes(seed, tmp_path):
     """Byte-identical ordering must hold for arbitrary content-store
