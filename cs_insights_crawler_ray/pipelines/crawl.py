@@ -258,17 +258,78 @@ def _merge_frontier(state: dict, new: pa.Table, run_id: int,
     )
 
 
+@ray.remote
+def _admit_slices(cand: pa.Table, seq_map: pd.DataFrame, n_slices: int):
+    """Merge one partition's candidates with the admitted seq map
+    (inner: keeps only this wave's admitted rows; passed as the ref
+    Ray auto-derefs from plasma, shipped once per partition task) and
+    split into ``n_slices`` near-equal arrow blocks for the fetch
+    pool.  Returns n_slices tables + one trailing list of their block
+    metadata, so the driver can assemble the Dataset without
+    ``from_arrow_refs``'s per-block metadata task round (68 tasks =
+    0.7-1.9 s per wave at 49k URLs, measured)."""
+    from ray.data.block import BlockMetadataWithSchema
+
+    df = cand.to_pandas().merge(seq_map, on=DISCOVERY_KEY, how="inner")
+    df = df.drop(columns=["score", "auth_neg"])
+    bounds = (np.arange(n_slices + 1, dtype=np.int64) * len(df)) // n_slices
+    out = [
+        pa.Table.from_pandas(
+            df.iloc[bounds[i] : bounds[i + 1]], preserve_index=False
+        )
+        for i in range(n_slices)
+    ]
+    return tuple(out) + ([BlockMetadataWithSchema.from_block(t) for t in out],)
+
+
+def _dataset_from_slices(table_refs: list, metas: list):
+    """MaterializedDataset over pre-computed (block ref, metadata)
+    pairs — the exact plan ``ray.data.from_arrow_refs`` builds
+    (read_api.py in ray 2.49), minus its blocking one-task-per-block
+    metadata fetch (the slice tasks already computed the metadata
+    in-hand).  Internal-API use is version-pinned to the vendored ray;
+    any import/shape drift falls back to the public constructor."""
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+
+        execution_plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": metas}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        logical_plan = LogicalPlan(
+            FromArrow(table_refs, metas), execution_plan._context
+        )
+        return MaterializedDataset(execution_plan, logical_plan)
+    except Exception:
+        return rd.from_arrow_refs(table_refs)
+
+
 def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
                        n_blocks: int):
-    """Key sort + seq map + admitted-dataset materialize for one wave.
-    Driver-side cost is the sort of n_parts x wave_size KEY rows plus
-    one small Dataset round (attach seq, repartition to ~2 blocks per
-    core — a single-block seed wave fetched near-serially otherwise:
-    41s vs 6s for the same width, measured).  Called inline for the
-    first wave; steady-state waves run it on a thread overlapping the
-    previous wave's payload join + checkpoint barrier.  Returns None
-    when no candidates remain (crawl exhausted)."""
-    keys = pa.concat_tables(ray.get(key_refs)).to_pandas()
+    """Key sort + seq map + admitted-block tasks for one wave.
+    Driver-side cost is the sort of n_parts x wave_size KEY rows; the
+    candidate payload rows never touch the driver — each partition's
+    seq-attach + block split runs in one task sized from the key
+    sort's per-partition admitted counts (so blocks stay ~wave/n_blocks
+    rows even under partition skew; a single-block seed wave fetched
+    near-serially otherwise: 41s vs 6s for the same width, measured).
+    Replaces the previous map_batches + repartition Dataset round
+    (~0.9 s warm / ~2 s cold of pure executor latency per wave at
+    49k URLs).  Called inline for the first wave; steady-state waves
+    run it on a thread overlapping the previous wave's payload join +
+    checkpoint barrier.  Returns None when no candidates remain
+    (crawl exhausted)."""
+    key_tables = ray.get(key_refs)
+    keys = pa.concat_tables(key_tables).to_pandas()
+    part_of = np.repeat(
+        np.arange(len(key_tables)), [t.num_rows for t in key_tables]
+    )
+    keys["_part"] = part_of
     keys = keys.sort_values(KEY_COLS, kind="mergesort").head(wave_size)
     n_admitted = len(keys)
     if n_admitted == 0:
@@ -278,19 +339,22 @@ def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
         next_seq, next_seq + n_admitted, dtype=np.int64
     )
     seq_ref = ray.put(seq_map)
-
-    def _attach_seq(b: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.broadcast import bget
-
-        m = b.merge(bget(seq_ref), on=DISCOVERY_KEY, how="inner")
-        return m.drop(columns=["score", "auth_neg"])
-
-    admitted = (
-        rd.from_arrow_refs(cand_refs)
-        .map_batches(_attach_seq, batch_format="pandas")
-        .repartition(n_blocks)
-        .materialize()
+    counts = np.bincount(
+        keys["_part"].to_numpy(), minlength=len(key_tables)
     )
+    target = max(1, -(-n_admitted // n_blocks))  # ceil: rows per block
+    refs, meta_refs = [], []
+    for p, c in enumerate(counts):
+        if c == 0:
+            continue
+        k = int(-(-int(c) // target))
+        r = _admit_slices.options(num_returns=k + 1).remote(
+            cand_refs[p], seq_ref, k
+        )
+        refs.extend(r[:-1])
+        meta_refs.append(r[-1])
+    metas = [m for ms in ray.get(meta_refs) for m in ms]
+    admitted = _dataset_from_slices(refs, metas)
     return admitted, seq_map, seq_ref, n_admitted
 
 
@@ -443,7 +507,10 @@ def _seed_part_finalize(shard, *chunks: pa.Table) -> pa.Table:
     return t
 
 
-_SEED_CHUNK = 50_000
+# 12.5k: a bench-width seed list (98k) fans out 8 ways instead of 2
+# (2.2 s -> ~1 s of wave-0 admission); chunk count never changes the
+# output (per-partition finalize dedupes globally by seed index)
+_SEED_CHUNK = 12_500
 
 
 def build_seed_parts(cfg: CrawlConfig, seen: ShardedSeenSet) -> list:
