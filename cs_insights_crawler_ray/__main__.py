@@ -20,6 +20,13 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cs_insights_crawler_ray")
+    ap.add_argument(
+        "--ray-address", default=None,
+        help="Ray cluster address; defaults to $RAY_ADDRESS, else a "
+             "local session.  Under `ray job submit` the job runtime "
+             "sets $RAY_ADDRESS to the running cluster, so the driver "
+             "attaches instead of spawning a second Ray.",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     ing = sub.add_parser("ingest", help="S2-style release ingest (reference cli main)")
@@ -62,10 +69,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        addr = args.ray_address or os.environ.get("RAY_ADDRESS") or "local"
+        ray.init(address=addr, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -27,7 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512,
-          n_waves: int = 3) -> dict:
+          n_waves: int = 3, zipf_a: float = 1.3) -> dict:
     import ray
 
     ray.init(
@@ -44,7 +44,8 @@ def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512,
     cfg = CrawlConfig(
         store=ContentStoreConfig(seed=42, n_hosts=n_hosts,
                                  pages_per_host=10_000_000,
-                                 img_min=96, img_max=128),
+                                 img_min=96, img_max=128,
+                                 zipf_a=zipf_a),
         n_seeds=n_seeds,
         host_budget=32,
         wave_size=8192,
@@ -129,8 +130,26 @@ def main() -> None:
         print(json.dumps(r))
         return
     hosts_mode = "--hosts" in sys.argv
-    deep = "--deep" in sys.argv and not hosts_mode
-    if hosts_mode:
+    skew_mode = "--skew" in sys.argv and not hosts_mode
+    deep = "--deep" in sys.argv and not hosts_mode and not skew_mode
+    if skew_mode:
+        # hot-host-skew probe (north_rule: "hot-host skew handled
+        # explicitly"): SAME 2M-row frontier and wave width, link-target
+        # zipf exponent 1.3 -> 3.0 — at 3.0 the top host draws ~83% of
+        # all new link mass, so its frontier partition's runs hold most
+        # of the backlog.  The claim: per-wave cost and fetch width are
+        # UNAFFECTED, because (a) admission is budget-bounded per host
+        # (the hot host contributes <= host_budget rows per wave no
+        # matter how many it has pending), (b) the driver key sort sees
+        # only per-partition candidate KEYS (<= wave_size each), and
+        # (c) _prepare_admission splits admitted rows into near-equal
+        # fetch blocks irrespective of which partition they came from —
+        # the explicit skew-breaking repartition of the north rule.
+        # Hot-host rows beyond the head sit in object-store runs and
+        # cost nothing until their cursor advances.
+        small = probe(2_000_000, "skew_lo", num_cpus, zipf_a=1.3)
+        large = probe(2_000_000, "skew_hi", num_cpus, zipf_a=3.0)
+    elif hosts_mode:
         # politeness-floor probe: SAME 2M-row frontier, 64x the hosts
         # (512 -> 32,768), so each partition's head grows from
         # 64 x budget = 2k rows to 4,096 x budget = 131k rows.  The
@@ -166,18 +185,23 @@ def main() -> None:
             2,
         )
 
+    if hosts_mode:
+        metric = "per-wave serial residue vs host count (same frontier size)"
+        ratio_key, ratio_val = "head_ratio", 64.0
+    elif skew_mode:
+        metric = "per-wave serial residue vs link-target zipf skew (same frontier size)"
+        ratio_key, ratio_val = "zipf_a_hi_over_lo", 3.0 / 1.3
+    else:
+        metric = "per-wave serial residue vs frontier size (same wave width)"
+        ratio_key, ratio_val = "frontier_ratio", 10.0
     result = {
-        "metric": (
-            "per-wave serial residue vs host count (same frontier size)"
-            if hosts_mode
-            else "per-wave serial residue vs frontier size (same wave width)"
-        ),
+        "metric": metric,
         "num_cpus": num_cpus,
         "small": small,
         "large": large,
         "serial_residue_small_sec": serial_residue(small),
         "serial_residue_large_sec": serial_residue(large),
-        ("head_ratio" if hosts_mode else "frontier_ratio"): 64.0 if hosts_mode else 10.0,
+        ratio_key: round(ratio_val, 3),
         "residue_ratio": round(
             serial_residue(large) / max(serial_residue(small), 1e-9), 2
         ),

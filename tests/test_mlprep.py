@@ -328,11 +328,18 @@ def test_key_hash32_scalar_reference_and_vectorized_rate():
     import time
 
     keys = np.arange(1_000_000, dtype=np.int64) * 7919 + 3
-    t0 = time.perf_counter()
-    h = mlprep._key_hash32(keys)
-    dt = time.perf_counter() - t0
+    h = mlprep._key_hash32(keys)  # warm draw: numpy first-call cost is 10-50x
     for i in (0, 1, 97, 12345, 999_999):
         k = int(keys[i])
         assert int(h[i]) == ((k * 0x9E3779B97F4A7C15) % 2**64) >> 32
     assert h.dtype == np.int64 and (h >= 0).all() and (h < 2**32).all()
+    # a per-row-Python kernel takes >5s for 1M keys even on a loaded VM;
+    # best-of-3 warm draws separates "vectorized" from "Python loop"
+    # without flaking when another Ray session owns the cores
+    dt = min(
+        (lambda t0: (mlprep._key_hash32(keys), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(3)
+    )
     assert dt < 1.0, f"keep-predicate hash not vectorized: {dt:.3f}s for 1M keys"
