@@ -468,8 +468,7 @@ def q66_pq_ann(sf_dir: str, top_k: int = TOP_K) -> pa.Table:
     from .cluster import quantize_embeddings
 
     books = pq_fit(sf_dir)
-    qids, qmat = _load_queries(sf_dir)
-    # queries quantize UN-normalized like the stored vectors: reload raw
+    # queries quantize UN-normalized like the stored vectors: read raw
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_
 

@@ -267,9 +267,10 @@ def _admit_slices(cand: pa.Table, seq_map: pd.DataFrame, n_slices: int):
     pool.  Returns n_slices tables + one trailing list of their block
     metadata, so the driver can assemble the Dataset without
     ``from_arrow_refs``'s per-block metadata task round (68 tasks =
-    0.7-1.9 s per wave at 49k URLs, measured)."""
-    from ray.data.block import BlockMetadataWithSchema
-
+    0.7-1.9 s per wave at 49k URLs, measured).  The metadata type is
+    internal ray API (version-pinned to the vendored 2.49); on drift
+    the trailing element is None and _dataset_from_slices falls back
+    to the public constructor instead of the task hard-failing."""
     df = cand.to_pandas().merge(seq_map, on=DISCOVERY_KEY, how="inner")
     df = df.drop(columns=["score", "auth_neg"])
     bounds = (np.arange(n_slices + 1, dtype=np.int64) * len(df)) // n_slices
@@ -279,7 +280,13 @@ def _admit_slices(cand: pa.Table, seq_map: pd.DataFrame, n_slices: int):
         )
         for i in range(n_slices)
     ]
-    return tuple(out) + ([BlockMetadataWithSchema.from_block(t) for t in out],)
+    try:
+        from ray.data.block import BlockMetadataWithSchema
+
+        metas = [BlockMetadataWithSchema.from_block(t) for t in out]
+    except Exception:
+        metas = None
+    return tuple(out) + (metas,)
 
 
 def _dataset_from_slices(table_refs: list, metas: list):
@@ -289,6 +296,8 @@ def _dataset_from_slices(table_refs: list, metas: list):
     metadata fetch (the slice tasks already computed the metadata
     in-hand).  Internal-API use is version-pinned to the vendored ray;
     any import/shape drift falls back to the public constructor."""
+    if metas is None:  # _admit_slices hit internal-API drift
+        return rd.from_arrow_refs(table_refs)
     try:
         from ray.data._internal.logical.interfaces import LogicalPlan
         from ray.data._internal.logical.operators.from_operators import FromArrow
@@ -353,9 +362,36 @@ def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
         )
         refs.extend(r[:-1])
         meta_refs.append(r[-1])
-    metas = [m for ms in ray.get(meta_refs) for m in ms]
+    meta_lists = ray.get(meta_refs)
+    metas = (
+        None  # internal-API drift in some slice task: public fallback
+        if any(ms is None for ms in meta_lists)
+        else [m for ms in meta_lists for m in ms]
+    )
     admitted = _dataset_from_slices(refs, metas)
     return admitted, seq_map, seq_ref, n_admitted
+
+
+def _count_payload_rows(payload_path: str) -> int:
+    """Rows written for one wave partition.  Recursive glob: the
+    parquet backend writes part files at the top level, the lance shim
+    under data/; a lance store with no parquet fragments is counted
+    via its own manifest.  An all-quarantined wave writes no fragments
+    at all, so the Lance sink never commits a version — that IS zero
+    payload rows, not a failed write (the fetch metrics still record
+    the quarantines), so the no-committed-version error maps to 0."""
+    rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in Path(payload_path).glob("**/*.parquet")
+    )
+    if rows == 0 and HAVE_LANCE:
+        import lance
+
+        try:
+            rows = lance.dataset(payload_path).count_rows()
+        except (FileNotFoundError, ValueError):
+            rows = 0
+    return rows
 
 
 @ray.remote
@@ -878,17 +914,7 @@ def run_crawl(
                     f"payload write failed for wave {wave}; aborting before "
                     "manifest commit so resume re-runs this wave"
                 ) from payload_err[0]
-            # recursive glob: the parquet backend writes part files at
-            # the top level, the lance shim under data/; a lance store
-            # with no parquet fragments is counted via its own manifest
-            payload_rows = sum(
-                pq.read_metadata(f).num_rows
-                for f in Path(payload_path).glob("**/*.parquet")
-            )
-            if payload_rows == 0 and HAVE_LANCE:
-                import lance
-
-                payload_rows = lance.dataset(payload_path).count_rows()
+            payload_rows = _count_payload_rows(payload_path)
             _mark("payload_join")
 
             # ---- wave barrier: checkpoint commit.  Delta waves wait

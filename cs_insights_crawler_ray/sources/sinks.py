@@ -65,11 +65,27 @@ def read_payload(root: str) -> rd.Dataset:
         # each wave/partition is its own Lance dataset (write_payload's
         # replace-partition unit); the whole payload is their union.
         # A bare root with no partition subdirs is read as one dataset.
+        # A partition dir with no committed version is SKIPPED, not an
+        # error: a zero-row wave writes no fragments (the sink never
+        # commits), and a kill between fragment write and commit leaves
+        # the same shape — in both cases the committed manifest says
+        # the wave holds no readable payload, and resume rewrites it.
         parts = [p for p in list_partitions(root) if "=" in p]
         if not parts:
             return rd.read_lance(root)
-        out = rd.read_lance(f"{root}/{parts[0]}")
-        for p in parts[1:]:
+        import lance
+
+        readable = []
+        for p in parts:
+            try:
+                lance.dataset(f"{root}/{p}")
+            except (FileNotFoundError, ValueError):
+                continue
+            readable.append(p)
+        if not readable:
+            return rd.from_arrow(PAYLOAD_SCHEMA.empty_table())
+        out = rd.read_lance(f"{root}/{readable[0]}")
+        for p in readable[1:]:
             out = out.union(rd.read_lance(f"{root}/{p}"))
         return out
     return rd.read_parquet(root)

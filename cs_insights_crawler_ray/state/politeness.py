@@ -66,19 +66,17 @@ def _auth_neg(df: pd.DataFrame, auth: dict | None) -> np.ndarray:
 
 def _budget_scored(
     part: pd.DataFrame, host_budget: int, auth: dict | None
-) -> tuple[pd.DataFrame, pd.Series]:
+) -> pd.DataFrame:
     """Per-host discovery-order rank + budget cut + score over a FULL
-    partition slice; also returns each host's total pending row count
-    (uncapped) for joint-rank offsets."""
+    partition slice."""
     g = part.sort_values(["host_hash"] + DISCOVERY_KEY, kind="mergesort")
     grp = g.groupby("host_hash", sort=False)
     rank = grp.cumcount().to_numpy()
-    counts = grp.size()
     keep = rank < host_budget
     g = g[keep].copy()
     g["score"] = score_of(g["depth"].to_numpy(), rank[keep])
     g["auth_neg"] = _auth_neg(g, auth)
-    return g, counts
+    return g
 
 
 def partition_candidates(
@@ -101,7 +99,7 @@ def partition_candidates(
     (age), so politeness is authority-blind; only the inter-host wave
     ranking changes.  With no auth every row gets 0 and the order is
     bit-identical to the authority-free engine (parity-tested)."""
-    g, _ = _budget_scored(part, host_budget, auth)
+    g = _budget_scored(part, host_budget, auth)
     return g.sort_values(
         ["score", "auth_neg"] + DISCOVERY_KEY, kind="mergesort"
     ).head(wave_size)

@@ -22,9 +22,12 @@ sequential oracle, BASELINE.json north_star):
 - bloom positive  -> consult the exact authority (a per-shard hash
   set of 20-byte digests).  For genuinely-new URLs this path is rare
   (≈ bloom FP rate), so the authority is touched ~never on the hot
-  path; for a pure-sketch deployment set ``exact=False`` and accept
-  the documented FP rate (URLs wrongly considered seen are skipped —
-  safe, just lossy).
+  path; for a pure-sketch deployment set ``exact=False`` — bloom
+  positives are then confirmed against the cuckoo chain (independent
+  hash family: both sketches hold every added digest, so "seen"
+  requires BOTH to say maybe and the FP rates multiply) and the
+  residual FP rate is accepted (URLs wrongly considered seen are
+  skipped — safe, just lossy).
 
 Determinism under parallelism: callers dedupe each wave globally by
 ``url_sha1`` *before* the seen filter (groupby min-discovery-key), so
@@ -362,12 +365,17 @@ class _SeenShardImpl:
         self.n_checked += d.shape[0]
         uniq, first_idx = _unique_rows(d)
         maybe_seen = self._bloom_contains(uniq)
-        new_uniq = ~maybe_seen
-        if self.exact is not None and maybe_seen.any():
-            # vectorized exact confirmation of the bloom positives
+        if maybe_seen.any():
             idx = np.nonzero(maybe_seen)[0]
-            confirmed = self.exact.contains_rows(uniq[idx])
-            new_uniq[idx[~confirmed]] = True
+            if self.exact is not None:
+                # vectorized exact confirmation of the bloom positives
+                maybe_seen[idx] = self.exact.contains_rows(uniq[idx])
+            else:
+                # pure-sketch mode: the cuckoo chain is the second,
+                # independent hash family — "seen" requires both
+                # sketches to agree, multiplying the FP rates
+                maybe_seen[idx] = self._cuckoo_contains(uniq[idx])
+        new_uniq = ~maybe_seen
         new = uniq[new_uniq]
         if new.shape[0]:
             self._bloom_add(new)
@@ -382,13 +390,14 @@ class _SeenShardImpl:
 
     def contains(self, digests: np.ndarray) -> np.ndarray:
         d = np.ascontiguousarray(digests).reshape(-1, 20)
-        maybe = self._bloom_contains(d)
-        if self.exact is None:
-            return maybe
-        out = maybe.copy()
-        idx = np.nonzero(maybe)[0]
+        out = self._bloom_contains(d)
+        idx = np.nonzero(out)[0]
         if idx.size:
-            out[idx] = self.exact.contains_rows(d[idx])
+            out[idx] = (
+                self.exact.contains_rows(d[idx])
+                if self.exact is not None
+                else self._cuckoo_contains(d[idx])  # pure-sketch mode
+            )
         return out
 
     def stats(self) -> dict:

@@ -186,6 +186,23 @@ assert rd.read_lance(out0).count() == 800
 # replace-partition idempotence: rewriting wave 0 resets it to create
 sinks.write_payload(rd.from_arrow(t0), root, "wave=000000")
 assert rd.read_lance(out0).count() == 500
+
+# an all-quarantined wave: zero rows -> Ray's LanceDatasink skips the
+# commit, leaving a partition dir with NO committed version.  The crawl
+# must count it as 0 rows (not crash before the manifest commit) and
+# read_payload must skip it (not fail the whole payload union).
+empty = payload_table(0, 2)
+out2 = sinks.write_payload(rd.from_arrow(empty), root, "wave=000002")
+try:
+    lance.dataset(out2)
+    raise AssertionError("expected no committed version under " + out2)
+except (FileNotFoundError, ValueError):
+    pass
+from cs_insights_crawler_ray.pipelines.crawl import _count_payload_rows
+assert _count_payload_rows(out2) == 0
+back2 = sinks.read_payload(root).to_pandas().sort_values("image_id").reset_index(drop=True)
+want2 = pa.concat_tables([t0, t1]).to_pandas().sort_values("image_id").reset_index(drop=True)
+assert back2.equals(want2), "zero-row wave corrupted the payload union"
 print("LANCE_ROUNDTRIP_OK")
 ray.shutdown()
 '''

@@ -171,3 +171,30 @@ def test_sorted_digest_set_matches_python_set():
         got = s.contains_rows(probe)
         want = np.array([r.tobytes() in oracle for r in probe])
         assert np.array_equal(got, want)
+
+
+def test_pure_sketch_mode_uses_cuckoo_confirmation(tmp_path):
+    """exact=False: membership = bloom AND cuckoo (independent hash
+    families multiply the FP rates).  No false negatives on added
+    digests, FP rate on strangers strictly at or below the bloom's own
+    (and in expectation ~fp_bloom*fp_cuckoo), and both sketches survive
+    a snapshot/restore round trip."""
+    s = _SeenShardImpl(0, capacity=8192, exact=False)
+    members = _digests(4000, b"m")
+    strangers = _digests(20000, b"x")
+    assert s.check_and_add(members).all()
+    assert not s.check_and_add(members).any()   # no FN: both sketches hold all
+    assert s.contains(members).all()
+
+    bloom_fp = s._bloom_contains(strangers)
+    joint_fp = s.contains(strangers)
+    assert (joint_fp & ~bloom_fp).sum() == 0    # cuckoo only ever REMOVES FPs
+    assert joint_fp.sum() <= bloom_fp.sum()
+    # independence: with fp_rate=1e-3 each, joint FPs should be ~0 here
+    assert joint_fp.mean() < 1e-3
+
+    p = s.snapshot(str(tmp_path / "sk.pkl"))
+    s2 = _SeenShardImpl(0, capacity=16, exact=False)
+    s2.restore(p)
+    assert s2.contains(members).all()
+    assert not s2.check_and_add(members).any()
