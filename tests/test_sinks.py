@@ -220,3 +220,92 @@ ray.shutdown()
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "LANCE_ROUNDTRIP_OK" in proc.stdout
+
+
+def test_crawl_end_to_end_on_lance_backend(tmp_path):
+    """north_rule: fetched image+caption records land in LANCE tables.
+    Full crawl with the lance alias active — payload goes through Ray's
+    LanceDatasink (fragment writes + one commit per wave) — must keep
+    byte-identical crawl order vs the sequential oracle, round-trip the
+    payload through read_payload, and resume with zero re-fetches."""
+    import os
+    import subprocess
+    import sys
+
+    alias = tmp_path / "alias" / "lance"
+    alias.mkdir(parents=True)
+    (alias / "__init__.py").write_text(
+        "from cs_insights_crawler_ray.sources.lance_shim import (\n"
+        "    DEFAULT_MAX_BYTES_PER_FILE, FragmentMetadata, LanceDataset,\n"
+        "    LanceOperation, dataset, write_fragments)\n"
+        "from . import fragment\n"
+    )
+    (alias / "fragment.py").write_text(
+        "from cs_insights_crawler_ray.sources.lance_shim import (\n"
+        "    DEFAULT_MAX_BYTES_PER_FILE, FragmentMetadata, write_fragments)\n"
+    )
+    out = tmp_path / "crawl_out"
+    drive = tmp_path / "drive_crawl.py"
+    drive.write_text(
+        f'''
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from pathlib import Path
+import pandas as pd
+from cs_insights_crawler_ray.sources import sinks
+from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
+from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl, read_crawl_log
+from cs_insights_crawler_ray.pipelines import oracle_sim
+
+assert sinks.HAVE_LANCE, "alias package not visible to find_spec"
+cfg = CrawlConfig(store=ContentStoreConfig(seed=5, n_hosts=10, pages_per_host=40,
+                                           img_min=24, img_max=32),
+                  n_seeds=12, host_budget=3, wave_size=18, n_waves=3, max_depth=6,
+                  n_shards=2, fetch_batch=8, seen_capacity=4096,
+                  extract_features=False)
+out = {str(out)!r}
+m = run_crawl(cfg, out)
+sim = oracle_sim.simulate(cfg)
+log = read_crawl_log(out)
+eng = list(map(tuple, log.itertuples(index=False)))
+assert eng == sim.crawl_log, "crawl order diverged under the lance backend"
+
+# every wave partition is a committed lance dataset (no loose parquet
+# part files at partition top level — fragments live under data/)
+proot = Path(out, "payload")
+import lance
+parts = sorted(d.name for d in proot.iterdir() if d.is_dir())
+assert parts and all(p.startswith("wave=") for p in parts)
+for p in parts:
+    assert not list((proot / p).glob("*.parquet")), "parquet branch leaked"
+    assert lance.dataset(str(proot / p)).version >= 1
+
+back = sinks.read_payload(str(proot)).to_pandas()
+assert set(back["image_id"]) == set(sim.payload.keys())
+caps = dict(zip(back["image_id"], back["caption"]))
+assert all(caps[i] == r["caption"] for i, r in sim.payload.items())
+assert sum(m["by_wave"][w]["payload_rows"] for w in m["by_wave"]) == len(back)
+
+before = read_crawl_log(out)
+m2 = run_crawl(cfg, out, resume=True)
+assert m2["by_wave"] == {{}}, "resume refetched under the lance backend"
+pd.testing.assert_frame_equal(before, read_crawl_log(out))
+print("LANCE_CRAWL_OK")
+ray.shutdown()
+'''
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path / 'alias'}:/root/repo"
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.run(
+        [sys.executable, str(drive)],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "LANCE_CRAWL_OK" in proc.stdout
