@@ -111,9 +111,7 @@ class CrawlConfig:
     n_waves: int = 5
     max_depth: int = 8
     n_shards: int = 4             # seen-set actors == frontier partitions
-    fetch_actors: int = 2
-    fetch_batch: int = 64
-    decode_batch: int = 64
+    fetch_batch: int = 64    # rows per fused fetch+decode task block
     seen_capacity: int = 1 << 18
     extract_features: bool = False  # multimodal feature stage (imagefeat)
     # optional url_canon -> int64 authority (e.g. pipelines/graph.py
@@ -539,7 +537,14 @@ def _seed_part_finalize(shard, *chunks: pa.Table) -> pa.Table:
         return FRONTIER_SCHEMA.empty_table()
     t = _dedupe_first_seed(t)
     mask = ray.get(shard.check_and_add.remote(digests_from_sha1_column(t["url_sha1"])))
-    assert mask.all(), "fresh seen set must accept all distinct seeds"
+    if not mask.all():
+        # a real exception, not an assert: under python -O a silent
+        # pass would leave seen-marked seeds in the frontier and wave 0
+        # would re-fetch URLs the seen set says are already crawled
+        raise ValueError(
+            "seed list overlaps a pre-populated seen set; pass a fresh "
+            "ShardedSeenSet (or resume=True against its checkpoint)"
+        )
     return t
 
 
@@ -570,7 +575,12 @@ def build_seed_parts(cfg: CrawlConfig, seen: ShardedSeenSet) -> list:
                 digests_from_sha1_column(t["url_sha1"]),
                 t["host_hash"].to_numpy(zero_copy_only=False),
             )
-            assert mask.all(), "fresh seen set must accept all distinct seeds"
+            if not mask.all():
+                raise ValueError(
+                    "seed list overlaps a pre-populated seen set; pass a "
+                    "fresh ShardedSeenSet (or resume=True against its "
+                    "checkpoint)"
+                )
         return [ray.put(p) for p in _split_frontier(t, n_parts)]
     chunk_refs = [
         _seed_chunk_parts.options(num_returns=n_parts).remote(
@@ -601,7 +611,9 @@ def run_crawl(
 
     Output layout under out_dir:
       payload/wave=NNNNNN/   Lance/parquet payload partitions
-      crawl_log/wave=NNNNNN/ (fetch_seq, url_canon, depth, wave)
+      crawl_log/wave=NNNNNN/ (fetch_seq, url_canon, depth, status);
+                             wave is the hive partition key (dropped
+                             by read_crawl_log)
       backlog/wave=NNNNNN/   frontier checkpoint AFTER the wave:
                              admitted.parquet (keys) + partNNNN_new
                              every wave; partNNNN_rest full snapshots
@@ -619,6 +631,19 @@ def run_crawl(
         next_seq = 0
         cumulative = {"fetched": 0, "payload_rows": 0, "quarantined": 0, "new_urls": 0}
         manifest = latest_manifest(str(ckpt)) if resume else None
+        if manifest is not None:
+            # the backlog part files and seen delta logs are keyed by
+            # host_hash % n_shards AT WRITE TIME: resuming with a
+            # different count would silently read a subset of them and
+            # split hosts across partitions (politeness + dedup break)
+            written = manifest.n_shards or len(manifest.seen_snapshots)
+            if written != n_parts:
+                raise ValueError(
+                    f"resume with n_shards={n_parts} but the checkpoint "
+                    f"at {ckpt} was written with n_shards={written}; "
+                    "re-sharding a checkpoint is not supported — resume "
+                    "with the original shard count"
+                )
         last_full_wave = -1
         if manifest is not None and manifest.wave + 1 >= cfg.n_waves:
             # resume of an already-complete run: nothing to fetch —
@@ -910,6 +935,12 @@ def run_crawl(
             # join the payload write before the checkpoint barrier
             payload_thread.join()
             if payload_err:
+                if adm_thread is not None:
+                    # drain the prebuild thread BEFORE raising: the
+                    # finally block may ray.kill the seen actors while
+                    # it is still mid-ray.get, turning a clean wave
+                    # abort into noisy secondary errors
+                    adm_thread.join()
                 raise RuntimeError(
                     f"payload write failed for wave {wave}; aborting before "
                     "manifest commit so resume re-runs this wave"
@@ -955,6 +986,7 @@ def run_crawl(
                     metrics=wave_metrics,
                     cumulative=cumulative,
                     backlog_full=write_full,
+                    n_shards=n_parts,
                 ),
             )
             # join the admission prebuild AFTER the commit: a prebuild

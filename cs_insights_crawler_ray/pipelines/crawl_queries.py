@@ -33,7 +33,6 @@ def _cfg_for(sf_dir: str) -> CrawlConfig:
         n_waves=waves,
         max_depth=8,
         n_shards=2,
-        fetch_actors=2,
         extract_features=True,  # payload carries feature/embedding cols
     )
 

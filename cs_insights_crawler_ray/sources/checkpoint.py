@@ -32,6 +32,11 @@ class WaveManifest:
     # for delta waves (admitted keys + new rows only — resume replays
     # the chain back to the latest full snapshot)
     backlog_full: bool = True
+    # partition count the backlog/seen files were written with; resume
+    # must run with the SAME count or it would silently read a subset
+    # of the part files and mis-route hosts (host_hash % n_shards).
+    # 0 = manifest predates the field (validated via seen_snapshots).
+    n_shards: int = 0
 
     def path(self, root: str) -> Path:
         return Path(root) / f"manifest_wave{self.wave:06d}.json"

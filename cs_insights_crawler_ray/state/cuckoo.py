@@ -62,9 +62,12 @@ class CuckooFilter:
         in2 = (self.table[i2.astype(np.int64)] == fp[:, None]).any(axis=1)
         return in1 | in2
 
-    def add(self, digests: np.ndarray) -> int:
-        """Bulk insert; returns the number that failed (table full
-        after MAX_KICKS).  Vectorized two-round placement: items are
+    def add(self, digests: np.ndarray) -> np.ndarray:
+        """Bulk insert; returns the INDICES (into the input) that
+        failed (both candidate buckets full after MAX_KICKS) so the
+        caller can re-route them — a dropped fingerprint would turn a
+        seen digest into a false "new", the error direction the seen
+        contract forbids.  Vectorized two-round placement: items are
         grouped by target bucket (i1 first, then the alternate), each
         bucket's items ranked, and ranks below the bucket's free-slot
         count written in one scatter.  Only items still homeless after
@@ -80,12 +83,12 @@ class CuckooFilter:
             if pending.size == 0:
                 break
             pending = self._bulk_place(fps, buckets, pending)
-        failed = 0
-        for j in pending:  # rare: both candidate buckets full
-            if not self._insert_one(np.uint16(fps[j]), np.uint64(i1s[j])):
-                failed += 1
-        self.n_added += d.shape[0] - failed
-        return failed
+        failed = [
+            j for j in pending  # rare: both candidate buckets full
+            if not self._insert_one(np.uint16(fps[j]), np.uint64(i1s[j]))
+        ]
+        self.n_added += d.shape[0] - len(failed)
+        return np.asarray(failed, dtype=np.int64)
 
     def _bulk_place(self, fps: np.ndarray, buckets: np.ndarray,
                     pending: np.ndarray) -> np.ndarray:

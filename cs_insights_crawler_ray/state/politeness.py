@@ -17,11 +17,14 @@ even below their budget (SURVEY.md §2.6 O4; diverges from the
 "recency" term in the sketch because recency is clock-derived and
 breaks determinism — documented design decision).
 
-Implementation shape (combiner-then-shuffle, SURVEY.md §7.4):
-``local_host_topk`` runs inside ``map_batches`` to pre-prune every
-block to <= budget rows per host, so the ``groupby(host_hash)``
-exchange moves at most ``budget x n_blocks`` rows per host instead of
-a hot host's entire pending queue.
+Implementation shape: the engine's production path is
+``partition_candidates`` over each incremental frontier partition's
+HEAD (state/frontier.py — hosts never straddle partitions, so the
+per-host rank/budget/score pass is partition-local and shuffle-free).
+``local_host_topk`` remains as the combiner for BLOCKED inputs (it
+pre-prunes every block to <= budget rows per host, a provably safe
+prune before any exchange — see test_local_topk_is_safe_prune); with
+host-hash-partitioned inputs it's a no-op.
 """
 
 from __future__ import annotations
@@ -60,7 +63,15 @@ def host_admission(group: pd.DataFrame, host_budget: int) -> pd.DataFrame:
 
 def _auth_neg(df: pd.DataFrame, auth: dict | None) -> np.ndarray:
     if auth:
-        return -(df["url_canon"].map(auth).fillna(0).astype(np.int64).to_numpy())
+        # .map(dict) would promote through float64 on any miss (NaN),
+        # silently corrupting authorities above 2^53; the .get lambda
+        # keeps Python ints end-to-end (exact int64, CLAUDE.md rule)
+        # and the frame here is a bounded per-partition head, not the
+        # corpus, so the per-row lookup is off the hot path.
+        get = auth.get
+        return -(
+            df["url_canon"].map(lambda u: get(u, 0)).to_numpy(np.int64)
+        )
     return np.zeros(len(df), np.int64)
 
 
@@ -108,13 +119,11 @@ def partition_candidates(
 def partition_admission(part: pd.DataFrame, host_budget: int) -> pd.DataFrame:
     """Vectorized multi-host admission for one hash PARTITION
     (``host_hash % n_parts`` — every host's rows are fully contained
-    in one partition).  Equivalent to ``host_admission`` applied per
-    host, but one pandas pass per partition instead of one Python
-    call per host (per-host map_groups was ~40% of wave wall time at
-    512 hosts, measured)."""
-    g = part.sort_values(["host_hash"] + DISCOVERY_KEY, kind="mergesort")
-    rank = g.groupby("host_hash", sort=False).cumcount().to_numpy()
-    keep = rank < host_budget
-    g = g[keep].copy()
-    g["score"] = score_of(g["depth"].to_numpy(), rank[keep])
-    return g.drop(columns=["admission_part"])
+    in one partition): the per-host budget cut + score, without the
+    wave_size cut or authority tie-break.  Thin wrapper over
+    ``_budget_scored`` (ONE copy of the rank/budget/score logic — the
+    production path is ``partition_candidates``); kept for tests and
+    for callers that want budget-capped rows without wave ranking."""
+    return _budget_scored(part, host_budget, None).drop(
+        columns=["auth_neg", "admission_part"], errors="ignore"
+    )

@@ -311,23 +311,35 @@ class _SeenShardImpl:
     def cuckoo_capacity(self) -> int:
         return self.capacity * (2 ** (len(self.cuckoos) - 1))
 
+    def _grow_cuckoo(self) -> None:
+        self.cuckoos.append(
+            CuckooFilter(
+                self.cuckoo_capacity() * 2,
+                seed=0x5EED ^ self.shard_id ^ len(self.cuckoos),
+            )
+        )
+
     def _cuckoo_add(self, new: np.ndarray) -> None:
         """Chained add: grow BEFORE the active filter would exceed its
         design capacity (0.84 table load), keeping every bulk insert on
-        the vectorized two-round path. Oversized batches split so no
-        single filter is driven past design load."""
+        the vectorized two-round path.  Oversized batches split so no
+        single filter is driven past design load.  Kick-loop failures
+        (possible even below design load) are re-routed into a freshly
+        chained filter rather than dropped: a dropped fingerprint would
+        make a SEEN digest test "new" in pure-sketch mode — the error
+        direction the module contract forbids."""
         start = 0
         while start < new.shape[0]:
             room = self.cuckoo_capacity() - self.cuckoo.n_added
             if room <= 0:
-                self.cuckoos.append(
-                    CuckooFilter(
-                        self.cuckoo_capacity() * 2,
-                        seed=0x5EED ^ self.shard_id ^ len(self.cuckoos),
-                    )
-                )
+                self._grow_cuckoo()
                 continue
-            self.cuckoo.add(new[start : start + room])
+            chunk = new[start : start + room]
+            failed = self.cuckoo.add(chunk)
+            while failed.size:
+                self._grow_cuckoo()
+                chunk = chunk[failed]
+                failed = self.cuckoo.add(chunk)
             start += room
 
     def _cuckoo_contains(self, d: np.ndarray) -> np.ndarray:
@@ -343,11 +355,21 @@ class _SeenShardImpl:
         return maybe
 
     def _bloom_add(self, new: np.ndarray) -> None:
-        if self.bloom.n_added + new.shape[0] > self.bloom_capacity():
-            self.blooms.append(
-                CountingBloom(self.bloom_capacity() * 2, self.fp_rate)
-            )
-        self.bloom.add(new)
+        """Chained add, split like _cuckoo_add: an oversized batch (the
+        bulk restore concatenates EVERY delta snapshot) must not drive
+        one bloom past design capacity — 10x load puts the FP rate near
+        1 and every post-resume lookup falls through to the exact set
+        (the measured 158s/wave pathology this file documents)."""
+        start = 0
+        while start < new.shape[0]:
+            room = self.bloom_capacity() - self.bloom.n_added
+            if room <= 0:
+                self.blooms.append(
+                    CountingBloom(self.bloom_capacity() * 2, self.fp_rate)
+                )
+                continue
+            self.bloom.add(new[start : start + room])
+            start += room
 
     def bloom_capacity(self) -> int:
         return self.capacity * (2 ** (len(self.blooms) - 1))

@@ -25,9 +25,7 @@ CFG = CrawlConfig(
     n_waves=4,
     max_depth=6,
     n_shards=2,
-    fetch_actors=2,
     fetch_batch=16,
-    decode_batch=16,
 )
 
 

@@ -23,9 +23,7 @@ CFG = CrawlConfig(
     n_waves=4,
     max_depth=6,
     n_shards=2,
-    fetch_actors=2,
     fetch_batch=16,
-    decode_batch=16,
 )
 
 
@@ -218,3 +216,23 @@ def test_replay_chain_survives_intra_wave_kill(
         read_crawl_log(full_dir), read_crawl_log(killed_dir)
     )
     pd.testing.assert_frame_equal(_payload_df(full_dir), _payload_df(killed_dir))
+
+
+def test_resume_rejects_different_shard_count(tmp_path):
+    """The backlog part files and seen delta logs are keyed by
+    host_hash % n_shards at write time; resuming with a different
+    count would silently read a subset of them and split hosts across
+    partitions.  Must raise, not corrupt."""
+    from dataclasses import replace
+
+    import pytest
+
+    cfg = replace(CFG, n_shards=3, n_waves=2)
+    out = str(tmp_path / "c")
+    run_crawl(cfg, out)
+    bad = replace(cfg, n_shards=2, n_waves=4)
+    with pytest.raises(ValueError, match="n_shards"):
+        run_crawl(bad, out, resume=True)
+    # the original count resumes fine
+    m = run_crawl(replace(cfg, n_waves=4), out, resume=True)
+    assert m["by_wave"]

@@ -60,7 +60,7 @@ def test_cuckoo_membership_delete_snapshot():
     c = CuckooFilter(capacity=5000)
     members = _digests(4000, b"m")
     others = _digests(4000, b"x")
-    assert c.add(members) == 0
+    assert c.add(members).size == 0
     assert c.contains(members).all()
     assert c.contains(others).mean() < 0.01
     c.remove(members[:100])
@@ -198,3 +198,35 @@ def test_pure_sketch_mode_uses_cuckoo_confirmation(tmp_path):
     s2.restore(p)
     assert s2.contains(members).all()
     assert not s2.check_and_add(members).any()
+
+
+def test_bloom_chain_splits_bulk_restore_add(tmp_path):
+    """A bulk restore concatenates EVERY delta snapshot and adds once:
+    the bloom chain must split the batch across chained filters (like
+    the cuckoo chain) instead of driving one bloom to ~10x design load
+    (FP rate -> 1, every lookup falls through to the exact set)."""
+    cap = 1 << 10
+    s = _SeenShardImpl(0, capacity=cap)
+    d = _digests(5 * cap, b"bulk")
+    s._bloom_add(d)
+    # no bloom holds more than its own design capacity
+    for i, b in enumerate(s.blooms):
+        assert b.n_added <= cap * (2 ** i), (i, b.n_added)
+    assert len(s.blooms) >= 3
+    assert s._bloom_contains(d).all()          # membership intact
+    strangers = _digests(4000, b"s")
+    assert s._bloom_contains(strangers).mean() < 0.02
+
+
+def test_cuckoo_chain_no_false_negatives_under_overflow():
+    """Kick-loop failures must re-route into a chained filter, never
+    drop: in pure-sketch mode a dropped fingerprint makes a SEEN digest
+    test "new" (the forbidden error direction).  Driving a tiny shard
+    20x past design load must leave every added digest visible to the
+    cuckoo chain."""
+    s = _SeenShardImpl(0, capacity=256, exact=False)
+    d = _digests(5000, b"ov")
+    assert s.check_and_add(d).all()
+    assert s._cuckoo_contains(d).all()          # zero drops anywhere
+    assert not s.check_and_add(d).any()         # bloom AND cuckoo agree
+    assert sum(c.n_added for c in s.cuckoos) == 5000
