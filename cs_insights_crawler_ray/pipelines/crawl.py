@@ -316,22 +316,99 @@ def _dataset_from_slices(table_refs: list, metas: list):
         return rd.from_arrow_refs(table_refs)
 
 
+# fetch-all bound for admission keys: when n_parts x wave_size exceeds
+# this, the driver switches from "pull every partition's candidate keys
+# and sort" to the two-phase threshold refinement below, which bounds
+# driver rows at O(wave_size) regardless of partition count (2,048
+# partitions x 1M-URL waves would otherwise pull ~2e9 key rows).  The
+# check is static (no probe round on the small path).
+ADMIT_FETCHALL_LIMIT = 2_000_000
+
+
+@ray.remote
+def _key_head(keys: pa.Table, p: int):
+    """First p rows of one partition's (pre-sorted) candidate keys +
+    its total count — the sample round of the threshold refinement."""
+    return keys.slice(0, min(p, keys.num_rows)), keys.num_rows
+
+
+def _sorted_prefix_le(keys: pa.Table, bound: tuple) -> int:
+    """Length of the prefix of a KEY_COLS-lexicographically-sorted key
+    table whose keys are <= bound: per-column binary searches over the
+    running tie range (O(cols x log n), no row materialization)."""
+    lo, hi = 0, keys.num_rows
+    n_le = 0
+    for col, b in zip(KEY_COLS, bound):
+        a = keys[col].to_numpy(zero_copy_only=False)
+        left = lo + int(np.searchsorted(a[lo:hi], b, "left"))
+        right = lo + int(np.searchsorted(a[lo:hi], b, "right"))
+        n_le += left - lo       # strictly smaller at this column
+        lo, hi = left, right    # equal-so-far rows continue
+        if lo >= hi:
+            break
+    return n_le + (hi - lo)     # rows equal on every column
+
+
+@ray.remote
+def _keys_le(keys: pa.Table, bound: tuple) -> pa.Table:
+    return keys.slice(0, _sorted_prefix_le(keys, bound))
+
+
+def _gather_admission_keys(key_refs, wave_size: int,
+                           admit_limit: int) -> list[pa.Table]:
+    """Per-partition candidate key tables for the driver's global
+    wave ranking.  Small scale (n_parts x wave_size <= admit_limit):
+    pull them all — the tested default.  Large scale: exact
+    distributed top-k by threshold refinement.  Each partition's keys
+    arrive SORTED ascending by KEY_COLS (politeness.partition_candidates
+    emits them that way), so (1) a prefix sample of p = ceil(ws/n_parts)
+    rows per partition yields a bound T = the ws-th smallest sampled
+    key, which provably >= the true ws-th smallest (the sample holds
+    each partition's SMALLEST keys, so >= ws real keys are <= T); (2)
+    every partition's keys <= T are a prefix found by binary search.
+    The union of those prefixes contains the exact top-ws set; the
+    driver sorts only that union — O(ws) rows in the balanced case —
+    and the admitted set is bit-identical to the fetch-all path
+    (asserted by tests on both forced paths)."""
+    n_parts = len(key_refs)
+    if n_parts * wave_size <= admit_limit:
+        return ray.get(key_refs)
+    p = max(1, -(-wave_size // n_parts))
+    heads = ray.get([_key_head.remote(r, p) for r in key_refs])
+    counts = np.array([c for _, c in heads], dtype=np.int64)
+    total = int(counts.sum())
+    if total <= wave_size:  # everything pending is admitted
+        return ray.get(key_refs)
+    while sum(min(p, int(c)) for c in counts) < wave_size:
+        p *= 4  # some partitions are shallow: widen the sample
+        heads = ray.get([_key_head.remote(r, p) for r in key_refs])
+    sample = pa.concat_tables([h for h, _ in heads]).to_pandas()
+    sample = sample.sort_values(KEY_COLS, kind="mergesort")
+    row = sample.iloc[wave_size - 1]
+    bound = tuple(row[c] for c in KEY_COLS)
+    return ray.get([_keys_le.remote(r, bound) for r in key_refs])
+
+
 def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
-                       n_blocks: int):
+                       n_blocks: int, admit_limit: int | None = None):
     """Key sort + seq map + admitted-block tasks for one wave.
-    Driver-side cost is the sort of n_parts x wave_size KEY rows; the
-    candidate payload rows never touch the driver — each partition's
-    seq-attach + block split runs in one task sized from the key
-    sort's per-partition admitted counts (so blocks stay ~wave/n_blocks
-    rows even under partition skew; a single-block seed wave fetched
-    near-serially otherwise: 41s vs 6s for the same width, measured).
-    Replaces the previous map_batches + repartition Dataset round
-    (~0.9 s warm / ~2 s cold of pure executor latency per wave at
-    49k URLs).  Called inline for the first wave; steady-state waves
-    run it on a thread overlapping the previous wave's payload join +
-    checkpoint barrier.  Returns None when no candidates remain
-    (crawl exhausted)."""
-    key_tables = ray.get(key_refs)
+    Driver-side cost is the sort of the gathered candidate keys —
+    min(n_parts x wave_size, ~O(wave_size)) rows, see
+    _gather_admission_keys; the candidate payload rows never touch the
+    driver — each partition's seq-attach + block split runs in one
+    task sized from the key sort's per-partition admitted counts (so
+    blocks stay ~wave/n_blocks rows even under partition skew; a
+    single-block seed wave fetched near-serially otherwise: 41s vs 6s
+    for the same width, measured).  Replaces the previous map_batches
+    + repartition Dataset round (~0.9 s warm / ~2 s cold of pure
+    executor latency per wave at 49k URLs).  Called inline for the
+    first wave; steady-state waves run it on a thread overlapping the
+    previous wave's payload join + checkpoint barrier.  Returns None
+    when no candidates remain (crawl exhausted)."""
+    if admit_limit is None:
+        admit_limit = ADMIT_FETCHALL_LIMIT  # read at call time: tests
+        # monkeypatch the module constant to force the refinement path
+    key_tables = _gather_admission_keys(key_refs, wave_size, admit_limit)
     keys = pa.concat_tables(key_tables).to_pandas()
     part_of = np.repeat(
         np.arange(len(key_tables)), [t.num_rows for t in key_tables]
@@ -729,8 +806,10 @@ def run_crawl(
 
             # ---- admission: the per-partition candidate prune already
             # ran (previous wave's merge tasks / the seed round); the
-            # driver sorts candidate KEYS only — bounded by n_parts x
-            # wave_size — and ships back a broadcast dk->fetch_seq map.
+            # driver sorts candidate KEYS only — min(n_parts x
+            # wave_size, ~O(wave_size)) rows via the adaptive threshold
+            # refinement (_gather_admission_keys) — and ships back a
+            # broadcast dk->fetch_seq map.
             # Steady-state waves find their admission PREBUILT: a
             # driver thread overlapped the key sort + admitted
             # materialize with the previous wave's payload join +

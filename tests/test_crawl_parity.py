@@ -263,3 +263,66 @@ def test_parity_across_universes(seed, tmp_path):
     sim = simulate(cfg)
     eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
     assert eng == sim.crawl_log, f"seed {seed}: order diverged"
+
+
+def test_admission_threshold_refinement_matches_fetchall():
+    """_gather_admission_keys' large-scale path (prefix sample ->
+    threshold T -> per-partition keys<=T) must yield the SAME global
+    top-wave_size admitted set as pulling every partition's keys: 60
+    randomized trials over skewed partition sizes, duplicate scores,
+    authority ties, and shallow partitions."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from cs_insights_crawler_ray.pipelines import crawl
+
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        n_parts = int(rng.integers(2, 9))
+        ws = int(rng.integers(1, 40))
+        tabs = []
+        for p in range(n_parts):
+            n = int(rng.integers(0, 60))
+            df = pd.DataFrame(
+                {
+                    "score": rng.integers(0, 4, n).astype(np.float64)
+                    + 0.001 * rng.integers(0, 3, n),
+                    "auth_neg": -rng.integers(0, 3, n).astype(np.int64),
+                    "disc_wave": rng.integers(0, 3, n).astype(np.int32),
+                    "disc_parent": rng.permutation(
+                        np.arange(n, dtype=np.int64) + 1000 * p
+                    ),
+                    "disc_link": rng.integers(0, 5, n).astype(np.int32),
+                }
+            ).sort_values(crawl.KEY_COLS, kind="mergesort")
+            tabs.append(pa.Table.from_pandas(df, preserve_index=False))
+        refs = [ray.put(t) for t in tabs]
+
+        def _top(tables):
+            f = pa.concat_tables(tables).to_pandas()
+            return (
+                f.sort_values(crawl.KEY_COLS, kind="mergesort")
+                .head(ws)
+                .reset_index(drop=True)
+            )
+
+        want = _top(tabs)
+        got = _top(crawl._gather_admission_keys(refs, ws, admit_limit=0))
+        pd.testing.assert_frame_equal(got, want), trial
+
+
+def test_crawl_parity_with_forced_threshold_admission(tmp_path, monkeypatch):
+    """End-to-end: crawl order stays byte-identical to the sequential
+    oracle when EVERY wave's admission runs the threshold-refinement
+    path (ADMIT_FETCHALL_LIMIT forced to 0)."""
+    from cs_insights_crawler_ray.pipelines import crawl
+
+    monkeypatch.setattr(crawl, "ADMIT_FETCHALL_LIMIT", 0)
+    out = str(tmp_path / "c")
+    m = run_crawl(CFG, out)
+    assert m["cumulative"]["fetched"] > 0
+    log = read_crawl_log(out)
+    sim = simulate(CFG)
+    eng = list(map(tuple, log.itertuples(index=False)))
+    assert eng == sim.crawl_log, "refinement path diverged from oracle"
