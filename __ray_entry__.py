@@ -187,7 +187,15 @@ def _crawl_payload_glob() -> str:
                 _out_dir(f"/root/testdata/{sf}")
         except Exception:
             pass  # the queries() callable will build it
-    return f"/tmp/ciq_crawl_{_VERSION}_{sf}/payload/*/*.parquet"
+    try:
+        # dual-backend sink: with Lance installed the payload holds
+        # versioned fragments, which _payload_glob mirrors to parquet
+        # once so the DuckDB side can read them (crawl_queries helper)
+        from cs_insights_crawler_ray.pipelines.crawl_queries import _payload_glob
+
+        return _payload_glob(f"/tmp/ciq_crawl_{_VERSION}_{sf}")
+    except Exception:
+        return f"/tmp/ciq_crawl_{_VERSION}_{sf}/payload/*/*.parquet"
 
 
 def _artifact_glob(kind: str) -> str:
@@ -211,7 +219,8 @@ _ANN_BRUTE_CTE = """
         FROM embeddings WHERE vec_id < 3),
     s AS (
         SELECT q.qid, e.vec_id,
-               list_cosine_similarity(q.qe, e.embedding) AS cos
+               list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
     brute AS (
         SELECT qid, vec_id FROM s
@@ -243,7 +252,12 @@ def _stoplist_sql(lang: str) -> str:
     drift."""
     from cs_insights_crawler_ray.functions.text import _LANG_PROFILES
 
-    return ", ".join(repr(w) for w in sorted(_LANG_PROFILES[lang]))
+    # explicit SQL quoting, not repr(): a stopword containing a single
+    # quote (French/Spanish elided forms like l', d') would make repr
+    # emit a double-quoted literal DuckDB parses as an identifier
+    return ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(_LANG_PROFILES[lang])
+    )
 
 
 def _lang_hits_sql() -> str:

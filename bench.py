@@ -28,7 +28,8 @@ import time
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    sf = os.path.basename(sf_dir).replace("sf", "")
+    from pathlib import Path as _P
+    sf = _P(sf_dir).name.replace("sf", "")  # Path.name survives a trailing slash
     # scaling children measure ONLY the crawl headline (the scaling
     # criterion's job) — re-running every query per parallelism level
     # would triple the wall time without adding evidence
@@ -89,7 +90,7 @@ def run_bench() -> dict:
     results: dict[str, float] = {}
 
     # ---- headline: crawl fetch+ingest throughput --------------------
-    waves = {"0.001": 2, "0.01": 2}.get(sf, 2)
+    waves = 2
     wave_size = {"0.001": 512, "0.01": 2048}.get(sf, 49152)
     # seed the frontier full so every wave runs at steady-state width;
     # bench images are larger than the test default (192-320 px) and
@@ -278,11 +279,16 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
             GRAFT_SCALING_CHILD="1",   # no recursive scaling embed
             GRAFT_BENCH_ONLY="crawl",  # children measure the headline only
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
-            check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            # CalledProcessError hides the child traceback; surface it
+            raise RuntimeError(
+                f"scaling child (cpus={ncpu}) failed:\n{proc.stderr[-2000:]}"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     budget = float(os.environ.get("GRAFT_SCALING_BUDGET", "1100"))
@@ -306,12 +312,13 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     hi = min(draws_hi, key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo * n_lo) / (t_hi * n_hi)
-    # symmetric-protocol control (ADVICE r03): the hi level's extra
-    # draws and cool-start position both bias the min-based ratio
-    # upward, so ALSO report the efficiency computed from the FIRST
-    # `repeats` draws of each level (equal counts) — readers of the
-    # gate see the hi-favored number and the symmetric one side by
-    # side, with every raw draw in the lists above.
+    # equal-draw-count control (ADVICE r03): ALSO report the ratio
+    # from the FIRST `repeats` draws of each level.  This removes the
+    # extra-draw asymmetry ONLY — the hi level still runs first, so
+    # its cool-start position advantage remains in both numbers (a
+    # truly symmetric protocol would interleave levels, which the
+    # per-process ray.init cost makes impractical here); readers get
+    # the hi-favored number, this control, and every raw draw.
     t_hi_sym = min(d["value"] for d in draws_hi[:repeats])
     eff_sym = (t_lo * n_lo) / (t_hi_sym * n_hi)
     hw = _hardware_ceiling(n_lo, n_hi)

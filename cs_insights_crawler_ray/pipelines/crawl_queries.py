@@ -47,6 +47,39 @@ def _out_dir(sf_dir: str) -> str:
     return out
 
 
+def _payload_parquet(out: str) -> str:
+    """Oracle-readable PARQUET view of the crawl payload.  The sink is
+    dual-backend (sources/sinks.py): the parquet branch writes part
+    files directly under payload/wave=*/ — returned as-is; the Lance
+    branch writes versioned fragments that DuckDB and plain
+    read_parquet cannot scan version-correctly, so the committed
+    payload is mirrored once to parquet beside it (read through
+    sinks.read_payload, which honors versions and skips uncommitted
+    partitions)."""
+    import glob as _glob
+    import shutil
+
+    root = f"{out}/payload"
+    if _glob.glob(f"{root}/*/*.parquet"):
+        return root
+    mirror = f"{out}/payload_pq"
+    marker = Path(mirror) / "_complete"
+    if not marker.exists():
+        from ..sources.sinks import read_payload
+
+        shutil.rmtree(mirror, ignore_errors=True)  # no half-mirror appends
+        read_payload(root).write_parquet(mirror)
+        marker.write_text("ok")
+    return mirror
+
+
+def _payload_glob(out: str) -> str:
+    """read_parquet glob for the oracle-readable payload view (the
+    parquet branch partitions by wave; the lance mirror is flat)."""
+    root = _payload_parquet(out)
+    return f"{root}/*/*.parquet" if root.endswith("/payload") else f"{root}/*.parquet"
+
+
 def q30_crawl_order(sf_dir: str) -> pd.DataFrame:
     """The PARALLEL engine's crawl-order log (fetch_seq, url_canon,
     depth, status).  Driver oracle: the sequential reference-semantics
@@ -72,7 +105,7 @@ def q31_crawl_payload(sf_dir: str) -> pd.DataFrame:
 
     ensure("sim_payload", sf_dir)
     df = pq.read_table(
-        f"{_out_dir(sf_dir)}/payload",
+        _payload_parquet(_out_dir(sf_dir)),
         columns=["image_id", "w", "h", "fmt", "caption", "phash"],
     ).to_pandas()
     return df.sort_values("image_id").reset_index(drop=True)
@@ -90,7 +123,7 @@ def q32_payload_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     from .dedup import hamming_near_dup_pairs
 
-    ds = rd.read_parquet(f"{_out_dir(sf_dir)}/payload", columns=["image_id", "phash"])
+    ds = rd.read_parquet(_payload_parquet(_out_dir(sf_dir)), columns=["image_id", "phash"])
     pairs = hamming_near_dup_pairs(
         ds, "image_id", "phash", max_hamming=max_hamming, id_dtype="object"
     )
@@ -119,10 +152,11 @@ def q39_payload_ann(sf_dir: str, k: int = 5, n_queries: int = 3) -> pd.DataFrame
     out_dir = _out_dir(sf_dir)
     # query selection: the n smallest image_ids — read the id column
     # alone, then fetch just those rows' embeddings (pruned read)
-    all_ids = pq_.read_table(f"{out_dir}/payload", columns=["image_id"])["image_id"].to_pylist()
+    ppq = _payload_parquet(out_dir)
+    all_ids = pq_.read_table(ppq, columns=["image_id"])["image_id"].to_pylist()
     qids = sorted(all_ids)[:n_queries]
     qt = pq_.read_table(
-        f"{out_dir}/payload", columns=["image_id", "embedding"],
+        ppq, columns=["image_id", "embedding"],
         filters=[("image_id", "in", qids)],
     )
     lut = {qt["image_id"][i].as_py(): i for i in range(qt.num_rows)}
@@ -163,7 +197,7 @@ def q39_payload_ann(sf_dir: str, k: int = 5, n_queries: int = 3) -> pd.DataFrame
         )
 
     partials = (
-        rd.read_parquet(f"{out_dir}/payload", columns=["image_id", "embedding"])
+        rd.read_parquet(ppq, columns=["image_id", "embedding"])
         .map_batches(score, batch_format="pandas", batch_size=2048)
         .to_pandas()
     )

@@ -2,9 +2,11 @@
 """Driver dress rehearsal: run every queries() entry at sf0.01 and
 compare against oracle_sql() the way the driver does (row count +
 schema + order-insensitive value hash). Run from the repo root."""
-import sys, os
+import hashlib
+import os
+import sys
+import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys, time, hashlib
 import duckdb, numpy as np, pandas as pd
 import ray
 ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")

@@ -292,6 +292,17 @@ before = read_crawl_log(out)
 m2 = run_crawl(cfg, out, resume=True)
 assert m2["by_wave"] == {{}}, "resume refetched under the lance backend"
 pd.testing.assert_frame_equal(before, read_crawl_log(out))
+
+# the oracle-side parquet mirror: DuckDB can't scan lance fragments, so
+# crawl_queries._payload_parquet must mirror the committed payload once
+from cs_insights_crawler_ray.pipelines.crawl_queries import _payload_glob, _payload_parquet
+import pyarrow.parquet as pq
+mirror = _payload_parquet(out)
+assert mirror.endswith("payload_pq"), mirror
+got = pq.read_table(mirror, columns=["image_id", "caption"]).to_pandas()
+assert set(got["image_id"]) == set(sim.payload.keys())
+import glob as _glob
+assert _glob.glob(_payload_glob(out)), "payload glob matches no files"
 print("LANCE_CRAWL_OK")
 ray.shutdown()
 '''
