@@ -324,6 +324,11 @@ def _dataset_from_slices(table_refs: list, metas: list):
 # check is static (no probe round on the small path).
 ADMIT_FETCHALL_LIMIT = 2_000_000
 
+# sentinel distinguishing "the overlap-thread prebuild determined the
+# crawl is exhausted" from "no prebuild ran" (both were None before,
+# which made the exhaustion wave redo the full admission gather+sort)
+_EXHAUSTED = object()
+
 
 @ray.remote
 def _key_head(keys: pa.Table, p: int):
@@ -379,8 +384,21 @@ def _gather_admission_keys(key_refs, wave_size: int,
     total = int(counts.sum())
     if total <= wave_size:  # everything pending is admitted
         return ray.get(key_refs)
-    while sum(min(p, int(c)) for c in counts) < wave_size:
-        p *= 4  # some partitions are shallow: widen the sample
+    if sum(min(p, int(c)) for c in counts) < wave_size:
+        # some partitions are shallow: the full per-partition counts
+        # are already in hand, so solve the minimal p with
+        # sum(min(p, c)) >= wave_size in closed form (binary search
+        # over ints, driver-only) and re-fetch the heads exactly ONCE
+        # instead of a blocking task round per p*=4 doubling.  total >
+        # wave_size (checked above) guarantees a solution exists.
+        lo, hi = p + 1, int(counts.max())
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if int(np.minimum(counts, mid).sum()) >= wave_size:
+                hi = mid
+            else:
+                lo = mid + 1
+        p = lo
         heads = ray.get([_key_head.remote(r, p) for r in key_refs])
     sample = pa.concat_tables([h for h, _ in heads]).to_pandas()
     sample = sample.sort_values(KEY_COLS, kind="mergesort")
@@ -448,25 +466,29 @@ def _prepare_admission(key_refs, cand_refs, next_seq: int, wave_size: int,
 
 
 def _count_payload_rows(payload_path: str) -> int:
-    """Rows written for one wave partition.  Recursive glob: the
-    parquet backend writes part files at the top level, the lance shim
-    under data/; a lance store with no parquet fragments is counted
-    via its own manifest.  An all-quarantined wave writes no fragments
-    at all, so the Lance sink never commits a version — that IS zero
-    payload rows, not a failed write (the fetch metrics still record
-    the quarantines), so the no-committed-version error maps to 0."""
-    rows = sum(
-        pq.read_metadata(f).num_rows
-        for f in Path(payload_path).glob("**/*.parquet")
-    )
-    if rows == 0 and HAVE_LANCE:
+    """Rows written for one wave partition.  On the Lance backend the
+    COMMITTED manifest is authoritative — a dead-then-retried write
+    task leaves orphaned uuid-named fragment files under data/ that no
+    committed version references, so counting files would inflate
+    payload_rows past n_admitted.  An all-quarantined wave writes no
+    fragments at all, so the Lance sink never commits a version — that
+    IS zero payload rows, not a failed write (the fetch metrics still
+    record the quarantines), so the no-committed-version error falls
+    through to the file count, which is likewise 0 there.  The parquet
+    backend writes its part files at the TOP level of the partition
+    dir (never under data/), so the non-recursive glob counts exactly
+    the committed rows and never sees lance fragments."""
+    if HAVE_LANCE:
         import lance
 
         try:
-            rows = lance.dataset(payload_path).count_rows()
+            return lance.dataset(payload_path).count_rows()
         except (FileNotFoundError, ValueError):
-            rows = 0
-    return rows
+            pass  # no committed version: zero-row wave or parquet dir
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in Path(payload_path).glob("*.parquet")
+    )
 
 
 @ray.remote
@@ -792,7 +814,12 @@ def run_crawl(
         key_refs = [r[3] for r in init_rets]
         n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         metrics_by_wave = {}
-        prebuilt = None  # next wave's admission, built on an overlap thread
+        # next wave's admission, built on an overlap thread.  None
+        # means "no prebuild ran" (first wave, or the thread was not
+        # started); _EXHAUSTED means the prebuild already determined
+        # the frontier is drained, so the loop breaks without
+        # re-running the whole key gather + sort just to rediscover it.
+        prebuilt = None
 
         for wave in range(start_wave, cfg.n_waves):
             phase_t: dict[str, float] = {}
@@ -819,7 +846,7 @@ def run_crawl(
                 prebuilt = _prepare_admission(
                     key_refs, cand_refs, next_seq, cfg.wave_size, n_blocks
                 )
-            adm = prebuilt
+            adm = None if prebuilt is _EXHAUSTED else prebuilt
             prebuilt = None
             if adm is None:
                 _mark("admission")
@@ -1002,9 +1029,13 @@ def run_crawl(
                 def _prebuild() -> None:
                     nonlocal prebuilt
                     try:
-                        prebuilt = _prepare_admission(
+                        res = _prepare_admission(
                             krefs, crefs, nseq, cfg.wave_size, n_blocks
                         )
+                        # distinguish "determined exhausted" from "no
+                        # prebuild ran": None would trigger a redundant
+                        # full re-gather next iteration
+                        prebuilt = _EXHAUSTED if res is None else res
                     except BaseException as e:  # noqa: BLE001 - re-raised on join
                         prebuild_err.append(e)
 

@@ -75,18 +75,32 @@ def read_payload(root: str) -> rd.Dataset:
             return rd.read_lance(root)
         import lance
 
-        readable = []
+        readers = []
         for p in parts:
+            path = f"{root}/{p}"
             try:
-                lance.dataset(f"{root}/{p}")
+                lance.dataset(path)
             except (FileNotFoundError, ValueError):
+                # not a committed lance dataset.  If the partition
+                # holds top-level parquet part files it was written by
+                # the parquet backend (e.g. a crawl started before
+                # pylance was installed) — read it as parquet rather
+                # than silently dropping committed payload.  Otherwise
+                # it is a genuinely uncommitted lance partition (zero-
+                # row wave, or a kill between fragment write and
+                # commit): skip it, resume rewrites it.
+                if next(Path(path).glob("*.parquet"), None) is not None:
+                    # partitioning=None: don't hive-infer a 'wave'
+                    # column from the path — it would poison the union
+                    # schema against the lance-read partitions
+                    readers.append(rd.read_parquet(path, partitioning=None))
                 continue
-            readable.append(p)
-        if not readable:
+            readers.append(rd.read_lance(path))
+        if not readers:
             return rd.from_arrow(PAYLOAD_SCHEMA.empty_table())
-        out = rd.read_lance(f"{root}/{readable[0]}")
-        for p in readable[1:]:
-            out = out.union(rd.read_lance(f"{root}/{p}"))
+        out = readers[0]
+        for r in readers[1:]:
+            out = out.union(r)
         return out
     return rd.read_parquet(root)
 

@@ -81,8 +81,6 @@ def resume_probe(n_seeds: int, tag: str, num_cpus: int) -> dict:
         address="local", num_cpus=num_cpus, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
     )
-    from dataclasses import replace
-
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
 

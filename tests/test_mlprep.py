@@ -343,3 +343,22 @@ def test_key_hash32_scalar_reference_and_vectorized_rate():
         for _ in range(3)
     )
     assert dt < 1.0, f"keep-predicate hash not vectorized: {dt:.3f}s for 1M keys"
+
+
+def test_inverted_index_empty_input(ray_session, tmp_path):
+    """q65 on a zero-row documents table: the map_groups kernel gets
+    one empty batch from Ray and must return the empty index (schema
+    intact) instead of raising on g["bucket"].iloc[0] (review r04)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf_empty"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        ),
+        sf / "documents.parquet",
+    )
+    got = mlprep.q65_inverted_index(str(sf), out_root=str(tmp_path / "idx"))
+    assert got.count() == 0

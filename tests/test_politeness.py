@@ -13,7 +13,6 @@ from cs_insights_crawler_ray.state.politeness import (
     DISCOVERY_KEY,
     local_host_topk,
     partition_admission,
-    partition_candidates,
 )
 
 

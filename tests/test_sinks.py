@@ -203,6 +203,32 @@ assert _count_payload_rows(out2) == 0
 back2 = sinks.read_payload(root).to_pandas().sort_values("image_id").reset_index(drop=True)
 want2 = pa.concat_tables([t0, t1]).to_pandas().sort_values("image_id").reset_index(drop=True)
 assert back2.equals(want2), "zero-row wave corrupted the payload union"
+
+# review r04 #1: a dead-then-retried write task leaves ORPHAN fragment
+# files under data/ that no committed version references.  Wave
+# accounting and reads must follow the COMMITTED manifest, never the
+# file listing — counting files would inflate payload_rows past
+# n_admitted and flip the manifest's quarantined count negative.
+import pyarrow.parquet as _pq
+orphan = Path(out0, "data", "frag-orphan-deadbeef.parquet")
+_pq.write_table(t1, str(orphan))
+assert _count_payload_rows(out0) == 500, "orphan fragment inflated the count"
+back3 = sinks.read_payload(root).to_pandas().sort_values("image_id").reset_index(drop=True)
+assert back3.equals(want2), "orphan fragment leaked into the payload read"
+orphan.unlink()
+
+# review r04 #2: a partition written by the PARQUET backend (a crawl
+# run before pylance was installed) must still be read when lance IS
+# importable — parquet part files sit at the partition top level, and
+# read_payload falls back per-partition instead of silently dropping
+# committed payload.
+t3 = payload_table(100, 3)
+rd.from_arrow(t3).write_parquet(str(Path(root, "wave=000003")))
+back4 = sinks.read_payload(root).to_pandas().sort_values("image_id").reset_index(drop=True)
+want4 = pa.concat_tables([t0, t1, t3]).to_pandas().sort_values("image_id").reset_index(drop=True)
+assert back4.equals(want4), "parquet-backend partition dropped from the union"
+assert _count_payload_rows(str(Path(root, "wave=000003"))) == 100
+
 print("LANCE_ROUNDTRIP_OK")
 ray.shutdown()
 '''
