@@ -10,7 +10,9 @@ restatement:
   ``(disc_wave, disc_parent, disc_link)`` — wave discovered, parent's
   global fetch_seq, position in the parent page's link list.  Fetch
   order within a wave is the sort by ``(score, -authority, discovery
-  key)`` (authority optional, 0 when off — CrawlConfig.authority);
+  key)`` (authority optional, 0 when off — CrawlConfig.authority;
+  score optionally adds the deterministic wave-age recency term —
+  CrawlConfig.recency_weight, state/politeness.py docstring);
   global ``fetch_seq`` is assigned per wave by the driver over the
   politeness-bounded candidate keys (only admitted-set keys — never
   frontier rows — reach the driver).
@@ -119,6 +121,13 @@ class CrawlConfig:
     # key; politeness budgets stay authority-blind.  None/empty keeps
     # crawl order bit-identical to the authority-free engine.
     authority: dict | None = None
+    # opt-in deterministic "recency" score term (north-star sketch's
+    # third term, restated as data): score += recency_weight *
+    # (wave - disc_wave).  Positive = freshness-first (new discoveries
+    # outrank stale backlog at equal depth), negative = oldest-first.
+    # Politeness budgets stay recency-blind; 0.0 keeps crawl order
+    # bit-identical to the recency-free engine (parity-tested).
+    recency_weight: float = 0.0
     # full rest-of-frontier snapshot every K waves; other waves
     # checkpoint only O(wave_size) admitted keys + O(new) link rows
     # (an O(frontier) parquet rewrite per wave is ~1 TB/wave at
@@ -198,15 +207,18 @@ def _run_getter(runs: list):
 
 @ray.remote(num_returns=4)
 def _init_frontier(table: pa.Table, host_budget: int, wave_size: int,
-                   auth_ref=None):
+                   auth_ref=None, cand_wave: int = 0,
+                   recency_weight: float = 0.0):
     """Seed/resume partition table -> (state, base run, candidates,
     key frame).  The only O(partition) sort; every later wave is
-    incremental."""
+    incremental.  ``cand_wave`` is the wave these candidates are
+    admitted in (start_wave — 0 fresh, manifest.wave+1 on resume), the
+    age anchor for the optional recency term."""
     state, base = frontier.init_state(table, host_budget, run_id=-1)
     cand = _cand_table(
         partition_candidates(
             state["head"].to_pandas(), host_budget, wave_size,
-            _get_auth(auth_ref),
+            _get_auth(auth_ref), cand_wave, recency_weight,
         )
     )
     return state, base, cand, cand.select(KEY_COLS)
@@ -239,13 +251,17 @@ def _compact_frontier(state: dict, runs: list, run_id: int):
 
 @ray.remote(num_returns=5)
 def _merge_frontier(state: dict, new: pa.Table, run_id: int,
-                    host_budget: int, wave_size: int, auth_ref=None):
+                    host_budget: int, wave_size: int, auth_ref=None,
+                    cand_wave: int | None = None,
+                    recency_weight: float = 0.0):
     """Links barrier: append the wave's new rows as a run (or top up
     heads directly — see frontier.merge_new) and emit the next wave's
-    admission candidates.  Returns (state, sorted run, candidates,
-    key frame, total pending)."""
+    admission candidates (for wave ``cand_wave`` = current wave + 1 —
+    the recency term's age anchor).  Returns (state, sorted run,
+    candidates, key frame, total pending)."""
     state, run_t, cand_df = frontier.merge_new(
-        state, new, run_id, host_budget, wave_size, _get_auth(auth_ref)
+        state, new, run_id, host_budget, wave_size, _get_auth(auth_ref),
+        cand_wave, recency_weight,
     )
     cand = _cand_table(cand_df)
     if run_t is None:
@@ -803,7 +819,10 @@ def run_crawl(
         B = cfg.host_budget
         auth_ref = [ray.put(cfg.authority)] if cfg.authority else None
         init_rets = [
-            _init_frontier.remote(parts[p], B, cfg.wave_size, auth_ref)
+            _init_frontier.remote(
+                parts[p], B, cfg.wave_size, auth_ref, start_wave,
+                cfg.recency_weight,
+            )
             for p in range(n_parts)
         ]
         states = [r[0] for r in init_rets]
@@ -997,7 +1016,8 @@ def run_crawl(
             mg = [
                 _merge_frontier.remote(
                     states[p], frontier_refs[p], 2 * wave + 1, B,
-                    cfg.wave_size, auth_ref,
+                    cfg.wave_size, auth_ref, wave + 1,
+                    cfg.recency_weight,
                 )
                 for p in range(n_parts)
             ]

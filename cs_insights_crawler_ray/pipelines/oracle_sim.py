@@ -66,11 +66,17 @@ def simulate(cfg: CrawlConfig) -> SimResult:
         for row in backlog:
             by_host.setdefault(row["host"], []).append(row)
         auth = getattr(cfg, "authority", None) or {}
+        rw = float(getattr(cfg, "recency_weight", 0.0) or 0.0)
         admissible = []
         for host, rows in by_host.items():
             rows.sort(key=lambda r: r["dk"])
             for rank, row in enumerate(rows[: cfg.host_budget]):
                 score = row["depth"] + 0.001 * min(rank, HOST_RANK_CAP)
+                if rw:
+                    # deterministic recency: wave age (dk[0] is the
+                    # discovery wave; -1 for seeds), same association
+                    # as politeness._budget_scored
+                    score = score + rw * float(wave - row["dk"][0])
                 # authority tie-break (negated: higher authority first),
                 # mirroring politeness.partition_candidates exactly
                 admissible.append(

@@ -202,7 +202,8 @@ def advance(state: dict, admitted_dk: pd.DataFrame, run_ids: list,
 
 
 def merge_new(state: dict, new_table: pa.Table, run_id: int, budget: int,
-              wave_size: int, auth: dict | None):
+              wave_size: int, auth: dict | None,
+              cand_wave: int | None = None, recency_weight: float = 0.0):
     """Append this wave's new links as a run; per host, rows top up the
     head directly when the host has nothing pending beyond its head
     (new rows carry the largest discovery keys, so the prefix invariant
@@ -250,7 +251,8 @@ def merge_new(state: dict, new_table: pa.Table, run_id: int, budget: int,
         run_index[run_id] = (n_hosts.copy(), n_starts, n_counts)
         state["run_index"] = run_index
     cand = partition_candidates(
-        state["head"].to_pandas(), budget, wave_size, auth
+        state["head"].to_pandas(), budget, wave_size, auth,
+        cand_wave, recency_weight,
     )
     return state, t, cand
 

@@ -176,3 +176,55 @@ def test_authority_guided_order_matches_simulator(ray_session, tmp_path):
     assert [u for _, u, _, _ in exp.crawl_log] != [
         u for _, u, _, _ in exp_plain.crawl_log
     ]
+
+
+def test_recency_guided_order_matches_simulator(ray_session, tmp_path):
+    """Deterministic recency (north-star score triplet: depth +
+    host-budget rank + recency, the third term restated as WAVE AGE so
+    it is a pure function of the data): the parallel engine stays
+    byte-identical to the sequential simulator with the same
+    recency_weight, the signal actually changes the order vs the
+    recency-free engine, and per-host budget eligibility (politeness)
+    stays recency-blind by construction."""
+    from cs_insights_crawler_ray.fixtures.content_store import (
+        ContentStoreConfig,
+    )
+    from cs_insights_crawler_ray.pipelines import oracle_sim
+
+    store = ContentStoreConfig(seed=7, n_hosts=12, pages_per_host=32)
+    base = dict(store=store, n_seeds=16, wave_size=24, n_waves=3, n_shards=2)
+
+    # freshness-first: one wave of age costs one depth level, so
+    # backlogged seeds interleave with newly-discovered deeper links
+    cfg_rec = CrawlConfig(recency_weight=1.0, **base)
+    out_rec = tmp_path / "rec"
+    run_crawl(cfg_rec, str(out_rec))
+    got = read_crawl_log(str(out_rec))
+    got_tuples = [
+        (int(a), b, int(c), d)
+        for a, b, c, d in zip(
+            got["fetch_seq"], got["url_canon"], got["depth"], got["status"]
+        )
+    ]
+    exp = oracle_sim.simulate(cfg_rec)
+    assert got_tuples == exp.crawl_log
+
+    # the signal is not a no-op: order differs from recency-off
+    exp_plain = oracle_sim.simulate(CrawlConfig(**base))
+    assert [u for _, u, _, _ in exp.crawl_log] != [
+        u for _, u, _, _ in exp_plain.crawl_log
+    ]
+
+    # oldest-first variant also holds engine<->oracle parity
+    cfg_old = CrawlConfig(recency_weight=-0.25, **base)
+    out_old = tmp_path / "old"
+    run_crawl(cfg_old, str(out_old))
+    got_old = read_crawl_log(str(out_old))
+    exp_old = oracle_sim.simulate(cfg_old)
+    assert [
+        (int(a), b, int(c), d)
+        for a, b, c, d in zip(
+            got_old["fetch_seq"], got_old["url_canon"],
+            got_old["depth"], got_old["status"]
+        )
+    ] == exp_old.crawl_log
