@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q32_payload_neardup", crawl_queries.q32_payload_neardup),
         ("q39_payload_ann", crawl_queries.q39_payload_ann),
         ("q63_payload_dup_groups", crawl_queries.q63_payload_dup_groups),
+        ("q67_recency_crawl_order", crawl_queries.q67_recency_crawl_order),
     ]
     # -- text analysis --------------------------------------------------
     text_family = [
@@ -768,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
         "q31_crawl_payload": f"""
             SELECT image_id, w, h, fmt, caption, phash
             FROM read_parquet('{_artifact_glob("sim_payload")}')
+        """,
+        "q67_recency_crawl_order": f"""
+            SELECT fetch_seq, url_canon, depth, status
+            FROM read_parquet('{_artifact_glob("sim_order_recency")}')
         """,
         # q36/q37: the same deterministic fixture tables run through
         # the pure stage fns strictly sequentially in one process —

@@ -94,6 +94,43 @@ def q30_crawl_order(sf_dir: str) -> pd.DataFrame:
     return read_crawl_log(_out_dir(sf_dir))
 
 
+def _recency_cfg(sf_dir: str) -> CrawlConfig:
+    """q30's config with the deterministic recency term on
+    (freshness-first, one wave of age = one depth level) and the
+    multimodal feature stage off (the order log is the artifact under
+    test; q31/q32/q39 exercise the payload columns)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        _cfg_for(sf_dir), recency_weight=1.0, extract_features=False
+    )
+
+
+def _out_dir_recency(sf_dir: str) -> str:
+    sf = Path(sf_dir).name
+    out = f"/tmp/ciq_crawl_rec_{_VERSION}_{sf}"
+    marker = Path(out) / "_complete"
+    if not marker.exists():
+        run_crawl(_recency_cfg(sf_dir), out)
+        marker.write_text("ok")
+    return out
+
+
+def q67_recency_crawl_order(sf_dir: str) -> pd.DataFrame:
+    """Crawl-order log of the PARALLEL engine with the deterministic
+    recency score term on (CrawlConfig.recency_weight=1.0 — the
+    north-star triplet's third term as wave age; state/politeness.py).
+    Driver oracle: the sequential simulator replays the identical
+    recency-weighted config and writes ITS order log to parquet
+    (oracle_artifacts 'sim_order_recency'), so the driver value-hashes
+    parallel-vs-serial ordering with the signal ON — q30 covers the
+    two-term default."""
+    from .oracle_artifacts import ensure
+
+    ensure("sim_order_recency", sf_dir)
+    return read_crawl_log(_out_dir_recency(sf_dir))
+
+
 def q31_crawl_payload(sf_dir: str) -> pd.DataFrame:
     """The ingested payload table, projected to the input_hint schema
     minus raw bytes.  Driver oracle: the sequential simulator's payload

@@ -139,6 +139,23 @@ def _build_sim(sf_dir: str) -> None:
     write_atomic(payload, "sim_payload", sf_dir)
 
 
+def _build_sim_recency(sf_dir: str) -> None:
+    """q67: serial simulator replay of the recency-weighted config."""
+    from .crawl_queries import _recency_cfg
+    from .oracle_sim import simulate
+
+    res = simulate(_recency_cfg(sf_dir))
+    order = pa.table(
+        {
+            "fetch_seq": pa.array([r[0] for r in res.crawl_log], pa.int64()),
+            "url_canon": pa.array([r[1] for r in res.crawl_log], pa.string()),
+            "depth": pa.array([r[2] for r in res.crawl_log], pa.int32()),
+            "status": pa.array([r[3] for r in res.crawl_log], pa.string()),
+        }
+    )
+    write_atomic(order, "sim_order_recency", sf_dir)
+
+
 def _naive_bpeish_count(s: str) -> int:
     """BPE-ish token count re-derived with a hand-rolled character
     scanner (no regex): runs of ASCII word chars, runs of non-word
@@ -370,6 +387,7 @@ def _build_pagerank(sf_dir: str) -> None:
 _BUILDERS = {
     "sim_order": _build_sim,
     "sim_payload": _build_sim,
+    "sim_order_recency": _build_sim_recency,
     "naive_fingerprint": _build_naive_text,
     "naive_simhash": _build_naive_text,
     "audio_seq": _build_media_seq,
