@@ -195,13 +195,14 @@ def test_parity_under_candidate_truncation(tmp_path):
 
 def test_parity_torture_authority_truncation_resume(tmp_path):
     """Every adversarial regime at once: authority tie-break ON,
-    per-partition candidates far exceeding wave_size (13 hosts x
-    budget 2 >> wave_size 5 — the regime of round 3's latent
-    rank-compaction bug), dead links, delta backlog checkpoints
-    crossing two compaction boundaries (backlog_full_every=3 over 16
-    waves), and a kill+resume from a DELTA wave between compactions.
-    Both the uninterrupted and the resumed run must stay
-    byte-identical to the sequential oracle."""
+    recency wave-age score term ON (so resume must anchor candidate
+    ages at manifest.wave+1, not 0), per-partition candidates far
+    exceeding wave_size (13 hosts x budget 2 >> wave_size 5 — the
+    regime of round 3's latent rank-compaction bug), dead links, delta
+    backlog checkpoints crossing two compaction boundaries
+    (backlog_full_every=3 over 16 waves), and a kill+resume from a
+    DELTA wave between compactions.  Both the uninterrupted and the
+    resumed run must stay byte-identical to the sequential oracle."""
     from dataclasses import replace
 
     from cs_insights_crawler_ray.functions.urls import canonicalize_url
@@ -220,7 +221,7 @@ def test_parity_torture_authority_truncation_resume(tmp_path):
     cfg = CrawlConfig(
         store=store, n_seeds=18, host_budget=2, wave_size=5,
         n_waves=16, max_depth=9, n_shards=3, backlog_full_every=3,
-        authority=auth,
+        authority=auth, recency_weight=0.75,
     )
     full_dir, res_dir = str(tmp_path / "full"), str(tmp_path / "res")
     run_crawl(cfg, full_dir)
@@ -231,11 +232,12 @@ def test_parity_torture_authority_truncation_resume(tmp_path):
         log = read_crawl_log(out)
         eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
         assert eng == sim.crawl_log, f"{out} diverged from oracle"
-    # the authority signal is live in this config, not a no-op
-    plain = simulate(replace(cfg, authority=None))
-    assert [u for _, u, _, _ in sim.crawl_log] != [
-        u for _, u, _, _ in plain.crawl_log
-    ]
+    # both signals are live in this config, not no-ops
+    plain = simulate(replace(cfg, authority=None, recency_weight=0.0))
+    no_rec = simulate(replace(cfg, recency_weight=0.0))
+    urls = [u for _, u, _, _ in sim.crawl_log]
+    assert urls != [u for _, u, _, _ in plain.crawl_log]
+    assert urls != [u for _, u, _, _ in no_rec.crawl_log]
 
 
 @pytest.mark.parametrize("seed", [101, 202, 303])
