@@ -110,20 +110,26 @@ def ensure(kind: str, sf_dir: str) -> str:
     return str(path)
 
 
+def _order_table(crawl_log) -> pa.Table:
+    """Simulator crawl log -> the order-artifact schema (shared by
+    sim_order and sim_order_recency so the two oracles cannot drift)."""
+    return pa.table(
+        {
+            "fetch_seq": pa.array([r[0] for r in crawl_log], pa.int64()),
+            "url_canon": pa.array([r[1] for r in crawl_log], pa.string()),
+            "depth": pa.array([r[2] for r in crawl_log], pa.int32()),
+            "status": pa.array([r[3] for r in crawl_log], pa.string()),
+        }
+    )
+
+
 def _build_sim(sf_dir: str) -> None:
     """q30/q31: serial simulator replay of the exact crawl config."""
     from .crawl_queries import _cfg_for
     from .oracle_sim import simulate
 
     res = simulate(_cfg_for(sf_dir))
-    order = pa.table(
-        {
-            "fetch_seq": pa.array([r[0] for r in res.crawl_log], pa.int64()),
-            "url_canon": pa.array([r[1] for r in res.crawl_log], pa.string()),
-            "depth": pa.array([r[2] for r in res.crawl_log], pa.int32()),
-            "status": pa.array([r[3] for r in res.crawl_log], pa.string()),
-        }
-    )
+    order = _order_table(res.crawl_log)
     rows = sorted(res.payload.values(), key=lambda r: r["image_id"])
     payload = pa.table(
         {
@@ -145,15 +151,7 @@ def _build_sim_recency(sf_dir: str) -> None:
     from .oracle_sim import simulate
 
     res = simulate(_recency_cfg(sf_dir))
-    order = pa.table(
-        {
-            "fetch_seq": pa.array([r[0] for r in res.crawl_log], pa.int64()),
-            "url_canon": pa.array([r[1] for r in res.crawl_log], pa.string()),
-            "depth": pa.array([r[2] for r in res.crawl_log], pa.int32()),
-            "status": pa.array([r[3] for r in res.crawl_log], pa.string()),
-        }
-    )
-    write_atomic(order, "sim_order_recency", sf_dir)
+    write_atomic(_order_table(res.crawl_log), "sim_order_recency", sf_dir)
 
 
 def _naive_bpeish_count(s: str) -> int:

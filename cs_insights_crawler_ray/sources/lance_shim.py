@@ -156,7 +156,22 @@ class LanceDataset:
                 return f
         raise KeyError(f"fragment {fragment_id} not in version {self.version}")
 
-    def scanner(self, fragments=None, columns=None, **_ignored) -> _Scanner:
+    def scanner(self, fragments=None, columns=None, filter=None,
+                **options) -> _Scanner:
+        # A silently-unfiltered scan would corrupt results downstream:
+        # Ray's LanceDatasource forwards read_lance(filter=...) /
+        # user scanner_options verbatim, so anything this shim cannot
+        # evaluate must raise loudly instead of being swallowed.
+        if filter is not None:
+            raise NotImplementedError(
+                "lance_shim scanner does not evaluate filters; install "
+                "pylance for filtered reads"
+            )
+        unsupported = sorted(k for k, v in options.items() if v is not None)
+        if unsupported:
+            raise NotImplementedError(
+                f"lance_shim scanner options not supported: {unsupported}"
+            )
         return _Scanner(
             fragments if fragments is not None else self._fragments(), columns
         )
@@ -166,10 +181,22 @@ class LanceDataset:
 
     @staticmethod
     def commit(uri, operation, read_version=None, storage_options=None):
-        """Atomic manifest commit (tmp file + rename): Overwrite starts
-        a fresh fragment list, Append extends the latest version's."""
+        """Atomic manifest commit: Overwrite starts a fresh fragment
+        list, Append extends the latest version's.  Conflict-detected
+        like real lance: ``read_version`` (Ray's sink reads it from
+        the dataset before appending) must still be the latest at
+        commit time, and the version file itself is created with an
+        exclusive link so two racing commits of the same next version
+        cannot both 'succeed' with one silently losing its fragments —
+        the loser raises and keeps its data files for a retry."""
         uri = str(uri)
         latest = _latest_manifest(uri)
+        latest_version = 0 if latest is None else int(latest["version"])
+        if read_version is not None and int(read_version) != latest_version:
+            raise OSError(
+                f"commit conflict at {uri}: read_version={read_version} "
+                f"but latest committed version is {latest_version}"
+            )
         if isinstance(operation, LanceOperation.Overwrite):
             frags: list[FragmentMetadata] = list(operation.fragments)
             schema_b64 = _schema_to_b64(operation.schema)
@@ -199,7 +226,16 @@ class LanceDataset:
         )
         tmp = vdir / f".v{version:06d}.json.tmp-{uuid.uuid4().hex}"
         tmp.write_text(payload)
-        os.replace(tmp, vdir / f"v{version:06d}.json")
+        target = vdir / f"v{version:06d}.json"
+        try:
+            os.link(tmp, target)  # exclusive: raises if a racer won
+        except FileExistsError:
+            raise OSError(
+                f"commit conflict at {uri}: version {version} was "
+                "committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return LanceDataset(uri)
 
 

@@ -232,11 +232,13 @@ def test_parity_torture_authority_truncation_resume(tmp_path):
         log = read_crawl_log(out)
         eng = list(zip(log["fetch_seq"], log["url_canon"], log["depth"], log["status"]))
         assert eng == sim.crawl_log, f"{out} diverged from oracle"
-    # both signals are live in this config, not no-ops
-    plain = simulate(replace(cfg, authority=None, recency_weight=0.0))
+    # each signal is ISOLATEDLY live in this config, not a no-op:
+    # dropping either one alone must change the order (so neither can
+    # silently regress to inert while the other keeps the diff alive)
+    no_auth = simulate(replace(cfg, authority=None))
     no_rec = simulate(replace(cfg, recency_weight=0.0))
     urls = [u for _, u, _, _ in sim.crawl_log]
-    assert urls != [u for _, u, _, _ in plain.crawl_log]
+    assert urls != [u for _, u, _, _ in no_auth.crawl_log]
     assert urls != [u for _, u, _, _ in no_rec.crawl_log]
 
 

@@ -229,6 +229,37 @@ want4 = pa.concat_tables([t0, t1, t3]).to_pandas().sort_values("image_id").reset
 assert back4.equals(want4), "parquet-backend partition dropped from the union"
 assert _count_payload_rows(str(Path(root, "wave=000003"))) == 100
 
+# review r04 #3: the shim must REFUSE scanner features it cannot
+# evaluate — Ray's LanceDatasource forwards read_lance(filter=...) and
+# user scanner_options verbatim, and a silently-unfiltered scan would
+# return wrong results rather than an error.
+ds0 = lance.dataset(out0)
+for bad_kwargs in ({{"filter": "fmt = 'png'"}}, {{"batch_size": 7}}):
+    try:
+        ds0.scanner(**bad_kwargs)
+        raise AssertionError(f"scanner swallowed {{bad_kwargs}}")
+    except NotImplementedError:
+        pass
+assert ds0.scanner(columns=["image_id"], filter=None) is not None
+
+# review r04 #4: commit conflicts must raise, not last-write-win — a
+# stale read_version (the version Ray's sink read before appending)
+# means another commit landed in between and appending its fragment
+# list would silently drop that commit's fragments.
+frags = lance.fragment.write_fragments(iter(t1.to_batches()), out0)
+try:
+    lance.LanceDataset.commit(
+        out0, lance.LanceOperation.Append(frags), read_version=999
+    )
+    raise AssertionError("stale read_version accepted")
+except OSError:
+    pass
+cur = lance.dataset(out0).version
+lance.LanceDataset.commit(
+    out0, lance.LanceOperation.Append(frags), read_version=cur
+)
+assert lance.dataset(out0).version == cur + 1
+
 print("LANCE_ROUNDTRIP_OK")
 ray.shutdown()
 '''
