@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--seed", type=int, default=42)
     cr.add_argument("--features", action="store_true",
                     help="enable the feature/embedding extraction stage")
+    cr.add_argument("--recency-weight", type=float, default=0.0,
+                    help="deterministic recency score term: score += w * "
+                         "(wave - disc_wave); positive = freshness-first, "
+                         "0 = off (bit-identical to the two-term order)")
 
     args = ap.parse_args(argv)
 
@@ -130,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_waves=args.waves,
                 n_shards=args.shards,
                 extract_features=args.features,
+                recency_weight=args.recency_weight,
             )
             metrics = run_crawl(cfg, args.out_dir, resume=args.resume)
             print(json.dumps({"cumulative": metrics["cumulative"],
