@@ -418,8 +418,15 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         # verify in plain Ray tasks over chunks — a Dataset's fixed
         # per-stage cost (~0.3s) dwarfs this work at small pair counts
         n_chunks = max(1, min(32, len(pdf) // 2048 + 1))
+        # explicit iloc boundary slices (np.array_split on a DataFrame
+        # rides the deprecated DataFrame.swapaxes and breaks on
+        # pandas 3.x)
+        bounds = (np.arange(n_chunks + 1, dtype=np.int64) * len(pdf)) // n_chunks
         chunks = ray.get(
-            [verify_chunk.remote(c) for c in np.array_split(pdf, n_chunks)]
+            [
+                verify_chunk.remote(pdf.iloc[bounds[i]: bounds[i + 1]])
+                for i in range(n_chunks)
+            ]
         )
         out = pd.concat(chunks, ignore_index=True)
         schema = pa.schema(
@@ -436,9 +443,15 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     tb = docs.map_batches(
         lambda t: t.rename_columns(["b", "text_b"]), batch_format="pyarrow"
     )
+    # cluster-sized partitions: this branch only runs ABOVE the
+    # broadcast pair limit (the scale path), where a hardcoded
+    # num_partitions=2 would serialize the join on two aggregators
+    # exactly when the data is largest (connected_components sizes
+    # its joins the same way)
+    npart = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
     joined = cand.join(
-        ta, join_type="inner", num_partitions=2, on=("a",), **JOIN_ARGS
-    ).join(tb, join_type="inner", num_partitions=2, on=("b",), **JOIN_ARGS)
+        ta, join_type="inner", num_partitions=npart, on=("a",), **JOIN_ARGS
+    ).join(tb, join_type="inner", num_partitions=npart, on=("b",), **JOIN_ARGS)
 
     def verify(bt: pd.DataFrame) -> pd.DataFrame:
         text_of = dict(zip(bt["a"], bt["text_a"]))
@@ -470,12 +483,10 @@ def simhash64(text: str) -> int:
 
 
 def hamming64_np(a: np.ndarray, b: int) -> np.ndarray:
-    x = (a.astype(np.int64) ^ np.int64(b)).astype(np.uint64)
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    """Hamming distance of an int64 array vs one signature — thin
+    alias over the table-lookup popcount (the old 64-iteration shift
+    loop this replaced was ~16x slower and invited accidental reuse)."""
+    return _popcount64((a.astype(np.int64) ^ np.int64(b)).astype(np.uint64))
 
 
 # 16-bit popcount lookup (64 KiB, built once per process): four table

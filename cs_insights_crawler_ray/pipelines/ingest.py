@@ -58,7 +58,7 @@ BROADCAST_META_ROW_LIMIT = 200_000
 _N_MERGE_PARTS = 32
 
 
-def _read_jsonl_gz(files: list[str]) -> rd.Dataset:
+def _read_jsonl_gz(files: list[str], with_seq: bool = False) -> rd.Dataset:
     """Release-file reader, Arrow-native (VERDICT r02 #5): one task per
     file (the reference's unit of work, s2processor.py:57-68), each
     running ``pyarrow.json.read_json`` over a gzip CompressedInputStream
@@ -69,27 +69,52 @@ def _read_jsonl_gz(files: list[str]) -> rd.Dataset:
     Arrow cannot unify (dynamic-schema drift — the reference's ``.get``
     world, s2processor.py:144-150) falls back to the per-line Python
     parser as a pandas object-column block; downstream stages consume
-    pandas batches either way, so the two block kinds are equivalent."""
+    pandas batches either way, so the two block kinds are equivalent.
+
+    ``with_seq``: emit a ``_seq`` int64 column — (file index << 40) +
+    row offset, the row's position in deterministic file order.  Rows
+    that later ride a hash shuffle lose their arrival order, so any
+    last-writer-wins semantics downstream must key on ``_seq``, never
+    on post-exchange row order (CLAUDE.md: ordering is data)."""
 
     def parse(batch: pa.Table):
         import pyarrow.json as paj
 
         opts = paj.ReadOptions(use_threads=False, block_size=8 << 20)
-        for path in batch["path"].to_pylist():
+        idxs = batch["idx"].to_pylist()
+        offs = [0] * len(idxs)
+
+        def stamp(n: int, k: int):
+            s = np.arange(n, dtype=np.int64) + (
+                (int(idxs[k]) << 40) + offs[k]
+            )
+            offs[k] += n
+            return s
+
+        for k, path in enumerate(batch["path"].to_pylist()):
             try:
                 with pa.OSFile(path, "rb") as raw, pa.CompressedInputStream(
                     raw, "gzip"
                 ) as f:
-                    yield paj.read_json(f, read_options=opts)
+                    t = paj.read_json(f, read_options=opts)
+                if with_seq:
+                    t = t.append_column(
+                        "_seq", pa.array(stamp(t.num_rows, k), pa.int64())
+                    )
+                yield t
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 with gzip.open(path, "rt") as f:
                     rows = [json.loads(line) for line in f]
                 if rows:
-                    yield pd.DataFrame.from_records(rows)
+                    df = pd.DataFrame.from_records(rows)
+                    if with_seq:
+                        df["_seq"] = stamp(len(df), k)
+                    yield df
 
     paths = sorted(files)
     return rd.from_items(
-        [{"path": p} for p in paths], override_num_blocks=max(1, len(paths))
+        [{"path": p, "idx": i} for i, p in enumerate(paths)],
+        override_num_blocks=max(1, len(paths)),
     ).map_batches(parse, batch_format="pyarrow")
 
 
@@ -112,11 +137,17 @@ def promote_externalids_batch(b: pd.DataFrame) -> pd.DataFrame:
     if "openaccessinfo" not in b.columns:
         return b
     oa = b["openaccessinfo"]
-    mask = oa.map(lambda v: bool(v and v.get("externalids")))
+    # isinstance guard: the per-line fallback parser (from_records on
+    # ragged rows) fills missing cells with float NaN, which is truthy
+    # and has no .get — a bare `v and v.get(...)` crashes on exactly
+    # the dynamic-schema files the fallback exists for
+    mask = oa.map(lambda v: isinstance(v, dict) and bool(v.get("externalids")))
     if not mask.any():
         return b
     b = b.copy()
-    promoted = oa.map(lambda v: (v or {}).get("externalids"))
+    promoted = oa.map(
+        lambda v: v.get("externalids") if isinstance(v, dict) else None
+    )
     if "externalids" in b.columns:
         b["externalids"] = b["externalids"].where(~mask, promoted)
     else:
@@ -131,7 +162,9 @@ def source_filter(doc: dict, filters: tuple[str, ...]) -> bool:
     the reference)."""
     if not filters:
         return True
-    ext = doc.get("externalids") or {}
+    ext = doc.get("externalids")
+    if not isinstance(ext, dict):
+        return False
     return any(ext.get(f) is not None for f in filters)
 
 
@@ -144,7 +177,10 @@ def source_filter_batch(filters: tuple[str, ...]):
         if "externalids" not in b.columns:
             return b.iloc[0:0]
         keep = b["externalids"].map(
-            lambda e: any((e or {}).get(x) is not None for x in filters)
+            # isinstance: NaN cells from the fallback parser (see
+            # promote_externalids_batch) must filter out, not crash
+            lambda e: isinstance(e, dict)
+            and any(e.get(x) is not None for x in filters)
         )
         return b[keep]
 
@@ -165,7 +201,7 @@ def _listify_object_cells(b: pd.DataFrame) -> pd.DataFrame:
 
 def _meta_fields(meta: rd.Dataset) -> list[str]:
     cols = meta.schema().names
-    return [c for c in cols if c != "corpusid"]
+    return [c for c in cols if c not in ("corpusid", "_seq")]
 
 
 def _merge_meta_broadcast(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
@@ -175,17 +211,26 @@ def _merge_meta_broadcast(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
     data papers/metadata fields are disjoint except the join key."""
     fields = _meta_fields(meta)
     # vectorized LUT build (ADVICE r02: iterrows() was a per-row driver
-    # loop over up to BROADCAST_META_ROW_LIMIT rows); dict insertion
-    # order preserves the reference's last-wins on duplicate corpusids
-    lut: dict = {}
-    for bt in meta.iter_batches(batch_format="pandas"):
-        # within-batch last + across-batch dict.update = global last-wins
-        # (to_dict('index') requires a unique index)
-        lut.update(
-            bt.drop_duplicates("corpusid", keep="last")
-            .set_index("corpusid")[fields]
-            .to_dict("index")
-        )
+    # loop over up to BROADCAST_META_ROW_LIMIT rows).  Last-wins on
+    # duplicate corpusids keys on the _seq column (file-order row
+    # stamp) when present: the meta Dataset may have ridden a semi-
+    # JOIN exchange on the no-broadcast-keys path, after which batch
+    # arrival order is interleaving, not data — sorting by _seq makes
+    # "last" mean last-in-file-order, the reference's
+    # d[corpusid].update() semantics (s2processor.py:114-118)
+    frames = list(meta.iter_batches(batch_format="pandas"))
+    mt = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["corpusid"] + fields)
+    )
+    if "_seq" in mt.columns:
+        mt = mt.sort_values("_seq", kind="mergesort")
+    lut = (
+        mt.drop_duplicates("corpusid", keep="last")
+        .set_index("corpusid")[fields]
+        .to_dict("index")
+    )
     ref = ray.put(lut)
 
     def merge_bc(b: pd.DataFrame) -> pd.DataFrame:
@@ -230,16 +275,31 @@ def _merge_meta_shuffle(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["_side"] == "p"].drop(
-            columns=["_part", "_side"] + new_fields  # drop null placeholders
+            # null placeholders + the meta-side row stamp
+            columns=["_part", "_side", "_seq"] + new_fields,
+            errors="ignore",
         )
         if not new_fields:
             return p
         # last-wins on duplicate metadata corpusids (ADVICE r02: a left
         # merge would emit one row per duplicate, diverging from the
         # broadcast path's dict semantics and the reference's
-        # d[corpusid].update() last-writer-wins, s2processor.py:114-118)
-        m = g[g["_side"] == "m"].drop_duplicates("corpusid", keep="last")
-        return p.merge(m[["corpusid"] + new_fields], on="corpusid", how="left")
+        # d[corpusid].update() last-writer-wins, s2processor.py:114-118).
+        # "last" = largest _seq (file-order row stamp): rows arrive here
+        # out of a hash exchange whose order is task interleaving, so
+        # positional keep="last" alone would be run-dependent.
+        m = g[g["_side"] == "m"]
+        if "_seq" in m.columns:
+            m = m.sort_values("_seq", kind="mergesort")
+        m = m.drop_duplicates("corpusid", keep="last")
+        res = p.merge(m[["corpusid"] + new_fields], on="corpusid", how="left")
+        # missing meta = None, matching the broadcast path's dict.get
+        # (pandas' left merge fills float NaN, which is truthy and
+        # serializes differently)
+        for f in new_fields:
+            col = res[f]
+            res[f] = col.astype(object).where(col.notna(), None)
+        return res
 
     # union requires aligned schemas: give each side the other's
     # missing columns as nulls
@@ -300,7 +360,7 @@ def ingest_release(
         files = [str(p) for p in sorted(cache.glob(f"{table}*.jsonl.gz"))]
         if not files:
             continue
-        meta = _read_jsonl_gz(files)
+        meta = _read_jsonl_gz(files, with_seq=True)
         if broadcast_keys:
             meta = meta.map_batches(
                 lambda b: b[b["corpusid"].isin(bget(cid_ref))],
@@ -337,8 +397,10 @@ def ingest_release(
             ids = [
                 a["authorId"]
                 for lst in b["authors"]
-                for a in (lst if lst is not None and len(lst) else [])
-                if a.get("authorId") is not None
+                # list/ndarray only: None and float-NaN cells (the
+                # fallback parser's missing-column fill) have no len()
+                for a in (lst if isinstance(lst, (list, np.ndarray)) else [])
+                if isinstance(a, dict) and a.get("authorId") is not None
             ]
             return pd.DataFrame({"authorId": pd.Series(sorted(set(ids)), dtype="object")})
 
@@ -378,6 +440,12 @@ def ingest_release(
         from ..sources.sinks import clear_partition
 
         for name, ds in out.items():
+            # materialize once: each output is a lazy pipeline, and the
+            # two sinks (plus the caller's own consumption of the
+            # returned Dataset) would otherwise re-run the whole
+            # read+parse+join lineage per sink
+            ds = ds.materialize()
+            out[name] = ds
             jp, cp = f"{out_dir}/{name}_jsonl", f"{out_dir}/{name}_csv"
             clear_partition(jp), clear_partition(cp)
             ds.write_json(jp)

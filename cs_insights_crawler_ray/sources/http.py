@@ -24,6 +24,7 @@ works (and is contract-tested) without the library installed.
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from pathlib import Path
 
@@ -83,7 +84,12 @@ class HttpFetcher:
         (the S7 cached-download shape: the caller owns cache-hit
         logic; this owns transport + integrity)."""
         path = Path(path)
-        tmp = path.with_suffix(path.suffix + ".tmp")
+        # unique per process+object: two workers fetching the same
+        # target must not truncate each other's partial tmp file (the
+        # later rename is last-wins over COMPLETE, verified downloads)
+        tmp = path.with_suffix(
+            path.suffix + f".tmp.{os.getpid()}.{id(self):x}"
+        )
 
         def attempt() -> "hashlib._Hash":
             h = hashlib.md5()

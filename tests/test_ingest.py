@@ -127,3 +127,91 @@ def test_ingest_shuffle_path_matches_broadcast(release_dir, monkeypatch):
 
     eng_authors = {r["authorid"]: r for r in out["authors"].take_all()}
     assert set(eng_authors.keys()) == {a["authorid"] for a in ora_authors}
+
+    # review r04: the two adaptive paths must agree on EVERY field of
+    # EVERY row — including fields the oracle row lacks (a missing
+    # abstract was None on the broadcast path but pandas-NaN on the
+    # shuffle path, invisible to the oracle-keyed loop above)
+    monkeypatch.setattr(I, "BROADCAST_KEY_LIMIT", 1 << 30)
+    monkeypatch.setattr(I, "BROADCAST_META_ROW_LIMIT", 1 << 30)
+    bc_rows = {r["corpusid"]: r for r in ingest_release(release_dir)["papers"].take_all()}
+    assert set(bc_rows) == set(eng_rows)
+    for cid, bc in bc_rows.items():
+        sh = eng_rows[cid]
+        assert set(bc) == set(sh), f"corpusid {cid}: column sets differ"
+        for k, v in bc.items():
+            sv = sh[k]
+            if k == "authors":
+                v = [dict(a) for a in (v or [])]
+                sv = [dict(a) for a in (sv or [])]
+            assert sv == v or (sv is None and v is None), (
+                f"corpusid {cid} field {k}: shuffle {sv!r} != broadcast {v!r}"
+            )
+
+
+def test_ingest_ragged_schema_fallback(tmp_path):
+    """Review r04: the per-line fallback parser (type-conflicting rows
+    Arrow cannot unify) yields pandas frames whose missing cells are
+    float NaN — truthy, no .get/.len — and the batch kernels must
+    treat them as absent, not crash.  End-to-end over a hand-built
+    release where openaccessinfo flips dict->string (forcing the
+    fallback) and rows lack authors/externalids entirely."""
+    import gzip as _gz
+    import json as _json
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+
+    def jl(name, rows):
+        with _gz.open(cache / name, "wt") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    jl("papers1.jsonl.gz", [
+        {"corpusid": 1, "externalids": {"DBLP": "x"}, "title": "t1",
+         "authors": [{"authorId": "a1"}]},
+        # promoted via openaccessinfo; NO authors / externalids keys
+        {"corpusid": 2, "title": "t2",
+         "openaccessinfo": {"externalids": {"DBLP": "y"}}},
+        # string openaccessinfo: the Arrow type conflict that forces
+        # the fallback; no ids anywhere -> filtered out
+        {"corpusid": 3, "title": "t3", "openaccessinfo": "closed"},
+    ])
+    jl("abstracts1.jsonl.gz", [
+        {"corpusid": 1, "abstract": "A"},
+        {"corpusid": 2, "abstract": "B"},
+        {"corpusid": 3, "abstract": "C"},
+    ])
+    jl("authors1.jsonl.gz", [
+        {"authorid": "a1", "url": "u1", "name": "n1"},
+        {"authorid": "zz", "url": "u2", "name": "n2"},
+    ])
+
+    out = ingest_release(str(cache))
+    rows = {r["corpusid"]: r for r in out["papers"].take_all()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["externalids"]["DBLP"] == "y"
+    assert rows[1]["abstract"] == "A" and rows[2]["abstract"] == "B"
+    authors = out["authors"].take_all()
+    assert [a["authorid"] for a in authors] == ["a1"]
+    assert authors[0]["s2url"] == "u1"
+
+
+def test_batch_kernels_nan_cells():
+    """The vectorized F5/F6 kernels on a from_records frame with NaN
+    holes (the exact shape the fallback parser emits)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.ingest import (
+        promote_externalids_batch, source_filter_batch, source_filter)
+
+    b = pd.DataFrame.from_records([
+        {"corpusid": 1, "externalids": {"DBLP": "x"}},
+        {"corpusid": 2, "openaccessinfo": {"externalids": {"DBLP": "y"}}},
+        {"corpusid": 3},
+    ])
+    p = promote_externalids_batch(b)
+    kept = source_filter_batch(("DBLP",))(p)
+    assert sorted(kept["corpusid"]) == [1, 2]
+    # scalar form mirrors (NaN externalids -> excluded, not a crash)
+    assert source_filter({"externalids": float("nan")}, ("DBLP",)) is False
