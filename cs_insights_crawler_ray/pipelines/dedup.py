@@ -42,6 +42,33 @@ def _fold32(g: np.ndarray) -> np.ndarray:
     return (g ^ (g >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
 
 
+def _identity(g: np.ndarray) -> np.ndarray:
+    return g
+
+
+def _rolled(th: np.ndarray, n: int) -> np.ndarray:
+    """Rolling polynomial over every full n-window of a uint64
+    token-hash array (len(th) >= n): entry j mixes tokens j..j+n-1."""
+    with np.errstate(over="ignore"):
+        g = th[: len(th) - (n - 1)].copy()
+        for k in range(1, n):
+            g = g * _MIX_B + th[k : len(th) - (n - 1) + k]
+    return g
+
+
+def _short_gram(th: np.ndarray, fold) -> np.ndarray:
+    """Shorter-than-n docs hash their whole token stream as ONE gram
+    (mirroring the joined-string gram of the naive form); empty docs
+    get the single sentinel gram 0."""
+    if len(th) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.uint64(0)
+        for h in th:
+            acc = acc * _MIX_B + h
+    return fold(np.array([acc], dtype=np.uint64))
+
+
 def _grams_from_token_hashes(th: np.ndarray, n: int = _SHINGLE_N) -> np.ndarray:
     """uint64 token-hash array -> uint64 shingle-hash array (<2^32).
 
@@ -50,21 +77,10 @@ def _grams_from_token_hashes(th: np.ndarray, n: int = _SHINGLE_N) -> np.ndarray:
     crc32 of the joined string: distinctness is the same (tokens are
     whitespace-free, so the tuple<->string map is injective) and the
     computation vectorizes — hashing per-gram STRINGS was the single
-    most expensive stage in the round-1 bench (VERDICT r01 #4).
-    Shorter-than-n docs hash the whole token stream as one gram;
-    empty docs get the single sentinel gram 0 (as before)."""
-    if len(th) == 0:
-        return np.zeros(1, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        if len(th) < n:
-            acc = np.uint64(0)
-            for h in th:
-                acc = acc * _MIX_B + h
-            return _fold32(np.array([acc], dtype=np.uint64))
-        g = th[: len(th) - (n - 1)].copy()
-        for k in range(1, n):
-            g = g * _MIX_B + th[k : len(th) - (n - 1) + k]
-        return _fold32(g)
+    most expensive stage in the round-1 bench (VERDICT r01 #4)."""
+    if len(th) < n:
+        return _short_gram(th, _fold32)
+    return _fold32(_rolled(th, n))
 
 
 def _shingle_hashes(text: str, n: int = _SHINGLE_N) -> np.ndarray:
@@ -75,36 +91,51 @@ def _shingle_hashes(text: str, n: int = _SHINGLE_N) -> np.ndarray:
     return _grams_from_token_hashes(th, n)
 
 
-def _batch_gram_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized batch shingling: one flat uint64 gram-hash array plus
-    per-doc gram counts (every doc contributes >= 1 gram).
+def _hash_tokens_crc32(uniq: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) for u in uniq),
+        dtype=np.uint64, count=len(uniq),
+    )
+
+
+def _hash_tokens_crc_adler64(uniq: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (
+            zlib.crc32(b) | (zlib.adler32(b) << 32)
+            for b in (u.encode("utf-8") for u in uniq)
+        ),
+        dtype=np.uint64, count=len(uniq),
+    )
+
+
+def _batch_grams_core(
+    texts: list[str], n: int, token_hash_fn, fold
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE vectorized batch-shingling kernel parameterized by the
+    token hash and the final fold (the 32- and 64-bit variants below
+    were three drifting near-copies of this body): flat uint64
+    gram-hash array + per-doc gram counts (every doc >= 1 gram).
 
     Token hashing touches Python only for the UNIQUE tokens of the
-    batch (np.unique + one crc32 per unique token); the per-doc rolling
+    batch (np.unique + one checksum per unique token); the rolling
     polynomial runs once over the flat token-hash array and is sliced
     per doc (boundary-crossing windows discarded), so the hot path is
     numpy end to end."""
     tok_lists = [t.split() for t in texts]
     flat_tokens: list[str] = list(itertools.chain.from_iterable(tok_lists))
     if flat_tokens:
-        uniq, inv = np.unique(np.asarray(flat_tokens, dtype=object), return_inverse=True)
-        uh = np.fromiter(
-            (zlib.crc32(u.encode("utf-8")) for u in uniq), dtype=np.uint64, count=len(uniq)
+        uniq, inv = np.unique(
+            np.asarray(flat_tokens, dtype=object), return_inverse=True
         )
-        th_flat = uh[inv]
+        th_flat = token_hash_fn(uniq)[inv]
     else:
         th_flat = np.zeros(0, dtype=np.uint64)
 
-    n = _SHINGLE_N
-    # global rolling polynomial; entry j mixes tokens j..j+n-1
-    if len(th_flat) >= n:
-        with np.errstate(over="ignore"):
-            g_flat = th_flat[: len(th_flat) - (n - 1)].copy()
-            for k in range(1, n):
-                g_flat = g_flat * _MIX_B + th_flat[k : len(th_flat) - (n - 1) + k]
-        g_flat = _fold32(g_flat)
-    else:
-        g_flat = np.zeros(0, dtype=np.uint64)
+    g_flat = (
+        fold(_rolled(th_flat, n))
+        if len(th_flat) >= n
+        else np.zeros(0, dtype=np.uint64)
+    )
 
     per_doc: list[np.ndarray] = []
     off = 0
@@ -112,11 +143,17 @@ def _batch_gram_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         m = len(toks)
         if m >= n:
             per_doc.append(g_flat[off : off + m - (n - 1)])
-        else:  # rare path: short/empty docs fall back to the scalar form
-            per_doc.append(_grams_from_token_hashes(th_flat[off : off + m], n))
+        else:  # rare path: short/empty docs
+            per_doc.append(_short_gram(th_flat[off : off + m], fold))
         off += m
     counts = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=len(per_doc))
     return np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.uint64), counts
+
+
+def _batch_gram_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """32-bit batch shingling (crc32 tokens, folded grams — the
+    MinHash signature arithmetic relies on grams < 2^32)."""
+    return _batch_grams_core(texts, _SHINGLE_N, _hash_tokens_crc32, _fold32)
 
 
 
@@ -791,11 +828,16 @@ def q23b_embedding_neardup_exact(sf_dir: str, threshold: float = 0.45) -> pa.Tab
         vid = b["vec_id"].to_numpy()
         cos = vecs @ g_mat.T  # (batch, n)
         ii, jj = np.nonzero((cos >= threshold) & (vid[:, None] < g_ids[None, :]))
+        kept = cos[ii, jj]
         return pd.DataFrame(
             {
                 "a": vid[ii].astype(np.int64),
                 "b": g_ids[jj].astype(np.int64),
-                "cos": np.round(cos[ii, jj], 6),
+                # half-away-from-zero like DuckDB's round() — np.round
+                # is banker's (half-to-even), which flips the value
+                # hash on an exact x.xxxxx5 boundary (the _round6_half_up
+                # flake class); kept values are >= threshold > 0
+                "cos": np.floor(kept * 1e6 + 0.5) / 1e6,
             }
         )
 
@@ -995,56 +1037,10 @@ def _gram_set(text: str) -> set:
 def _batch_gram_hashes64(
     texts: list[str], n: int = _SHINGLE_N
 ) -> tuple[np.ndarray, np.ndarray]:
-    """64-bit variant of _batch_gram_hashes: token hash = crc32 low
-    half | adler32 high half (two zlib checksums per UNIQUE token),
-    rolling polynomial left unfolded.  Same vectorized shape — numpy
-    end to end past the unique-token loop; empty docs get sentinel
-    gram 0, shorter-than-n docs hash their whole token stream as one
-    gram (mirroring _gram_set's single joined gram)."""
-    tok_lists = [t.split() for t in texts]
-    flat_tokens: list[str] = list(itertools.chain.from_iterable(tok_lists))
-    if flat_tokens:
-        uniq, inv = np.unique(np.asarray(flat_tokens, dtype=object), return_inverse=True)
-        uh = np.fromiter(
-            (
-                zlib.crc32(b) | (zlib.adler32(b) << 32)
-                for b in (u.encode("utf-8") for u in uniq)
-            ),
-            dtype=np.uint64,
-            count=len(uniq),
-        )
-        th_flat = uh[inv]
-    else:
-        th_flat = np.zeros(0, dtype=np.uint64)
-
-    if len(th_flat) >= n:
-        with np.errstate(over="ignore"):
-            g_flat = th_flat[: len(th_flat) - (n - 1)].copy()
-            for k in range(1, n):
-                g_flat = g_flat * _MIX_B + th_flat[k : len(th_flat) - (n - 1) + k]
-    else:
-        g_flat = np.zeros(0, dtype=np.uint64)
-
-    per_doc: list[np.ndarray] = []
-    off = 0
-    for toks in tok_lists:
-        m = len(toks)
-        if m >= n:
-            per_doc.append(g_flat[off : off + m - (n - 1)])
-        elif m == 0:
-            per_doc.append(np.zeros(1, dtype=np.uint64))
-        else:  # short doc: whole token stream as one gram
-            with np.errstate(over="ignore"):
-                acc = np.uint64(0)
-                for h in th_flat[off : off + m]:
-                    acc = acc * _MIX_B + h
-            per_doc.append(np.array([acc], dtype=np.uint64))
-        off += m
-    counts = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=len(per_doc))
-    return (
-        np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.uint64),
-        counts,
-    )
+    """64-bit batch shingling (q61): token hash = crc32 low half |
+    adler32 high half (two zlib checksums per UNIQUE token), rolling
+    polynomial left unfolded — same core kernel as _batch_gram_hashes."""
+    return _batch_grams_core(texts, n, _hash_tokens_crc_adler64, _identity)
 
 
 def q61_decontaminate(sf_dir: str, eval_mod: int = 97) -> rd.Dataset:
