@@ -40,7 +40,9 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(N_QUERIES)))
     ids = tbl["vec_id"].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # clip like every scorer: an all-zero query row must not become
+    # NaN (NaN cosines poison the heap-merge tuple comparisons)
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
     return ids, mat
 
 
@@ -69,8 +71,12 @@ class _BruteScorer:
             if idx.size == 0:
                 continue
             k = min(TOP_K, idx.size)
-            # partial top-k within the batch — merged downstream
-            top = idx[np.argpartition(-col[idx], k - 1)[:k]]
+            # partial top-k within the batch — merged downstream.
+            # lexsort, not argpartition: exact-tie candidates at the
+            # k boundary (duplicate vectors) must keep the SMALLEST
+            # vec_id, the driver merge's tie-break — otherwise Ray's
+            # block split decides which tied row survives the partial
+            top = idx[np.lexsort((vid[idx], -col[idx]))[:k]]
             out.append(
                 pd.DataFrame({"qid": qid, "vec_id": vid[top], "cos": col[top]})
             )
@@ -145,7 +151,8 @@ class _LSHScorer:
                 continue
             cos = vecs[cand] @ self.q[qi]
             k = min(TOP_K, cand.size)
-            top = cand[np.argpartition(-cos, k - 1)[:k]]
+            # tie-deterministic partial (see _BruteScorer)
+            top = cand[np.lexsort((vid[cand], -cos))[:k]]
             out.append(pd.DataFrame({"qid": qid, "vec_id": vid[top],
                                      "cos": vecs[top] @ self.q[qi]}))
         return (
@@ -182,7 +189,8 @@ class _IVFScorer:
                 continue
             cos = vecs[cand] @ q[qi]
             k = min(TOP_K, cand.size)
-            top = cand[np.argpartition(-cos, k - 1)[:k]]
+            # tie-deterministic partial (see _BruteScorer)
+            top = cand[np.lexsort((vid[cand], -cos))[:k]]
             out.append(pd.DataFrame({"qid": qid, "vec_id": vid[top],
                                      "cos": vecs[top] @ q[qi]}))
         return (
@@ -440,6 +448,12 @@ def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
     qs = np.concatenate([q for _, q in mins if q.size], axis=0)
     order = np.argsort(ids)[:k]
     seed = qs[order]
+    if seed.shape[0] < k:
+        # fail loudly: the Lloyd partials are shaped (m, k, dsub+1), so
+        # a short seed would crash later with a mask shape mismatch
+        raise ValueError(
+            f"PQ needs >= k={k} rows; embeddings table has {seed.shape[0]}"
+        )
     d = seed.shape[1]
     dsub = d // m
     books = np.stack(

@@ -103,6 +103,13 @@ def _init_centroids_refs(refs: list, k: int) -> np.ndarray:
         .nsmallest(k, "vec_id")
         .sort_values("vec_id")
     )
+    if len(rows) < k:
+        # fail loudly: the Lloyd partials are shaped (k, d+1), so a
+        # short centroid matrix would crash later with an opaque
+        # boolean-mask shape mismatch
+        raise ValueError(
+            f"k-means needs >= k={k} rows; embeddings table has {len(rows)}"
+        )
     return quantize_embeddings(_stack_embeddings(rows["embedding"]))
 
 

@@ -22,6 +22,7 @@ order.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -625,7 +626,11 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         r["n_nationkey"]: r["n_name"]
         for r in _read(sf_dir, "nation").take_all()  # 25 rows — broadcast
     }
-    names = np.array([nation.get(i, "") for i in range(max(nation) + 1)], dtype=object)
+    # None sentinel for nationkey holes (review r04: `.get(i, "")`
+    # silently aggregated revenue under n_name='' on BOTH paths)
+    names = np.array(
+        [nation.get(i) for i in range(max(nation) + 1)], dtype=object
+    )
 
     cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).materialize()
     if cust_ds.count() <= BROADCAST_KEY_LIMIT:
@@ -653,10 +658,13 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
                     "(broken FK) — refusing to mis-attribute revenue"
                 )
             nk = nat[idx]
+            nmv = nm[nk]
+            if any(v is None for v in nmv):
+                raise KeyError("q21: c_nationkey not found in nation (broken FK)")
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
-                    "n_name": pa.array(nm[nk], pa.string()),
+                    "n_name": pa.array(nmv, pa.string()),
                 }
             )
 
@@ -669,12 +677,19 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
         ref = ray.put(names)
 
         def add_nation(t: pa.Table) -> pa.Table:
-            # broadcast dimension lookup, per-process cached — no pool
+            # broadcast dimension lookup, per-process cached — no pool.
+            # NOTE the custkey FK asymmetry across the adaptive switch:
+            # this inner join silently DROPS orders whose custkey is
+            # missing from customer, while the broadcast path raises;
+            # nationkey holes raise loudly on both paths (sentinel).
             nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            nmv = bget(ref)[nk]
+            if any(v is None for v in nmv):
+                raise KeyError("q21: c_nationkey not found in nation (broken FK)")
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
-                    "n_name": pa.array(bget(ref)[nk], pa.string()),
+                    "n_name": pa.array(nmv, pa.string()),
                 }
             )
 
@@ -1152,8 +1167,10 @@ def q45_supplier_volume(sf_dir: str) -> rd.Dataset:
     supp = {
         r["s_suppkey"]: r["s_name"] for r in _read(sf_dir, "supplier").take_all()
     }
+    # None sentinel so a suppkey hole fails loudly instead of
+    # aggregating revenue under s_name='' (review r04)
     names = np.array(
-        [supp.get(i, "") for i in range(max(supp) + 1)], dtype=object
+        [supp.get(i) for i in range(max(supp) + 1)], dtype=object
     )
     ref = ray.put(names)
 
@@ -1164,9 +1181,10 @@ def q45_supplier_volume(sf_dir: str) -> rd.Dataset:
             _fixed(t["l_extendedprice"], 100),
             pc.subtract(pa.scalar(100, pa.int64()), _fixed(t["l_discount"], 100)),
         )
-        return pa.table(
-            {"s_name": pa.array(bget(ref)[sk], pa.string()), "rev4": rev4}
-        )
+        nmv = bget(ref)[sk]
+        if any(v is None for v in nmv):
+            raise KeyError("q45: l_suppkey not found in supplier (broken FK)")
+        return pa.table({"s_name": pa.array(nmv, pa.string()), "rev4": rev4})
 
     return (
         _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
@@ -1275,9 +1293,19 @@ def q35_count_distinct(sf_dir: str) -> pa.Table:
         h = d["l_partkey"].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
             h = h * np.uint64(0x9E3779B97F4A7C15)
-            h ^= np.frombuffer(
-                "".join(d["l_returnflag"]).encode(), dtype=np.uint8
-            ).astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+            # value-based flag hash: crc32 per UNIQUE flag, scattered
+            # by inverse (review r04: the previous join-then-frombuffer
+            # encoded assumed every flag is exactly one ASCII byte and
+            # crashed with an opaque broadcast error otherwise; this is
+            # a pure function of the value, so partition assignment
+            # stays globally consistent across blocks)
+            flags = d["l_returnflag"].to_numpy(dtype=object)
+            uniq, inv = np.unique(flags, return_inverse=True)
+            fh = np.fromiter(
+                (zlib.crc32(str(u).encode("utf-8")) for u in uniq),
+                dtype=np.uint64, count=len(uniq),
+            )
+            h ^= fh[inv] * np.uint64(0xBF58476D1CE4E5B9)
         d = d.copy()
         d["_part"] = (h % np.uint64(32)).astype(np.int32)
         return d

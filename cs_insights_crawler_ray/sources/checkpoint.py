@@ -14,6 +14,7 @@ written before the rename.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
 
@@ -46,16 +47,47 @@ def commit_manifest(root: str, m: WaveManifest) -> str:
     p = m.path(root)
     p.parent.mkdir(parents=True, exist_ok=True)
     tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps(asdict(m), indent=1, sort_keys=True))
+    # fsync before the rename: a process kill is covered by the
+    # tmp+rename alone, but a power loss / fs crash can journal the
+    # rename while the data blocks never hit disk — a zero-length
+    # manifest on reboot would break the zero-refetch resume with no
+    # recovery path (review r04)
+    with open(tmp, "w") as f:
+        f.write(json.dumps(asdict(m), indent=1, sort_keys=True))
+        f.flush()
+        os.fsync(f.fileno())
     tmp.rename(p)  # atomic commit point
+    _fsync_dir(p.parent)
     return str(p)
+
+
+def _fsync_dir(d: Path) -> None:
+    """Persist a directory entry (the rename itself) across power loss;
+    best-effort on filesystems that refuse O_RDONLY dir fds."""
+    try:
+        fd = os.open(str(d), os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
+def _manifest_wave_of(path: Path) -> int:
+    return int(path.stem.replace("manifest_wave", ""))
 
 
 def latest_manifest(root: str) -> WaveManifest | None:
     p = Path(root)
     if not p.exists():
         return None
-    files = sorted(p.glob("manifest_wave*.json"))
+    # numeric sort, not lexicographic: %06d names invert past wave
+    # 999999 ('manifest_wave1000000' < 'manifest_wave0999999' as
+    # strings), which would resume from a stale wave forever
+    files = sorted(p.glob("manifest_wave*.json"), key=_manifest_wave_of)
     if not files:
         return None
     return WaveManifest(**json.loads(files[-1].read_text()))

@@ -38,6 +38,7 @@ barrier orders adds.
 
 from __future__ import annotations
 
+import os
 import pickle
 import time
 from pathlib import Path
@@ -463,6 +464,11 @@ class _SeenShardImpl:
         tmp = p.with_suffix(".tmp")
         with open(tmp, "wb") as f:
             pickle.dump(state, f, protocol=4)
+            # power-loss durability, same rationale as commit_manifest:
+            # the manifest referencing this snapshot must never outlive
+            # the snapshot's data blocks
+            f.flush()
+            os.fsync(f.fileno())
         tmp.rename(p)
         self._pending_deltas = []
         return str(p)
@@ -572,11 +578,16 @@ class ShardedSeenSet:
         are ignored — they were never referenced by a manifest)."""
         refs = []
         for m, a in enumerate(self.shards):
-            files = sorted(
+            # numeric replay order (lexicographic %06d names invert
+            # past wave 999999 — same fix as checkpoint.latest_manifest)
+            files = [
                 str(p)
-                for p in Path(directory).glob(f"seen_shard{m:04d}_wave*.pkl")
+                for p in sorted(
+                    Path(directory).glob(f"seen_shard{m:04d}_wave*.pkl"),
+                    key=lambda p: int(p.stem.rsplit("wave", 1)[1]),
+                )
                 if int(p.stem.rsplit("wave", 1)[1]) <= upto_wave
-            )
+            ]
             refs.append(a.restore.remote(files))
         ray.get(refs)
 
