@@ -435,9 +435,24 @@ def _pq_scan_block(blk, books: np.ndarray, qids: np.ndarray,
     )
 
 
+# (sf_dir, m, k, iters) -> (books, quantized block refs): q66 scans the
+# same quantized blocks the fit consumed — without this it re-read and
+# re-quantized the whole embeddings table right after pq_fit did
+# (review r04; same pattern as cluster._FIT_CACHE)
+_PQ_FIT_CACHE: dict[tuple, tuple] = {}
+
+
 def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
            iters: int = PQ_ITERS) -> np.ndarray:
     """(m, k, d/m) int64 codebooks via per-subspace Lloyd's."""
+    return _pq_fit_blocks(sf_dir, m, k, iters)[0]
+
+
+def _pq_fit_blocks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+                   iters: int = PQ_ITERS):
+    key = (sf_dir, m, k, iters)
+    if key in _PQ_FIT_CACHE:
+        return _PQ_FIT_CACHE[key]
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()
@@ -475,13 +490,14 @@ def pq_fit(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
         if np.array_equal(new_books, books):
             break
         books = new_books
-    return books
+    _PQ_FIT_CACHE[key] = (books, blks)
+    return books, blks
 
 
 def q66_pq_ann(sf_dir: str, top_k: int = TOP_K) -> pa.Table:
     from .cluster import quantize_embeddings
 
-    books = pq_fit(sf_dir)
+    books, blks = _pq_fit_blocks(sf_dir)
     # queries quantize UN-normalized like the stored vectors: read raw
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_
@@ -495,10 +511,6 @@ def q66_pq_ann(sf_dir: str, top_k: int = TOP_K) -> pa.Table:
         [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
     )
     qq = quantize_embeddings(raw)
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).materialize()
-    blks = [_pq_quant_block.remote(r) for r in ds.to_arrow_refs()]
     bref, qref = ray.put(books), ray.put(qq)
     parts = ray.get(
         [_pq_scan_block.remote(b, bref, raw_ids, qref, PQ_M, top_k) for b in blks]

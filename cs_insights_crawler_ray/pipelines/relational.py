@@ -465,15 +465,30 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
     # through a lookup that applies left-wins coalescing, then append
     # the left-only rows (left keys minus the right's key column —
     # both bounded) as one extra block.
-    lpdf = left.to_pandas().set_index("o_orderkey")
-    lref = ray.put((lpdf["val"].to_dict(), lpdf["o_orderstatus"].to_dict()))
+    lpdf = left.to_pandas().sort_values("o_orderkey")
+    lref = ray.put(
+        (
+            lpdf["o_orderkey"].to_numpy(np.int64),
+            lpdf["val"].to_numpy(np.float64),
+            lpdf["o_orderstatus"].to_numpy(dtype=object),
+        )
+    )
     right = right.materialize()
 
     def merge_right(t: pa.Table) -> pa.Table:
-        lval, lstat = bget(lref)
-        keys = t["l_orderkey"].to_pylist()
-        val_l = pa.array([lval.get(k) for k in keys], pa.float64())
-        stat = pa.array([lstat.get(k) for k in keys], pa.string())
+        # sorted-keys + searchsorted lookup (the q21 broadcast shape —
+        # review r04: the previous per-row dict .get loop cost seconds
+        # per task at the 2M-key broadcast ceiling)
+        lk, lv, ls = bget(lref)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        if lk.size:
+            idx = np.clip(np.searchsorted(lk, keys), 0, lk.size - 1)
+            hit = lk[idx] == keys
+            val_l = pa.array(lv[idx], pa.float64(), mask=~hit)
+            stat = pa.array(np.where(hit, ls[idx], None), pa.string())
+        else:
+            val_l = pa.nulls(len(keys), pa.float64())
+            stat = pa.nulls(len(keys), pa.string())
         return pa.table(
             {
                 "orderkey": t["l_orderkey"],
@@ -490,7 +505,7 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
     # in exactly one block and the driver pull is <= |left| rows total
     # (the old form pulled ALL distinct right keys to the driver:
     # O(distinct orderkeys), unbounded at scale).
-    lkeys_ref = ray.put(pa.array(lpdf.index.to_numpy(), pa.int64()))
+    lkeys_ref = ray.put(pa.array(lpdf["o_orderkey"].to_numpy(np.int64), pa.int64()))
 
     def matched_keys(t: pa.Table) -> pa.Table:
         hit = pc.is_in(t["l_orderkey"], value_set=bget(lkeys_ref))
@@ -500,7 +515,7 @@ def q07_outer_merge(sf_dir: str) -> rd.Dataset:
         right.map_batches(matched_keys, batch_format="pyarrow")
         .to_pandas()["o_orderkey"]
     )
-    left_only = lpdf[~lpdf.index.isin(hit_keys)].reset_index()
+    left_only = lpdf[~lpdf["o_orderkey"].isin(hit_keys)]
     extra = pa.table(
         {
             "orderkey": pa.array(left_only["o_orderkey"], pa.int64()),
