@@ -19,6 +19,7 @@ ulp between numpy and DuckDB).
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -100,20 +101,35 @@ def q15_ann_brute(sf_dir: str) -> pa.Table:
             batch_size=4096,
         )
     )
-    # final exact top-k merge per query: the partial set is tiny
-    # (n_batches × K per query), so a driver-side heap is correct here.
+    return _merge_topk(partials, qids, with_cos=False)
+
+
+def _merge_topk(partials: rd.Dataset, qids, with_cos: bool) -> pa.Table:
+    """Final exact top-k merge per query — ONE copy of the
+    tie-break-sensitive heap logic for q15/q16/q41 (review r04: three
+    drifting near-copies).  The partial set is tiny (n_blocks x K per
+    query) so a driver-side heap is correct; (cos, -vec_id) tuples
+    break ties toward the smaller vec_id, matching the partials'
+    lexsort.  cos (when emitted) rounds half-away like DuckDB."""
     best: dict[int, list] = {int(q): [] for q in qids}
     for batch in partials.iter_batches(batch_size=None, batch_format="pandas"):
         for qid, vec_id, cos in zip(batch["qid"], batch["vec_id"], batch["cos"]):
-            # (cos, -vec_id) so ties break toward the smaller vec_id
             heapq.heappush(best[int(qid)], (float(cos), -int(vec_id)))
             if len(best[int(qid)]) > TOP_K:
                 heapq.heappop(best[int(qid)])
     rows = []
     for qid, heap in best.items():
         for cos, nvid in sorted(heap, reverse=True):
-            rows.append({"qid": qid, "vec_id": -nvid})
-    return pa.Table.from_pylist(rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64())]))
+            r = {"qid": qid, "vec_id": -nvid}
+            if with_cos:
+                r["cos"] = math.copysign(
+                    math.floor(abs(cos) * 1e6 + 0.5) / 1e6, cos
+                )
+            rows.append(r)
+    fields = [("qid", pa.int64()), ("vec_id", pa.int64())]
+    if with_cos:
+        fields.append(("cos", pa.float64()))
+    return pa.Table.from_pylist(rows, schema=pa.schema(fields))
 
 
 class _LSHScorer:
@@ -243,19 +259,7 @@ def q41_ivf_ann(sf_dir: str, n_centroids: int = 64, nprobe: int = 8) -> pa.Table
             batch_size=4096,
         )
     )
-    best: dict[int, list] = {int(q): [] for q in qids}
-    for batch in partials.iter_batches(batch_size=None, batch_format="pandas"):
-        for qid, vec_id, cos in zip(batch["qid"], batch["vec_id"], batch["cos"]):
-            heapq.heappush(best[int(qid)], (float(cos), -int(vec_id)))
-            if len(best[int(qid)]) > TOP_K:
-                heapq.heappop(best[int(qid)])
-    rows = []
-    for qid, heap in best.items():
-        for cos, nvid in sorted(heap, reverse=True):
-            rows.append({"qid": qid, "vec_id": -nvid, "cos": round(cos, 6)})
-    return pa.Table.from_pylist(
-        rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())])
-    )
+    return _merge_topk(partials, qids, with_cos=True)
 
 
 def _ann_recall_counter(sf_dir: str, ann_table: pa.Table, kind: str) -> pa.Table:
@@ -316,19 +320,7 @@ def q16_lsh_ann(sf_dir: str, bits: int = 16, slack: int = 4) -> pa.Table:
             batch_size=4096,
         )
     )
-    best: dict[int, list] = {int(q): [] for q in qids}
-    for batch in partials.iter_batches(batch_size=None, batch_format="pandas"):
-        for qid, vec_id, cos in zip(batch["qid"], batch["vec_id"], batch["cos"]):
-            heapq.heappush(best[int(qid)], (float(cos), -int(vec_id)))
-            if len(best[int(qid)]) > TOP_K:
-                heapq.heappop(best[int(qid)])
-    rows = []
-    for qid, heap in best.items():
-        for cos, nvid in sorted(heap, reverse=True):
-            rows.append({"qid": qid, "vec_id": -nvid, "cos": round(cos, 6)})
-    return pa.Table.from_pylist(
-        rows, schema=pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())])
-    )
+    return _merge_topk(partials, qids, with_cos=True)
 
 
 # ---------------------------------------------------------------------------
