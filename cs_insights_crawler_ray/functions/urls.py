@@ -75,6 +75,16 @@ def host_of(canon: str) -> str:
     return urlsplit(canon).netloc
 
 
+def path_query_of(canon: str) -> str:
+    """Path(+query) of a canonical URL — the robots-check input.
+    The previous idiom ``canon.split(host, 1)[1]`` raised
+    ValueError('empty separator') on a hostless canonical (a
+    schemeless user seed) and mis-split whenever the host string also
+    occurred earlier in the URL."""
+    s = urlsplit(canon)
+    return s.path + (f"?{s.query}" if s.query else "")
+
+
 def host_hash64(host: str) -> int:
     """uint64 from the first 8 bytes of SHA-1(host) — the politeness /
     seen-shard partition key (stable across processes, unlike

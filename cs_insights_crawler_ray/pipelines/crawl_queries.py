@@ -161,8 +161,16 @@ def q32_payload_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     from .dedup import hamming_near_dup_pairs
 
     ds = rd.read_parquet(_payload_parquet(_out_dir(sf_dir)), columns=["image_id", "phash"])
+    # star_cap=None: this query's contract IS the exact all-pairs
+    # listing the brute-force oracle computes — the default star cap
+    # (256/bucket) would silently drop member-member pairs once a
+    # phash band bucket grows past it (duplicate-heavy payloads).
+    # q63 collapses these pairs to components, where star pairs would
+    # suffice, but it reuses this exact listing so the two stay
+    # consistent with one artifact.
     pairs = hamming_near_dup_pairs(
-        ds, "image_id", "phash", max_hamming=max_hamming, id_dtype="object"
+        ds, "image_id", "phash", max_hamming=max_hamming, id_dtype="object",
+        star_cap=None,
     )
     out = pairs.to_pandas()
     if out.empty:  # empty groupby output loses its schema

@@ -52,7 +52,14 @@ def _sf_name(sf_dir: str) -> str:
 
 
 def _root(sf: str) -> Path:
-    return Path(f"/tmp/ciq_oracle_{_VERSION}_{sf}")
+    # the root embeds BOTH version knobs: this module's builder version
+    # AND crawl_queries._VERSION (the sim_* artifacts replay _cfg_for,
+    # so a crawl-config bump must invalidate them too — keyed by
+    # (kind, sf) alone, a warm /tmp would compare the new engine
+    # against a stale-config simulator parquet and hash-fail spuriously)
+    from .crawl_queries import _VERSION as _cfg_v
+
+    return Path(f"/tmp/ciq_oracle_{_VERSION}_{_cfg_v}_{sf}")
 
 
 def artifact_path(kind: str, sf: str) -> str:

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..fixtures.content_store import fetch_page, robots_allowed, seed_urls
 from ..functions.imagecodec import LOSSY, decode_image, phash64, psnr
-from ..functions.urls import canonicalize_url, host_hash64, host_of, url_sha1
+from ..functions.urls import canonicalize_url, host_hash64, host_of, path_query_of, url_sha1
 from ..state.politeness import HOST_RANK_CAP
 from .crawl import CrawlConfig
 
@@ -46,7 +46,7 @@ def simulate(cfg: CrawlConfig) -> SimResult:
     for idx, raw in enumerate(seed_urls(store, cfg.n_seeds)):
         canon = canonicalize_url(raw)
         host = host_of(canon)
-        if not robots_allowed(store, host, canon.split(host, 1)[1]):
+        if not robots_allowed(store, host, path_query_of(canon)):
             continue
         sha = url_sha1(canon)
         if sha in res.seen:
@@ -120,7 +120,7 @@ def simulate(cfg: CrawlConfig) -> SimResult:
                 for li, raw in enumerate(page["links"]):
                     canon = canonicalize_url(raw)
                     host = host_of(canon)
-                    if not robots_allowed(store, host, canon.split(host, 1)[1]):
+                    if not robots_allowed(store, host, path_query_of(canon)):
                         continue
                     depth = row["depth"] + 1
                     if depth > cfg.max_depth:

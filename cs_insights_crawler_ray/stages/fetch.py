@@ -105,7 +105,7 @@ def fetch_decode_link_task(
 
     from urllib.parse import urlsplit
 
-    from ..functions.urls import canonicalize_url
+    from ..functions.urls import canonicalize_url, path_query_of
     from ..fixtures.content_store import robots_allowed
 
     out = fetch_decode_task(batch, cfg, extract)
@@ -118,7 +118,9 @@ def fetch_decode_link_task(
             int.from_bytes(hashlib.sha1(h.encode("utf-8")).digest()[:8], "big")
             for h in hosts
         ]
-        oks = [robots_allowed(cfg, h, c.split(h, 1)[1]) for c, h in zip(canon, hosts)]
+        oks = [
+            robots_allowed(cfg, h, path_query_of(c)) for c, h in zip(canon, hosts)
+        ]
         all_canon.append(canon)
         all_hex.append([s.hex() for s in sha])
         all_sha.append(sha)

@@ -33,10 +33,12 @@ class RobotsFilterStage:
         return robots_allowed(self.cfg, host, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.urls import path_query_of
+
         hosts = batch["host"].to_pylist()
         canon = batch["url_canon"].to_pylist()
         mask = pa.array(
-            [self._allowed(h, c.split(h, 1)[1]) for h, c in zip(hosts, canon)],
+            [self._allowed(h, path_query_of(c)) for h, c in zip(hosts, canon)],
             pa.bool_(),
         )
         return batch.filter(mask)
