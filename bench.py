@@ -203,6 +203,52 @@ def run_bench() -> dict:
     }
 
 
+def run_lance() -> dict:
+    """--lance: the identical headline crawl with the payload sink on
+    the LANCE backend (north_rule: "rows/sec into Lance") — the
+    vendored shim (sources/lance_shim.py) aliased to the top-level
+    ``lance`` name via PYTHONPATH, exactly the mechanism
+    tests/test_sinks.py::test_crawl_end_to_end_on_lance_backend uses,
+    so Ray's genuine LanceDatasink fragment-write + commit path runs
+    on every wave.  The child is bench.py itself (headline only, no
+    recursive scaling embed); the parent just relabels the JSON."""
+    import tempfile
+
+    alias_root = tempfile.mkdtemp(prefix="bench_lance_alias_")
+    pkg = os.path.join(alias_root, "lance")
+    os.makedirs(pkg)
+    with open(os.path.join(pkg, "__init__.py"), "w") as f:
+        f.write(
+            "from cs_insights_crawler_ray.sources.lance_shim import (\n"
+            "    DEFAULT_MAX_BYTES_PER_FILE, FragmentMetadata, LanceDataset,\n"
+            "    LanceOperation, dataset, write_fragments)\n"
+            "from . import fragment\n"
+        )
+    with open(os.path.join(pkg, "fragment.py"), "w") as f:
+        f.write(
+            "from cs_insights_crawler_ray.sources.lance_shim import (\n"
+            "    DEFAULT_MAX_BYTES_PER_FILE, FragmentMetadata, write_fragments)\n"
+        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(
+        os.environ,
+        PYTHONPATH=f"{alias_root}:{here}",
+        GRAFT_BENCH_ONLY="crawl",
+        GRAFT_SCALING_CHILD="1",  # suppress the embedded scaling pair
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        cwd=here,
+    )
+    shutil.rmtree(alias_root, ignore_errors=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"lance bench child failed:\n{proc.stderr[-2000:]}")
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    out["payload_backend"] = "lance (vendored shim via PYTHONPATH alias)"
+    out["metric"] = "crawl fetch+ingest wall time, payload sink = Lance"
+    return out
+
+
 def _hardware_ceiling(n_lo: int = 8, n_hi: int = 32, n_per: int = 40) -> dict:
     """No-Ray control: the identical per-URL workload in a plain
     multiprocessing pool at both parallelism levels.  On this sandbox
@@ -340,7 +386,9 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--lance" in sys.argv:
+        print(json.dumps(run_lance()))
+    elif "--scaling" in sys.argv:
         # optional pair override: bench.py --scaling N 4N
         idx = sys.argv.index("--scaling")
         rest = [a for a in sys.argv[idx + 1:] if a.isdigit()]

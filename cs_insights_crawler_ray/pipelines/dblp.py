@@ -166,7 +166,16 @@ def parse_dblp_xml(
 def quarantine_split(ds: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
     """Split a validated parse into (valid rows without the poison
     column, quarantined rows keeping ``_dtd_error``) — the quarantine
-    sink of SURVEY.md §2 S9."""
+    sink of SURVEY.md §2 S9.
+
+    The input is materialized ONCE before fan-out: both returned
+    datasets are consumed (that's the point of a quarantine), and
+    without the pin each side would re-run the gzip + iterparse + DTD
+    lineage — the dominant cost — from scratch.  This is the
+    legitimate materialize: a deliberate two-consumer split point, not
+    a mid-pipeline barrier (blocks live in the object store and spill
+    like any shuffle output)."""
+    ds = ds.materialize()
     valid = ds.filter(lambda r: r["_dtd_error"] is None).map_batches(
         lambda b: b.drop(columns=["_dtd_error"]), batch_format="pandas"
     )
@@ -189,6 +198,14 @@ def timestamp_filter(from_timestamp: datetime, strict: bool = True):
         if strict and b["@mdate"].isna().any():
             raise ValueError("element without @mdate (reference raises too)")
         ts = pd.to_datetime(b["@mdate"], format="%Y-%m-%d", errors="coerce")
+        if strict and (ts.isna() & b["@mdate"].notna()).any():
+            # the reference's strptime raises on any unparseable date —
+            # errors='coerce' alone would silently DROP the poison row
+            # (NaT > cutoff is False) instead of surfacing it
+            bad = b.loc[ts.isna() & b["@mdate"].notna(), "@mdate"].iloc[0]
+            raise ValueError(
+                f"unparseable @mdate {bad!r} (reference strptime raises too)"
+            )
         return b[ts > pd.Timestamp(from_timestamp)]
 
     return f

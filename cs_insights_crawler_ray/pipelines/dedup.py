@@ -643,6 +643,8 @@ def hamming_near_dup_pairs(
             )
         return pd.concat(rows, ignore_index=True)
 
+    _PAIR_SLAB_ELEMS = 1 << 22  # ~4M XOR cells/slab ≈ 32 MB of temps
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
         for bucket in _iter_buckets(g, ["band_id", "band_hash"]):
@@ -659,12 +661,26 @@ def hamming_near_dup_pairs(
                 out_b.append(ids[1:][keep])
                 out_d.append(d[keep])
             else:
-                ii, jj = np.triu_indices(n, k=1)
-                d = _popcount64(hs[ii] ^ hs[jj])
-                keep = (d <= max_hamming) & (ids[ii] != ids[jj])
-                out_a.append(ids[ii[keep]])
-                out_b.append(ids[jj[keep]])
-                out_d.append(d[keep])
+                # exact all-pairs, slab-blocked: np.triu_indices(n)
+                # alone is two O(n^2) int64 arrays (~20 GB at n=50k,
+                # the degenerate duplicate-cluster bucket) — instead
+                # XOR a bounded slab of rows against the full bucket
+                # per step, so peak temp memory is O(step*n) elements
+                # regardless of bucket size.  Same pair set.
+                step = max(1, _PAIR_SLAB_ELEMS // n)
+                col = np.arange(n)
+                for s in range(0, n - 1, step):
+                    e = min(s + step, n)
+                    d = _popcount64(hs[s:e, None] ^ hs[None, :])
+                    keep = (
+                        (d <= max_hamming)
+                        & (col[None, :] > np.arange(s, e)[:, None])
+                        & (ids[s:e, None] != ids[None, :])
+                    )
+                    ii, jj = np.nonzero(keep)
+                    out_a.append(ids[s + ii])
+                    out_b.append(ids[jj])
+                    out_d.append(d[ii, jj])
         if not out_a:
             return pd.DataFrame(
                 {

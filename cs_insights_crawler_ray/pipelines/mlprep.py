@@ -76,15 +76,11 @@ def q48_grouped_quantiles(sf_dir: str) -> rd.Dataset:
         # rows cross the coarse stratum-keyed shuffle
         g = b.groupby(["source", "n_chars"], as_index=False).size()
         g = g.rename(columns={"size": "cnt"})
-        h = (
-            np.frombuffer(
-                b"".join(hashlib.md5(s.encode()).digest()[:8] for s in g["source"]),
-                dtype=np.uint64,
-            )
-            if len(g)
-            else np.array([], dtype=np.uint64)
+        # _part is internal-only (a shuffle key, never replayed by the
+        # oracle) — crc32 like q49/q55/q58, not per-row Python md5
+        g["_part"] = np.array(
+            [zlib.crc32(s.encode()) & 7 for s in g["source"]], dtype=np.int32
         )
-        g["_part"] = (h % np.uint64(8)).astype(np.int32)
         return g
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,26 +134,16 @@ def q49_tfidf_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
         g = pd.Series(flat, dtype="object").value_counts()
         return pd.DataFrame({"term": g.index.astype(str), "df_part": g.to_numpy()})
 
-    # string-keyed coarse grouped sum (relational._grouped_sum_parts
-    # hashes int keys; terms partition by crc32 — same shape: only
-    # pre-combined (term, df_part) partials cross the 8-way exchange)
-    def df_part(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("term", as_index=False)["df_part"].sum()
-        g["_part"] = np.array(
-            [zlib.crc32(t.encode()) & 7 for t in g["term"]], dtype=np.int32
-        )
-        return g
-
-    def df_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("term", as_index=False)["df_part"].sum()
-        return out.rename(columns={"df_part": "df"})
-
+    # string-keyed coarse grouped sum — shared _term_grouped_sum
+    # (relational._grouped_sum_parts hashes int keys; terms partition
+    # by crc32 — same shape: only pre-combined (term, df_part)
+    # partials cross the 8-way exchange)
     df_rows = (
-        docs.map_batches(df_partial, batch_format="pandas")
-        .map_batches(df_part, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(df_final, batch_format="pandas")
+        _term_grouped_sum(
+            docs.map_batches(df_partial, batch_format="pandas"), "df_part"
+        )
         .to_pandas()  # bounded: vocabulary rows
+        .rename(columns={"df_part": "df"})
     )
     if len(df_rows) > BROADCAST_VOCAB_LIMIT:  # pragma: no cover - scale guard
         raise NotImplementedError(
@@ -275,6 +261,24 @@ def _key_hash32(keys: pd.Series | np.ndarray) -> np.ndarray:
         return ((k * _FIB) >> np.uint64(32)).astype(np.int64)
 
 
+def _source_counts(docs: rd.Dataset) -> dict[str, int]:
+    """Per-source row counts: per-block partials, driver-side final sum
+    (bounded: n_blocks × n_strata rows) — the one coordination step the
+    sampling family (q50/q55) shares."""
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).size()
+        return g.rename(columns={"size": "n_part"})
+
+    return (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source")["n_part"]
+        .sum()
+        .to_dict()
+    )
+
+
 def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
     """Deterministic stratified subsample: ~``target`` docs per source
     stratum -> (doc_id, source).
@@ -285,19 +289,7 @@ def q50_stratified_sample(sf_dir: str, target: int = 8) -> rd.Dataset:
     The per-stratum counts are the only coordination: one tiny
     aggregate, broadcast once."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("source", as_index=False).size()
-        return g.rename(columns={"size": "n_part"})
-
-    counts = (
-        docs.map_batches(count_partial, batch_format="pandas")
-        .to_pandas()  # bounded: n_blocks × n_strata rows
-        .groupby("source")["n_part"]
-        .sum()
-        .to_dict()
-    )
-    cref = ray.put(counts)
+    cref = ray.put(_source_counts(docs))
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         cmap = bget(cref)
@@ -335,7 +327,17 @@ MIX_W_SCALE = 1000
 def mix_quotas(counts: dict[str, int], total: int = MIX_TOTAL) -> dict[str, int]:
     """Largest-remainder quotas from per-source counts (pure ints)."""
     srcs = sorted(counts)
-    w = {s: math.floor(math.isqrt(counts[s] * MIX_W_SCALE * MIX_W_SCALE)) for s in srcs}
+    # the IDENTICAL IEEE double ops as the oracle's
+    # floor(sqrt(CAST(n AS DOUBLE) * 1000000)) — exact isqrt is the
+    # "better" sqrt but a DIFFERENT operation: near 2^52-scale
+    # products (n ≈ 4.5e9 rows) correctly-rounded double sqrt can
+    # round up across an integer while isqrt floors, so quotas would
+    # diverge from the SQL side exactly at the 100 TB row counts this
+    # module targets (module doctrine: same op on both sides)
+    w = {
+        s: int(math.floor(math.sqrt(float(counts[s]) * float(MIX_W_SCALE * MIX_W_SCALE))))
+        for s in srcs
+    }
     tw = sum(w.values())
     fl = {s: (total * w[s]) // tw for s in srcs}
     rem = {s: (total * w[s]) % tw for s in srcs}
@@ -353,19 +355,7 @@ def mix_quotas(counts: dict[str, int], total: int = MIX_TOTAL) -> dict[str, int]
 
 def q55_weighted_mix(sf_dir: str, total: int = MIX_TOTAL) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("source", as_index=False).size()
-        return g.rename(columns={"size": "n_part"})
-
-    counts = (
-        docs.map_batches(count_partial, batch_format="pandas")
-        .to_pandas()  # bounded: n_blocks × n_strata rows
-        .groupby("source")["n_part"]
-        .sum()
-        .to_dict()
-    )
-    qref = ray.put(mix_quotas(counts, total))
+    qref = ray.put(mix_quotas(_source_counts(docs), total))
 
     def local_prune(b: pd.DataFrame) -> pd.DataFrame:
         quotas = bget(qref)
@@ -647,6 +637,7 @@ def _select_block(t: pa.Table, offset: int, budget: int) -> pa.Table:
 
 
 def q60_token_budget_select(sf_dir: str, budget_frac: int = 4) -> rd.Dataset:
+    from ..functions import text as T
     from ..functions.text import _LANG_PROFILES, _WORD_RE as _QRE
 
     stop = _LANG_PROFILES["en"]
@@ -659,7 +650,11 @@ def q60_token_budget_select(sf_dir: str, budget_frac: int = 4) -> rd.Dataset:
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "quality": (hits * 1_000_000) // n_words,
-                "n_tokens": b["text"].str.count(r"\S+").astype("int64"),
+                # the ASCII-pinned kernel, NOT str.count(r"\S+"): the
+                # oracle's regexp_extract_all runs RE2 where \s is
+                # [\t\n\f\r ] — Python's Unicode \S would miscount
+                # documents containing \x0b or U+00A0 (ADVICE r02)
+                "n_tokens": T.token_counts(b["text"]).to_numpy(),
             }
         )
 

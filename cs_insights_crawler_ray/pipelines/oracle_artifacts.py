@@ -52,28 +52,30 @@ def _sf_name(sf_dir: str) -> str:
 
 
 def _root(sf: str) -> Path:
-    # the root embeds BOTH version knobs: this module's builder version
-    # AND crawl_queries._VERSION (the sim_* artifacts replay _cfg_for,
-    # so a crawl-config bump must invalidate them too — keyed by
-    # (kind, sf) alone, a warm /tmp would compare the new engine
-    # against a stale-config simulator parquet and hash-fail spuriously)
-    from .crawl_queries import _VERSION as _cfg_v
-
-    return Path(f"/tmp/ciq_oracle_{_VERSION}_{_cfg_v}_{sf}")
+    return Path(f"/tmp/ciq_oracle_{_VERSION}_{sf}")
 
 
 def artifact_path(kind: str, sf: str) -> str:
-    """The deterministic parquet location for (kind, sf)."""
+    """The deterministic parquet location for (kind, sf).
+
+    The sim_* artifacts replay crawl_queries._cfg_for, so their
+    FILENAMES (not the shared root — a root-level key would needlessly
+    invalidate the expensive pure-Python kmeans/pq/pagerank builders
+    on every crawl-config bump) also carry crawl_queries._VERSION: a
+    config bump must not let a warm /tmp compare the new engine
+    against a stale-config simulator parquet (spurious hash-fail)."""
+    if kind.startswith("sim_"):
+        from .crawl_queries import _VERSION as _cfg_v
+
+        return str(_root(sf) / f"{kind}_{_cfg_v}.parquet")
     return str(_root(sf) / f"{kind}.parquet")
 
 
 def write_atomic(table: pa.Table, kind: str, sf_dir: str) -> str:
     """Write an artifact parquet atomically; returns its path."""
-    sf = _sf_name(sf_dir)
-    root = _root(sf)
-    root.mkdir(parents=True, exist_ok=True)
-    final = root / f"{kind}.parquet"
-    tmp = root / f".{kind}.parquet.tmp.{os.getpid()}"
+    final = Path(artifact_path(kind, _sf_name(sf_dir)))
+    final.parent.mkdir(parents=True, exist_ok=True)
+    tmp = final.parent / f".{final.name}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, final)
     return str(final)

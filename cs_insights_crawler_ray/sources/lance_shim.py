@@ -239,7 +239,16 @@ class LanceDataset:
         return LanceDataset(uri)
 
 
-def dataset(uri, storage_options=None, **_ignored) -> LanceDataset:
+def dataset(uri, storage_options=None, **kwargs) -> LanceDataset:
+    # loud-refusal policy (same as scanner()): silently ignoring a
+    # real pylance option like version= (time travel) would return the
+    # LATEST data where the caller asked for a snapshot — silent wrong
+    # data, the exact mode the scanner hardening exists to prevent
+    if kwargs:
+        raise NotImplementedError(
+            f"lance_shim.dataset() does not support {sorted(kwargs)} — "
+            "install real pylance for these options"
+        )
     return LanceDataset(uri, storage_options=storage_options)
 
 

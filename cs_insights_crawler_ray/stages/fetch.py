@@ -105,7 +105,7 @@ def fetch_decode_link_task(
 
     from urllib.parse import urlsplit
 
-    from ..functions.urls import canonicalize_url, path_query_of
+    from ..functions.urls import canonicalize_url
     from ..fixtures.content_store import robots_allowed
 
     out = fetch_decode_task(batch, cfg, extract)
@@ -113,13 +113,19 @@ def fetch_decode_link_task(
     for links in out["links"].to_pylist():
         canon = [canonicalize_url(u) for u in (links or [])]
         sha = [hashlib.sha1(c.encode("utf-8")).digest() for c in canon]
-        hosts = [urlsplit(c).netloc for c in canon]
+        # ONE urlsplit per link: netloc for routing, path+query for the
+        # robots check (functions.urls.host_of / path_query_of inlined —
+        # this loop is the wave's hot Python path, a second split per
+        # link is measurable)
+        parts = [urlsplit(c) for c in canon]
+        hosts = [p.netloc for p in parts]
         hh = [
             int.from_bytes(hashlib.sha1(h.encode("utf-8")).digest()[:8], "big")
             for h in hosts
         ]
         oks = [
-            robots_allowed(cfg, h, path_query_of(c)) for c, h in zip(canon, hosts)
+            robots_allowed(cfg, p.netloc, p.path + (f"?{p.query}" if p.query else ""))
+            for p in parts
         ]
         all_canon.append(canon)
         all_hex.append([s.hex() for s in sha])

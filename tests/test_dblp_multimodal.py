@@ -56,6 +56,17 @@ def test_dblp_denylist_and_strict():
     with pytest.raises(Exception):  # reference raises on missing @mdate too
         dblp.apply_filters(bad, dblp.timestamp_filter(datetime(2020, 1, 1))).take_all()
 
+    # strict also raises on MALFORMED (non-null) dates — the reference's
+    # strptime would; errors='coerce' alone silently dropped the row
+    mal = dblp.load_dblp_elements([{"@key": "y", "@mdate": "2020/09/01"}])
+    with pytest.raises(Exception):
+        dblp.apply_filters(mal, dblp.timestamp_filter(datetime(2020, 1, 1))).take_all()
+    # non-strict keeps the silent-drop semantics
+    lax = dblp.apply_filters(
+        mal, dblp.timestamp_filter(datetime(2020, 1, 1), strict=False)
+    ).take_all()
+    assert lax == []
+
     # DTD validation is real now (tests/test_dtd.py); a validate
     # request with no DTD anywhere still fails loudly
     with pytest.raises(FileNotFoundError):

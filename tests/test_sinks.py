@@ -377,3 +377,21 @@ ray.shutdown()
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "LANCE_CRAWL_OK" in proc.stdout
+
+
+def test_lance_shim_dataset_refuses_unknown_options(tmp_path):
+    """Loud-refusal policy: real pylance options the shim cannot honor
+    (e.g. version= time travel) must raise, not silently return the
+    latest data."""
+    import pyarrow as pa
+    import pytest
+
+    from cs_insights_crawler_ray.sources import lance_shim as ls
+
+    uri = str(tmp_path / "tbl")
+    schema = pa.schema([("a", pa.int64())])
+    frags = ls.write_fragments(pa.table({"a": [1, 2]}).to_reader(), uri, schema=schema)
+    ls.LanceDataset.commit(uri, ls.LanceOperation.Overwrite(schema, frags))
+    with pytest.raises(NotImplementedError):
+        ls.dataset(uri, version=1)
+    assert ls.dataset(uri) is not None
