@@ -61,7 +61,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     fmt_code, w, h = struct.unpack("<BHH", data[4:9])
     if fmt_code not in FMT_NAMES:
         raise ValueError("bad fmt")
-    raw = zlib.decompress(data[9:])
+    try:
+        raw = zlib.decompress(data[9:])
+    except zlib.error as e:
+        # zlib.error is NOT a ValueError — without this wrap a
+        # well-headered blob with a corrupt body would escape the
+        # decode stage's poison-row handler and kill the task
+        raise ValueError(f"corrupt zlib body: {e}") from e
     if len(raw) != w * h * 3:
         raise ValueError("bad payload length")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), FMT_NAMES[fmt_code]
@@ -78,7 +84,10 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if a.shape != b.shape:
         return 0.0
     d = a.astype(np.int16) - b.astype(np.int16)
-    d = d.reshape(-1).astype(np.int32)
+    # int64, as documented: np.dot over int32 wraps silently past
+    # ~2^31 (reachable from ~33k pixels of large diffs), and a wrapped
+    # small-positive SSE would let a CORRUPT image pass the >=40 dB gate
+    d = d.reshape(-1).astype(np.int64)
     sse = int(np.dot(d, d))
     if sse == 0:
         return float("inf")

@@ -102,13 +102,29 @@ class HttpFetcher:
                 f = open(tmp, "wb")
             except OSError as e:
                 raise _LocalWriteError(e) from e
-            with f:
+            streamed = False
+            try:
                 for chunk in self._stream_once(name):
                     try:
                         f.write(chunk)
                     except OSError as e:
                         raise _LocalWriteError(e) from e
                     h.update(chunk)
+                streamed = True
+            finally:
+                # close() FLUSHES buffered chunks — a disk-full error
+                # surfaces here, not at write(); unmarked it would be
+                # retried 3x against a full disk and rebranded
+                # TransientFetchError.  Wrapped HERE (not a blanket
+                # except around the loop: requests' network errors
+                # subclass OSError too and must stay retryable); if the
+                # stream itself raised, the close error is swallowed so
+                # the ORIGINAL error propagates.
+                try:
+                    f.close()
+                except OSError as e:
+                    if streamed:
+                        raise _LocalWriteError(e) from e
             return h
 
         try:

@@ -47,7 +47,11 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 14 or data[:4] != AUDIO_MAGIC:
         raise ValueError("bad audio magic")
     rate, n, ch = struct.unpack("<IIH", data[4:14])
-    raw = zlib.decompress(data[14:])
+    try:
+        raw = zlib.decompress(data[14:])
+    except zlib.error as e:  # zlib.error is not a ValueError — the
+        raise ValueError(f"corrupt audio body: {e}") from e  # poison-row
+        # handlers catch ValueError only (same contract as decode_image)
     return np.frombuffer(raw, np.int16).reshape(n, ch), rate
 
 
@@ -65,7 +69,10 @@ def decode_video(data: bytes) -> tuple[np.ndarray, float]:
     if len(data) < 14 or data[:4] != VIDEO_MAGIC:
         raise ValueError("bad video magic")
     n, w, h, fps = struct.unpack("<HHHf", data[4:14])
-    raw = zlib.decompress(data[14:])
+    try:
+        raw = zlib.decompress(data[14:])
+    except zlib.error as e:
+        raise ValueError(f"corrupt video body: {e}") from e
     return np.frombuffer(raw, np.uint8).reshape(n, h, w, 3), fps
 
 

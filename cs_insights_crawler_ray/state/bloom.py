@@ -41,8 +41,15 @@ class CountingBloom:
             .view(">u4")
             .astype(np.uint64)
         )
-        # mix with the tail bytes to decorrelate the k slices further
-        tail = (d[:, 16].astype(np.uint64) << np.uint64(8)) | d[:, 17].astype(np.uint64)
+        # widen each slice to 40 bits with one more digest byte: 32-bit
+        # slice values cap reachable indices at ~2^32, so a filter sized
+        # m > 2^32 (scalable-bloom growth past ~3e8 capacity at the
+        # 10^10-URL design point) would silently never touch its upper
+        # cells — allocated memory wasted, realized FP rate above the
+        # configured one.  40 bits reach m up to ~10^12 cells.
+        vals = (vals << np.uint64(8)) | d[:, 16 : 16 + self.k].astype(np.uint64)
+        # mix with tail bytes 18-19 to decorrelate the k slices further
+        tail = (d[:, 18].astype(np.uint64) << np.uint64(8)) | d[:, 19].astype(np.uint64)
         vals = vals + (np.arange(1, self.k + 1, dtype=np.uint64)[None, :] * tail[:, None])
         return (vals % self.m).T
 
@@ -71,9 +78,15 @@ class CountingBloom:
         guarantee for other members."""
         idx = self._indices(digests)
         for row in idx:
-            sel = self.cells[row]
-            dec = (sel > 0) & (sel < 255)
-            np.subtract.at(self.cells, row[dec], 1)
+            # same wide-arithmetic pattern as add(): a pre-read snapshot
+            # + subtract.at would let DUPLICATE indices in one batch
+            # decrement past the guard and wrap uint8 0 -> 255,
+            # permanently saturating a phantom cell
+            uniq, cnt = np.unique(row, return_counts=True)
+            cur = self.cells[uniq].astype(np.int64)
+            dec = (cur > 0) & (cur < 255)
+            new = np.where(dec, np.maximum(cur - cnt, 0), cur)
+            self.cells[uniq] = new.astype(np.uint8)
         self.n_added -= digests.shape[0]
 
     # -- snapshot (checkpoint/resume) --------------------------------

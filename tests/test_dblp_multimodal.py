@@ -258,3 +258,33 @@ def test_extractor_plugin_surface():
     )
     assert out["ok"].to_pylist() == [True, False]   # poison row, no raise
     assert "extracted" in out["text"][0].as_py()
+
+
+def test_multimodal_corrupt_zlib_body_is_poison_row():
+    """A well-headered clip/video with a corrupt zlib body must become
+    ok=False (zlib.error is not ValueError; unwrapped it killed the
+    whole batch task instead of poisoning the row)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cs_insights_crawler_ray.stages import multimodal as mm
+
+    wave = (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int16)
+    clip = bytearray(mm.encode_audio(np.stack([wave, wave], axis=1), 8000))
+    clip[20] ^= 0xFF
+    t = pa.table({"clip_id": ["c0"], "bytes": [bytes(clip)]})
+    out = rd.from_arrow(t).map_batches(
+        mm.audio_features_stage, batch_format="pyarrow"
+    ).to_pandas()
+    assert list(out["ok"]) == [False]
+
+    frames = np.zeros((4, 8, 8, 3), np.uint8)
+    vid = bytearray(mm.encode_video(frames, 24.0))
+    vid[20] ^= 0xFF
+    tv = pa.table({"video_id": ["v0"], "bytes": [bytes(vid)]})
+    outv = rd.from_arrow(tv).map_batches(
+        mm.video_frame_sample_stage, batch_format="pyarrow"
+    ).to_pandas()
+    # video stage skips undecodable rows (no frames emitted)
+    assert len(outv) == 0 or not outv.get("ok", pd.Series([True])).any()

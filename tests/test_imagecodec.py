@@ -51,3 +51,26 @@ def test_phash_near_dup_property():
     assert hamming64(h0, h1) <= 4          # re-encode = near dup
     assert hamming64(h0, h2) > 10          # unrelated image = far
     assert -(2**63) <= h0 < 2**63          # fits Arrow int64
+
+
+def test_corrupt_zlib_body_raises_valueerror():
+    """A well-headered blob with a bit-flipped zlib body must raise
+    ValueError (zlib.error is NOT one) so the decode stage's
+    poison-row handler catches it instead of the task dying."""
+    data = bytearray(encode_image(_img(5), "png"))
+    data[20] ^= 0xFF  # corrupt inside the compressed body
+    with pytest.raises(ValueError):
+        decode_image(bytes(data))
+
+
+def test_psnr_no_int32_overflow_on_large_images():
+    """SSE must accumulate in int64: a 257x257 max-diff pair has
+    SSE ~ 1.3e10 > 2^31 — an int32 wrap yielded a bogus huge PSNR
+    that let corrupt images pass the 40 dB verify gate."""
+    import numpy as np
+
+    from cs_insights_crawler_ray.functions.imagecodec import psnr
+
+    a = np.zeros((257, 257, 3), np.uint8)
+    b = np.full((257, 257, 3), 255, np.uint8)
+    assert psnr(a, b) < 1.0  # exact: 10*log10(255^2/255^2) == 0

@@ -230,3 +230,27 @@ def test_cuckoo_chain_no_false_negatives_under_overflow():
     assert s._cuckoo_contains(d).all()          # zero drops anywhere
     assert not s.check_and_add(d).any()         # bloom AND cuckoo agree
     assert sum(c.n_added for c in s.cuckoos) == 5000
+
+
+def test_bloom_remove_duplicate_indices_no_wrap():
+    """A remove batch with DUPLICATE cell indices must not decrement a
+    count-1 cell twice (0 -> 255 wrap would permanently saturate a
+    phantom cell: stale positives forever, unremovable)."""
+    b = CountingBloom(capacity=64)
+    d = _digests(1, b"dup")
+    b.add(d)  # each of the k cells holds exactly 1
+    b.remove(np.repeat(d, 2, axis=0))  # same digest twice in ONE call
+    idx = b._indices(d)
+    assert (b.cells[idx] == 0).all()  # floored at 0, not wrapped to 255
+
+
+def test_bloom_indices_reach_above_32_bits():
+    """_indices folds >32 bits of digest per slice: a filter sized
+    m > 2^32 must be able to address its upper cells (at the 10^10-URL
+    design point scaled shards exceed 2^32 cells)."""
+    b = CountingBloom(capacity=64)
+    b.m = np.uint64(1 << 36)  # don't allocate: only _indices math here
+    rng = np.random.default_rng(7)
+    d = rng.integers(0, 256, size=(4096, 20), dtype=np.uint8)
+    idx = b._indices(d)
+    assert int(idx.max()) > (1 << 32)
