@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     db.add_argument("--from-timestamp", default="1970-01-01",
                     help="F1 cutoff (keep @mdate strictly after)")
     db.add_argument("--access", action="append", default=None,
+                    choices=["oa", "closed"],  # loud refusal: a typo like
+                    # 'open' silently kept ZERO rows (the filter keeps only
+                    # listed types) — same convention as IngestConfig.validate
                     help="F2 access type to keep (oa/closed); repeatable; "
                          "omit to skip the access filter")
     db.add_argument("--skip", type=int, default=1,

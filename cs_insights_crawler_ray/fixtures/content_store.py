@@ -23,7 +23,7 @@ skew").
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -53,8 +53,6 @@ class ContentStoreConfig:
     dead_link_rate: float = 0.0  # fraction of out-links pointing past
     # pages_per_host -> deterministic 404s (exercises the quarantine
     # path end-to-end; 0 keeps legacy fixtures byte-identical)
-    # precomputed zipf pmf over hosts (cached per-process via __post_init__-free design)
-    _pmf: tuple = field(default=(), repr=False, compare=False)
 
     def host(self, i: int) -> str:
         return f"h{i:04d}.test"

@@ -12,15 +12,30 @@ Tasks are fully elastic; the cache makes them as cheap as actor state.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any
 
 import ray
 
-_CACHE: dict[Any, Any] = {}
+# Bounded LRU, not a plain dict: a long session (dress rehearsal runs
+# ~70 queries in one Ray instance, several broadcasting large
+# matrices/LUTs) would otherwise pin every broadcast object in every
+# reused worker's heap forever.  Eviction only drops the local
+# deserialized copy — the object store still holds the ref, so a
+# re-read after eviction is one zero-copy fetch, not a recompute.
+_CACHE_MAX = 32
+_CACHE: OrderedDict[Any, Any] = OrderedDict()
 
 
 def bget(ref: "ray.ObjectRef") -> Any:
-    """Fetch-once-per-process broadcast read."""
-    if ref not in _CACHE:
-        _CACHE[ref] = ray.get(ref)
-    return _CACHE[ref]
+    """Fetch-once-per-process broadcast read (bounded LRU)."""
+    try:
+        _CACHE.move_to_end(ref)
+        return _CACHE[ref]
+    except KeyError:
+        pass
+    val = ray.get(ref)
+    _CACHE[ref] = val
+    while len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
+    return val

@@ -61,6 +61,12 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     fmt_code, w, h = struct.unpack("<BHH", data[4:9])
     if fmt_code not in FMT_NAMES:
         raise ValueError("bad fmt")
+    if w == 0 or h == 0:
+        # a zero-dimension "image" is corrupt data, not a valid decode:
+        # downstream feature/embed kernels divide by h/w, and letting
+        # it through turned a poison row into a task-killing
+        # ZeroDivisionError in the fused wave task
+        raise ValueError("zero image dimension")
     try:
         raw = zlib.decompress(data[9:])
     except zlib.error as e:

@@ -21,6 +21,8 @@ import numpy as np
 EMBED_DIM = 64
 _CHANNELS = (3, 24, 48, EMBED_DIM)
 _STRIDE = 2
+_MIN_SIDE = 15  # smallest input whose three stride-2 3x3 conv outputs
+# all stay non-empty (15 -> 7 -> 3 -> 1); smaller inputs edge-pad up
 _MAX_SIDE = 96  # inputs are mean-pool resized so the longer side is
 # <= this before the conv stack: the full-res im2col was memory-
 # bandwidth-bound (scaling flattened beyond ~8 cores, measured); the
@@ -57,6 +59,15 @@ class TinyConvEmbedder:
     def embed(self, pixels: np.ndarray) -> np.ndarray:
         """HxWx3 uint8 -> (EMBED_DIM,) unit-norm float32."""
         x = pixels.astype(np.float32) / 255.0
+        if min(x.shape[:2]) < _MIN_SIDE:
+            # deterministic edge-pad: three stride-2 3x3 layers need a
+            # side of >= 15 to keep every output non-empty — below
+            # that the stack either raised from as_strided (side <= 2)
+            # or silently emitted an all-NaN "embedding" (side <= 14),
+            # poisoning downstream cosine math
+            ph = max(0, _MIN_SIDE - x.shape[0])
+            pw = max(0, _MIN_SIDE - x.shape[1])
+            x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
         f = max(1, int(np.ceil(max(x.shape[:2]) / _MAX_SIDE)))
         if f > 1:  # antialias resize: f x f mean pooling
             h, w = (x.shape[0] // f) * f, (x.shape[1] // f) * f

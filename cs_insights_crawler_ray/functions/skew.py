@@ -34,13 +34,21 @@ def salted_aggregate(
     (key, salt)-partials then merged — two shuffles, neither of which
     ever routes a hot key's full row set to one reducer.
 
-    salt = row-position hash % n_salts (uniform, deterministic output:
-    the final merge is order-insensitive addition of partials rounded
-    once at the end)."""
+    salt = row-position hash % n_salts (uniform).  Deterministic
+    output for real: the value is scaled to FIXED-POINT int64 (9
+    decimals) before any Sum, so every partial and the final merge is
+    order-insensitive INTEGER addition — float partial sums were
+    block-arrival-order-dependent in the last ulp, the exact
+    round()-boundary flake CLAUDE.md documents for money aggregates
+    (rounding happens in integer space, once, on an exact value)."""
+    SCALE = 1_000_000_000
 
     def add_salt(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__salt"] = (np.arange(len(b)) % n_salts).astype(np.int64)
+        b[value] = (
+            np.round(b[value].to_numpy(np.float64) * SCALE).astype(np.int64)
+        )
         return b
 
     partial = (
@@ -61,7 +69,9 @@ def salted_aggregate(
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["sum_value"] = b["sum_value"].round(6)
+        # unscale the exact integer sum — the only float op, applied
+        # once to an order-independent value
+        b["sum_value"] = b["sum_value"].astype("int64") / SCALE
         b["n"] = b["n"].astype("int64")
         return b
 

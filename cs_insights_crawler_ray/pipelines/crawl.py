@@ -69,6 +69,7 @@ heavy data path (admitted rows → fused fetch → payload sink).
 
 from __future__ import annotations
 
+import shutil
 import threading
 import time
 from dataclasses import dataclass, field
@@ -91,10 +92,9 @@ from ..state import frontier
 from ..state.politeness import DISCOVERY_KEY, partition_candidates
 from ..state.seen import FRONTIER_SCHEMA, ShardedSeenSet, digests_from_sha1_column
 
-FRONTIER_COLS = [
-    "url_canon", "url_hex", "url_sha1", "host", "host_hash",
-    "depth", "disc_wave", "disc_parent", "disc_link",
-]
+# ONE source of truth for the frontier column list: a hand-maintained
+# copy here silently desynchronized from schema edits in state/seen.py
+FRONTIER_COLS = list(FRONTIER_SCHEMA.names)
 
 CAND_SCHEMA = FRONTIER_SCHEMA.append(pa.field("score", pa.float64())).append(
     pa.field("auth_neg", pa.int64())
@@ -526,15 +526,26 @@ def _read_part(paths: list) -> pa.Table:
 
 
 @ray.remote
+def _read_admitted_keys(path: str) -> pa.Table:
+    """One read per delta wave: the admitted key table is GLOBAL (not
+    per-partition), so the driver reads it once into the object store
+    and every _replay_part shares the ref — previously each of the
+    n_parts replay tasks re-read and re-parsed the same parquet
+    (n_parts x chain_length redundant reads on resume)."""
+    return pq.read_table(path, columns=list(DISCOVERY_KEY))
+
+
+@ray.remote
 def _replay_part(base: pa.Table, steps: list) -> pa.Table:
     """Resume across delta waves: starting from the latest full
     snapshot's partition, apply each subsequent wave's (admitted keys
     anti-join, new rows union) in order — the frontier analog of the
-    seen set's delta-log replay."""
+    seen set's delta-log replay.  ``steps`` holds (ObjectRef to the
+    shared admitted-key table, per-partition new-rows path) pairs."""
     part = base
-    for adm_path, new_path in steps:
+    for adm_ref, new_path in steps:
         if part.num_rows:
-            adm = pq.read_table(adm_path).to_pandas()
+            adm = ray.get(adm_ref).to_pandas()  # zero-copy shared read
             df = part.to_pandas().merge(
                 adm[DISCOVERY_KEY].assign(_adm=1), on=DISCOVERY_KEY, how="left"
             )
@@ -745,6 +756,14 @@ def run_crawl(
         start_wave = 0
         next_seq = 0
         cumulative = {"fetched": 0, "payload_rows": 0, "quarantined": 0, "new_urls": 0}
+        if not resume:
+            # a FRESH run must not leave a previous run's state behind:
+            # it only overwrites waves it reaches, so a shorter/different
+            # run B over run A's out_dir would leave A's later manifests
+            # + seen deltas + backlog files in place, and a subsequent
+            # resume would replay a silent MIX of the two runs' state
+            for sub in ("checkpoints", "backlog", "crawl_log", "payload"):
+                shutil.rmtree(out / sub, ignore_errors=True)
         manifest = latest_manifest(str(ckpt)) if resume else None
         if manifest is not None:
             # the backlog part files and seen delta logs are keyed by
@@ -792,6 +811,10 @@ def run_crawl(
                     )
                 base_m = prev
             chain.reverse()  # waves base+1 .. manifest.wave ascending
+            adm_refs = [
+                _read_admitted_keys.remote(f"{m.backlog_path}/admitted.parquet")
+                for m in chain
+            ]
             parts = []
             for p in range(n_parts):
                 base_ref = _read_part.remote(
@@ -802,10 +825,10 @@ def run_crawl(
                 )
                 steps = [
                     (
-                        f"{m.backlog_path}/admitted.parquet",
+                        adm_ref,
                         f"{m.backlog_path}/part{p:04d}_new.parquet",
                     )
-                    for m in chain
+                    for m, adm_ref in zip(chain, adm_refs)
                 ]
                 parts.append(
                     _replay_part.remote(base_ref, steps) if steps else base_ref

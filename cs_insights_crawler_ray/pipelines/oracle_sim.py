@@ -22,7 +22,7 @@ import numpy as np
 
 from ..fixtures.content_store import fetch_page, robots_allowed, seed_urls
 from ..functions.imagecodec import LOSSY, decode_image, phash64, psnr
-from ..functions.urls import canonicalize_url, host_hash64, host_of, path_query_of, url_sha1
+from ..functions.urls import canonicalize_url, host_of, path_query_of, url_sha1
 from ..state.politeness import HOST_RANK_CAP
 from .crawl import CrawlConfig
 

@@ -49,15 +49,40 @@ _REGISTRY: dict[ExtractorType, PdfExtractionFn] = {
 
 
 def register_extractor(kind: ExtractorType, fn: PdfExtractionFn) -> None:
-    """Plugin point: swap in a real (or test) extractor."""
+    """Plugin point: swap in a real (or test) extractor.
+
+    The registry is a PER-PROCESS global: a driver-side registration is
+    invisible to Ray worker processes, which import this module fresh.
+    For a distributed stage use ``make_extraction_stage`` — it resolves
+    the function on the driver and closes over it, so cloudpickle ships
+    the registered callable with the stage."""
     _REGISTRY[kind] = fn
+
+
+def make_extraction_stage(kind: ExtractorType = ExtractorType.RULEBASED):
+    """Driver-time factory: ``ds.map_batches(make_extraction_stage(k))``.
+    Resolves the extractor from the DRIVER's registry and carries the
+    function itself inside the returned closure — the bare
+    ``extraction_stage`` would re-resolve from each worker's freshly
+    imported registry, where ``register_extractor`` never ran, and die
+    on the stub's NotImplementedError."""
+    fn = _REGISTRY[ExtractorType(kind)]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return _run_extraction(batch, fn)
+
+    return stage
 
 
 def extraction_stage(batch: pa.Table, kind: ExtractorType = ExtractorType.RULEBASED) -> pa.Table:
     """Batched extraction over (doc_id, pdf_bytes); failures are
     poison rows (ok=False), never exceptions — same contract as
-    decode-verify."""
-    fn = _REGISTRY[ExtractorType(kind)]
+    decode-verify.  Resolves from the CURRENT process's registry (see
+    make_extraction_stage for the distributed form)."""
+    return _run_extraction(batch, _REGISTRY[ExtractorType(kind)])
+
+
+def _run_extraction(batch: pa.Table, fn: PdfExtractionFn) -> pa.Table:
     ids, texts, oks = [], [], []
     for did, blob in zip(batch["doc_id"].to_pylist(), batch["pdf_bytes"].to_pylist()):
         ids.append(did)

@@ -18,18 +18,17 @@ from ..fixtures.content_store import ContentStoreConfig, robots_allowed
 
 
 class RobotsFilterStage:
-    """Actor-pool stage: memoized per-host robots rules; keeps only
-    allowed URLs. `cache_misses` counts simulated robots.txt fetches."""
+    """Stateless robots filter: keeps only allowed URLs.  (In
+    production the per-host robots RULES would be cached per worker —
+    here ``robots_allowed`` is a pure function of the deterministic
+    store config, so there is nothing to cache; a previous version
+    carried a fake memo dict + an unread miss counter that promised a
+    cache which did not exist.)"""
 
     def __init__(self, cfg: ContentStoreConfig):
         self.cfg = cfg
-        self.cache: dict[str, bool] = {}  # host -> has_rules (resolved lazily)
-        self.cache_misses = 0
 
     def _allowed(self, host: str, path: str) -> bool:
-        if host not in self.cache:
-            self.cache[host] = True  # "fetch" robots.txt once per host per actor
-            self.cache_misses += 1
         return robots_allowed(self.cfg, host, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

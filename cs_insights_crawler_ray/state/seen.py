@@ -481,6 +481,17 @@ class _SeenShardImpl:
         compatibility)."""
         if isinstance(paths, str):
             paths = [paths]
+        # reset BEFORE the loop: with an empty paths list (mismatched
+        # checkpoint dir, or restore on an already-populated shard) the
+        # old in-loop reset never ran and the shard silently kept its
+        # stale digests — a resumed crawl would skip URLs the committed
+        # state never crawled
+        self.blooms = [CountingBloom(self.capacity, self.fp_rate)]
+        self.cuckoos = [CuckooFilter(self.capacity, seed=0x5EED ^ self.shard_id)]
+        if self.exact is not None:
+            self.exact = SortedDigestSet()
+        self.n_checked = 0
+        self.n_new = 0
         first = True
         deltas = []  # bulk-add ONCE: per-file adds re-sorted the whole
         #              exact set every max_runs files (O(chain^2) work)

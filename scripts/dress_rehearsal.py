@@ -27,10 +27,15 @@ def value_hash(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         col = df[c]
-        if col.dtype == object and len(df) and isinstance(col.iloc[0], bytes):
-            df[c] = col.map(lambda b: b.hex())
+        if col.dtype == object:
+            # per-VALUE bytes check (first-row-only missed a column
+            # whose first value is null but later rows hold bytes)
+            df[c] = col.map(lambda v: v.hex() if isinstance(v, bytes) else v)
         elif np.issubdtype(col.dtype, np.floating):
-            df[c] = col.round(6)
+            # + 0.0 normalizes -0.0: str() renders '-0.0' != '0.0'
+            # though they compare equal at the chosen 6-decimal
+            # tolerance (a last-ulp negative would flake a MISMATCH)
+            df[c] = col.round(6) + 0.0
     rows = sorted(map(str, df.itertuples(index=False, name=None)))
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 

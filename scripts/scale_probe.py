@@ -26,6 +26,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+# the serial (non-fetch-overlapped) phase keys every residue metric
+# sums — ONE list so the endurance block and serial_residue cannot
+# silently drift apart when a new serial phase is added
+SERIAL_PHASE_KEYS = ("admission", "links", "log", "merge_launch",
+                     "payload_join", "checkpoint", "adm_prebuild_join")
+
 def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512,
           n_waves: int = 3, zipf_a: float = 1.3) -> dict:
     import ray
@@ -118,8 +124,7 @@ def main() -> None:
         # stay FLAT across the wave-8 compaction (its O(frontier)
         # merge+write hides behind that wave's fetch)
         r = probe(2_000_000, "endurance", num_cpus, n_waves=12)
-        keys = ("admission", "links", "log", "merge_launch",
-                "payload_join", "checkpoint", "adm_prebuild_join")
+        keys = SERIAL_PHASE_KEYS
         r["serial_per_wave"] = {
             wv: round(sum(w.get(k, 0.0) for k in keys), 2)
             for wv, w in r["waves"].items()
@@ -172,8 +177,7 @@ def main() -> None:
         # adm_prebuild_join is the NON-overlapped remainder of the next
         # wave's admission build — it must count, or a frontier-size-
         # dependent regression in the key-sort path would be invisible
-        keys = ("admission", "links", "log", "merge_launch",
-                "payload_join", "checkpoint", "adm_prebuild_join")
+        keys = SERIAL_PHASE_KEYS
         return round(
             sum(
                 sum(w.get(k, 0.0) for k in keys)

@@ -288,3 +288,34 @@ def test_multimodal_corrupt_zlib_body_is_poison_row():
     ).to_pandas()
     # video stage skips undecodable rows (no frames emitted)
     assert len(outv) == 0 or not outv.get("ok", pd.Series([True])).any()
+
+
+def test_make_extraction_stage_ships_registered_fn_to_workers():
+    """register_extractor mutates a DRIVER-process global that Ray
+    workers never see; make_extraction_stage must close over the
+    resolved function so map_batches works distributed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cs_insights_crawler_ray.stages import extract as ex
+
+    def fake(blob: bytes) -> dict:
+        if blob == b"poison":
+            raise RuntimeError("bad pdf")
+        return {"text": blob.decode()}
+
+    ex.register_extractor(ex.ExtractorType.RULEBASED, fake)
+    try:
+        stage = ex.make_extraction_stage(ex.ExtractorType.RULEBASED)
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "pdf_bytes": [b"hello", b"poison"]})
+        out = (
+            rd.from_arrow(t)
+            .map_batches(stage, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(out["text"]) == ["hello", ""]
+        assert list(out["ok"]) == [True, False]
+    finally:
+        ex.register_extractor(ex.ExtractorType.RULEBASED, ex._rulebased_extract)

@@ -74,3 +74,33 @@ def test_psnr_no_int32_overflow_on_large_images():
     a = np.zeros((257, 257, 3), np.uint8)
     b = np.full((257, 257, 3), 255, np.uint8)
     assert psnr(a, b) < 1.0  # exact: 10*log10(255^2/255^2) == 0
+
+
+def test_zero_dimension_blob_is_corrupt():
+    """A crafted blob with w=0/h=0 and a matching empty body must be
+    rejected as corrupt (it previously decoded to a (0,0,3) array and
+    ZeroDivisionError-crashed the feature kernels in the fused task)."""
+    import struct
+    import zlib
+
+    from cs_insights_crawler_ray.functions.imagecodec import MAGIC
+
+    blob = MAGIC + struct.pack("<BHH", 0, 0, 0) + zlib.compress(b"")
+    with pytest.raises(ValueError):
+        decode_image(blob)
+
+
+def test_embedder_tiny_images_finite_unit_norm():
+    """Decodable tiny images (1x1 .. 14x14) must produce finite
+    unit-norm embeddings via deterministic edge-padding — the conv
+    stack previously raised or emitted all-NaN vectors below 15px."""
+    import numpy as np
+
+    from cs_insights_crawler_ray.functions.imageembed import get_model
+
+    m = get_model()
+    for side in (1, 2, 7, 14, 15, 16):
+        px = np.full((side, side, 3), 128, np.uint8)
+        v = m.embed(px)
+        assert np.isfinite(v).all(), side
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5, side

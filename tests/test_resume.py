@@ -236,3 +236,29 @@ def test_resume_rejects_different_shard_count(tmp_path):
     # the original count resumes fine
     m = run_crawl(replace(cfg, n_waves=4), out, resume=True)
     assert m["by_wave"]
+
+
+def test_fresh_run_clears_stale_out_dir(tmp_path):
+    """A fresh (resume=False) run into a previously-used out_dir must
+    not leave the old run's later manifests/snapshots/backlog behind:
+    a longer run A followed by a shorter fresh run B used to let a
+    subsequent resume pick up A's wave-3 manifest and replay a silent
+    MIX of the two runs' state."""
+    out = str(tmp_path / "reused")
+    run_crawl(CFG, out)  # run A: 4 waves
+    cfg_b = replace(
+        CFG,
+        store=ContentStoreConfig(seed=23, n_hosts=12, pages_per_host=400),
+        n_waves=2,
+    )
+    mb = run_crawl(cfg_b, out)  # fresh run B over the same dir
+    m = latest_manifest(f"{out}/checkpoints")
+    assert m.wave == 1, f"stale manifest survived: wave {m.wave}"
+
+    # a resume now completes run B (a no-op at n_waves=2) with B's
+    # cumulative state, not a mix with run A's
+    mr = run_crawl(cfg_b, out, resume=True)
+    assert mr["by_wave"] == {}
+    assert mr["cumulative"] == mb["cumulative"]
+    waves = sorted(p.name for p in (Path(out) / "crawl_log").iterdir())
+    assert waves == ["wave=000000", "wave=000001"]

@@ -254,3 +254,18 @@ def test_bloom_indices_reach_above_32_bits():
     d = rng.integers(0, 256, size=(4096, 20), dtype=np.uint8)
     idx = b._indices(d)
     assert int(idx.max()) > (1 << 32)
+
+
+def test_shard_restore_empty_paths_resets_state():
+    """restore([]) must reset a populated shard to EMPTY, not silently
+    keep its stale digests (a resumed crawl would skip URLs the
+    committed state never crawled)."""
+    from cs_insights_crawler_ray.state.seen import _SeenShardImpl
+
+    s = _SeenShardImpl(shard_id=0, capacity=1024)
+    d = _digests(50)
+    s.check_and_add(d)
+    assert int(s.contains(d).sum()) == 50
+    s.restore([])
+    assert int(s.contains(d).sum()) == 0
+    assert s.n_checked == 0 and s.n_new == 0
