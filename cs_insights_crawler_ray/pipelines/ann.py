@@ -150,27 +150,27 @@ class _LSHScorer:
     def planes(self):
         return bget(self.planes_ref)
 
-    @property
-    def qsig(self):
-        return (self.q @ self.planes.T) > 0  # (Q, bits)
-
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        q, planes = self.q, self.planes
         vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
-        sig = (vecs @ self.planes.T) > 0  # (N, bits)
+        sig = (vecs @ planes.T) > 0  # (N, bits)
+        qsig = (q @ planes.T) > 0    # (Q, bits) — ONCE per batch, not
+        # re-derived per query via an uncached property
         vid = b["vec_id"].to_numpy()
         out = []
         for qi, qid in enumerate(self.qids):
-            agree = (sig == self.qsig[qi]).sum(axis=1)
+            agree = (sig == qsig[qi]).sum(axis=1)
             cand = np.nonzero((agree >= sig.shape[1] - self.slack) & (vid != qid))[0]
             if cand.size == 0:
                 continue
-            cos = vecs[cand] @ self.q[qi]
+            cos = vecs[cand] @ q[qi]
             k = min(TOP_K, cand.size)
-            # tie-deterministic partial (see _BruteScorer)
-            top = cand[np.lexsort((vid[cand], -cos))[:k]]
-            out.append(pd.DataFrame({"qid": qid, "vec_id": vid[top],
-                                     "cos": vecs[top] @ self.q[qi]}))
+            # tie-deterministic partial (see _BruteScorer); emit the
+            # already-computed cos values instead of a second matmul
+            rel = np.lexsort((vid[cand], -cos))[:k]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vid[cand[rel]],
+                                     "cos": cos[rel]}))
         return (
             pd.concat(out, ignore_index=True)
             if out
@@ -205,10 +205,10 @@ class _IVFScorer:
                 continue
             cos = vecs[cand] @ q[qi]
             k = min(TOP_K, cand.size)
-            # tie-deterministic partial (see _BruteScorer)
-            top = cand[np.lexsort((vid[cand], -cos))[:k]]
-            out.append(pd.DataFrame({"qid": qid, "vec_id": vid[top],
-                                     "cos": vecs[top] @ q[qi]}))
+            # tie-deterministic partial (see _BruteScorer); reuse cos
+            rel = np.lexsort((vid[cand], -cos))[:k]
+            out.append(pd.DataFrame({"qid": qid, "vec_id": vid[cand[rel]],
+                                     "cos": cos[rel]}))
         return (
             pd.concat(out, ignore_index=True)
             if out
@@ -451,6 +451,9 @@ def _pq_fit_blocks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
     blks = [_pq_quant_block.remote(r) for r in ds.to_arrow_refs()]
     # deterministic init: the k smallest vec_ids' subvectors
     mins = ray.get([_pq_block_minK.remote(b, k) for b in blks])
+    if not any(q.size for _, q in mins):  # empty table: reach the loud
+        # guard below, not an opaque np.concatenate-on-nothing error
+        raise ValueError(f"PQ needs >= k={k} rows; embeddings table has 0")
     ids = np.concatenate([i for i, _ in mins])
     qs = np.concatenate([q for _, q in mins if q.size], axis=0)
     order = np.argsort(ids)[:k]

@@ -98,8 +98,12 @@ def _init_centroids_refs(refs: list, k: int) -> np.ndarray:
     the materialized refs -> bounded driver merge — the q09 top-k
     shape, no extra Dataset pipeline)."""
     parts = ray.get([_block_minK.remote(r, k) for r in refs])
+    parts = [p for p in parts if len(p)]
+    if not parts:  # reach the loud guard below, not an opaque
+        # "No objects to concatenate" from pd.concat on an empty table
+        raise ValueError(f"k-means needs >= k={k} rows; embeddings table has 0")
     rows = (
-        pd.concat([p for p in parts if len(p)], ignore_index=True)
+        pd.concat(parts, ignore_index=True)
         .nsmallest(k, "vec_id")
         .sort_values("vec_id")
     )
@@ -261,7 +265,11 @@ def q47_semantic_dedup(
             {
                 "vec_id": ids[ii],
                 "dup_of": ids[j[ii]],
-                "cos": np.round(cos[ii, j[ii]], 6),
+                # half-away like DuckDB's round() — np.round is
+                # banker's, which flips the value hash at an exact
+                # x.xxxxx5 boundary (the q23b flake class); kept
+                # values are >= threshold > 0 so +0.5-floor is safe
+                "cos": np.floor(cos[ii, j[ii]] * 1e6 + 0.5) / 1e6,
             }
         )
 

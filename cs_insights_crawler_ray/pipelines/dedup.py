@@ -282,7 +282,10 @@ def _minhash_bands(b: pd.DataFrame, seed: int = 1729) -> pd.DataFrame:
     """Stateless-task wrapper around MinHashStage with a per-process
     constant cache (tasks reuse worker processes, so the constants are
     built once per worker in practice)."""
-    stage = _STAGE_CACHE.setdefault(seed, MinHashStage(seed))
+    stage = _STAGE_CACHE.get(seed)  # NOT setdefault(seed, MinHashStage(..)):
+    if stage is None:  # setdefault builds its default EAGERLY — a fresh
+        # Generator + 256 hash constants per batch, all discarded
+        stage = _STAGE_CACHE.setdefault(seed, MinHashStage(seed))
     return stage(b)
 
 

@@ -226,21 +226,29 @@ def _merge_meta_broadcast(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
     )
     if "_seq" in mt.columns:
         mt = mt.sort_values("_seq", kind="mergesort")
-    lut = (
-        mt.drop_duplicates("corpusid", keep="last")
-        .set_index("corpusid")[fields]
-        .to_dict("index")
+    # broadcast the deduped meta FRAME, not a per-row dict: the probe
+    # below is a vectorized pandas left-merge per batch — the previous
+    # corpusid.map(dict.get) + per-field .map paid rows x (1+n_fields)
+    # Python closure calls on the UNBOUNDED fact side
+    ref = ray.put(
+        mt.drop_duplicates("corpusid", keep="last")[["corpusid"] + fields]
+        .reset_index(drop=True)
     )
-    ref = ray.put(lut)
 
     def merge_bc(b: pd.DataFrame) -> pd.DataFrame:
         m = bget(ref)
-        got = b["corpusid"].map(lambda c: m.get(c))
+        new_fields = [f for f in fields if f not in b.columns]
+        if not new_fields:  # papers' field wins (s2processor.py:115-117)
+            return b
+        merged = b[["corpusid"]].merge(
+            m[["corpusid"] + new_fields], on="corpusid", how="left"
+        )
         b = b.copy()
-        for f in fields:
-            if f in b.columns:
-                continue  # papers' field wins (s2processor.py:115-117)
-            b[f] = got.map(lambda d, _f=f: (d or {}).get(_f))
+        for f in new_fields:
+            col = merged[f]
+            # None, not pandas NaN, for missing meta (field-identical
+            # to the shuffle path — direct path-vs-path test holds)
+            b[f] = col.astype(object).where(col.notna(), None).to_numpy()
         return b
 
     return papers.map_batches(merge_bc, batch_format="pandas")
@@ -258,9 +266,12 @@ def _merge_meta_shuffle(papers: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
     def add_part(b: pd.DataFrame, side: str) -> pd.DataFrame:
         # listify BEFORE the shuffle: Ray's sort-exchange rejects
         # object columns whose cells are numpy arrays
-        b = _listify_object_cells(b)
-        h = (b["corpusid"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        b["_part"] = (h % np.uint64(_N_MERGE_PARTS)).astype(np.int32)
+        from .relational import _add_key_part
+
+        b = _add_key_part(_listify_object_cells(b), "corpusid", _N_MERGE_PARTS)
+        # ONE hash-partition kernel (relational's, with the avalanche
+        # xor-shift + errstate guard) — a local near-copy had already
+        # silently dropped the finalization step
         b["_side"] = side
         return b
 

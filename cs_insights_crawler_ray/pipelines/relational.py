@@ -106,6 +106,27 @@ def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
 # The SQL oracles mirror the same integer ops, so both sides are
 # bit-exact, not merely close.
 # ---------------------------------------------------------------------------
+def _dim_lookup(names, keys, what: str):
+    """Positional dimension-array lookup with LOUD broken-FK handling:
+    numpy fancy indexing silently WRAPS negative keys to the array's
+    tail (a corrupt key of -1 returns the last nation/supplier — the
+    exact mis-attribution the sentinel guards exist to refuse), and
+    raises bare IndexError out of range; in-range holes are None
+    sentinels."""
+    import numpy as _np
+
+    keys = _np.asarray(keys)
+    if keys.size and int(keys.min()) < 0:
+        raise KeyError(f"{what}: negative key (broken FK)")
+    try:
+        vals = names[keys]
+    except IndexError:
+        raise KeyError(f"{what}: key out of range (broken FK)") from None
+    if any(v is None for v in vals):
+        raise KeyError(f"{what}: hole in dimension (broken FK)")
+    return vals
+
+
 def _fixed(col, scale: int):
     """Exact k-decimal float column -> scaled int64."""
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
@@ -673,9 +694,7 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
                     "(broken FK) — refusing to mis-attribute revenue"
                 )
             nk = nat[idx]
-            nmv = nm[nk]
-            if any(v is None for v in nmv):
-                raise KeyError("q21: c_nationkey not found in nation (broken FK)")
+            nmv = _dim_lookup(nm, nk, "q21: c_nationkey not found in nation")
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
@@ -698,9 +717,7 @@ def q21_revenue_by_nation(sf_dir: str) -> rd.Dataset:
             # missing from customer, while the broadcast path raises;
             # nationkey holes raise loudly on both paths (sentinel).
             nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            nmv = bget(ref)[nk]
-            if any(v is None for v in nmv):
-                raise KeyError("q21: c_nationkey not found in nation (broken FK)")
+            nmv = _dim_lookup(bget(ref), nk, "q21: c_nationkey not found in nation")
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
@@ -781,14 +798,23 @@ def q08_sort_rank(sf_dir: str) -> rd.Dataset:
         )
         return _rank_sorted(s)
 
-    pdf = agg.to_pandas()
-    lut = dict(zip(pdf["o_custkey"], pdf["total"]))
-    ref = ray.put(lut)
+    pdf = agg.to_pandas().sort_values("o_custkey")
+    # sorted-keys + searchsorted (the q07/q21/q43 pattern), not a dict:
+    # a per-row .get loop over to_pylist cost seconds per task near the
+    # 2M-key broadcast ceiling
+    ref = ray.put(
+        (pdf["o_custkey"].to_numpy(np.int64), pdf["total"].to_numpy(np.float64))
+    )
 
     def sort_keys(t: pa.Table) -> pa.Table:
-        m = bget(ref)
-        totals = [m.get(k) for k in t["c_custkey"].to_pylist()]
-        total = pa.array(totals, pa.float64())
+        keys, vals = bget(ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            idx = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+            totals = np.where(keys[idx] == ck, vals[idx], np.nan)
+        else:
+            totals = np.full(len(ck), np.nan)
+        total = pa.array(totals, pa.float64(), from_pandas=True)  # NaN -> null
         has = pc.is_valid(total).cast(pa.int32())
         filled = pc.coalesce(total, pa.scalar(-1.0))
         return (
@@ -1196,9 +1222,7 @@ def q45_supplier_volume(sf_dir: str) -> rd.Dataset:
             _fixed(t["l_extendedprice"], 100),
             pc.subtract(pa.scalar(100, pa.int64()), _fixed(t["l_discount"], 100)),
         )
-        nmv = bget(ref)[sk]
-        if any(v is None for v in nmv):
-            raise KeyError("q45: l_suppkey not found in supplier (broken FK)")
+        nmv = _dim_lookup(bget(ref), sk, "q45: l_suppkey not found in supplier")
         return pa.table({"s_name": pa.array(nmv, pa.string()), "rev4": rev4})
 
     return (

@@ -272,3 +272,23 @@ def test_q53_gap_resets_window(tmp_path):
     )
     assert list(out["roll_n_events"]) == [1, 2, 3, 1]
     assert list(out["roll_sum_value"]) == [1.0, 3.0, 7.0, 8.0]
+
+
+def test_dim_lookup_rejects_negative_keys():
+    """numpy fancy indexing silently WRAPS -1 to the array tail — a
+    corrupt negative FK must raise, not mis-attribute to the last
+    dimension row."""
+    import numpy as np
+    import pytest
+
+    from cs_insights_crawler_ray.pipelines.relational import _dim_lookup
+
+    names = np.array(["a", "b", "c"], dtype=object)
+    assert list(_dim_lookup(names, np.array([0, 2]), "t")) == ["a", "c"]
+    with pytest.raises(KeyError):
+        _dim_lookup(names, np.array([1, -1]), "t")
+    with pytest.raises(KeyError):
+        _dim_lookup(names, np.array([3]), "t")
+    names[1] = None
+    with pytest.raises(KeyError):
+        _dim_lookup(names, np.array([1]), "t")
