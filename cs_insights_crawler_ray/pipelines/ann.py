@@ -28,6 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.broadcast import bget
+from .cluster import stack_embeddings_arrow
 
 N_QUERIES = 3  # queries = embeddings with vec_id < N_QUERIES (deterministic)
 TOP_K = 10
@@ -40,7 +41,7 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(N_QUERIES)))
     ids = tbl["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    mat = stack_embeddings_arrow(tbl["embedding"])
     # clip like every scorer: an all-zero query row must not become
     # NaN (NaN cosines poison the heap-merge tuple comparisons)
     mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
@@ -239,9 +240,7 @@ def q41_ivf_ann(sf_dir: str, n_centroids: int = 64, nprobe: int = 8) -> pa.Table
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "in", cent_ids.tolist())],
     )
-    cents = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in cent_tbl["embedding"].to_pylist()]
-    )
+    cents = stack_embeddings_arrow(cent_tbl["embedding"])
     cents /= np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
     # probe sets: each query's nprobe nearest centroids
     qc = qmat @ cents.T  # (Q, C)
@@ -502,9 +501,7 @@ def q66_pq_ann(sf_dir: str, top_k: int = TOP_K) -> pa.Table:
     )
     tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(N_QUERIES)))
     raw_ids = tbl["vec_id"].to_numpy()
-    raw = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
-    )
+    raw = stack_embeddings_arrow(tbl["embedding"])
     qq = quantize_embeddings(raw)
     bref, qref = ray.put(books), ray.put(qq)
     parts = ray.get(

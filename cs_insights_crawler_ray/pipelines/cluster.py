@@ -80,6 +80,19 @@ def _stack_embeddings(col: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_numpy()])
 
 
+def stack_embeddings_arrow(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 by flatten+reshape —
+    one vectorized copy instead of n per-row np.asarray calls (the
+    ANN/dedup table loads were paying a Python loop per vector).
+    Raises on ragged rows (reshape fails loudly); embeddings are
+    fixed-d, null-free lists."""
+    import pyarrow as _pa
+
+    ca = col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
+    flat = ca.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(ca), -1)
+
+
 def _embeddings_ds(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]

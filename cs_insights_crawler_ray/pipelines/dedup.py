@@ -831,12 +831,13 @@ def q23b_embedding_neardup_exact(sf_dir: str, threshold: float = 0.45) -> pa.Tab
     import ray
 
     from ..functions.broadcast import bget
+    from .cluster import stack_embeddings_arrow
 
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids_all = tbl["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    mat = stack_embeddings_arrow(tbl["embedding"])
     mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
     ref = ray.put((ids_all, mat))
 

@@ -1123,17 +1123,22 @@ def q43_revenue_by_region(sf_dir: str) -> rd.Dataset:
             cust_ds, join_type="inner", num_partitions=_NPART,
             on=("o_custkey",), right_on=("c_custkey",), **JOIN_ARGS,
         )
-        rmap = {nk: region[rk] for nk, rk in nation.items()}
-        ref = ray.put(rmap)
+        # dense object array + _dim_lookup (vectorized take with loud
+        # negative/hole guards) — the dict form paid a Python lookup
+        # per fact row and wrapped nothing, but shared none of the
+        # broken-FK guarantees of the q21/q45 path
+        names = np.full(max(nation) + 1, None, dtype=object)
+        for nk, rk in nation.items():
+            names[nk] = region[rk]
+        ref = ray.put(names)
 
         def add_region_j(t: pa.Table) -> pa.Table:
-            m = bget(ref)
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            rn = _dim_lookup(bget(ref), nk, "q43: c_nationkey not found in nation")
             return pa.table(
                 {
                     "tp_c": _fixed(t["o_totalprice"], 100),
-                    "r_name": pa.array(
-                        [m[nk] for nk in t["c_nationkey"].to_pylist()], pa.string()
-                    ),
+                    "r_name": pa.array(rn, pa.string()),
                 }
             )
 
