@@ -132,3 +132,96 @@ def test_authority_zero_is_order_identity(n, seed, budget, wave):
     pd.testing.assert_frame_equal(
         base.reset_index(drop=True), zero.reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- fingerprint64 batch
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Lo")
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fingerprint64_batch_matches_pure_python(docs):
+    """The batch-vectorized fingerprint (unique-token FNV by byte
+    position, sliding-window polynomial, masked reduceat mins) is
+    bit-identical to the pure-Python-int re-derivation on arbitrary
+    unicode, including empty/whitespace-only/short docs."""
+    from cs_insights_crawler_ray.functions.text import fingerprint64
+    from cs_insights_crawler_ray.pipelines.textops import _naive_fingerprint64
+
+    got = fingerprint64(pd.Series(docs)).to_numpy()
+    want = np.array([_naive_fingerprint64(d) for d in docs], dtype=np.int64)
+    assert (got == want).all()
+
+
+# ----------------------------------------------- slab-blocked hamming
+@settings(max_examples=40, deadline=None)
+@given(
+    hashes=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=60),
+    max_h=st.integers(0, 8),
+    slab=st.integers(1, 7),
+)
+def test_slab_blocked_allpairs_equals_brute(hashes, max_h, slab):
+    """The slab-blocked exact all-pairs expansion emits exactly the
+    brute-force pair set regardless of slab width (the memory-bound
+    path q32 takes with star_cap=None)."""
+    from cs_insights_crawler_ray.pipelines import dedup as D
+
+    ids = np.arange(len(hashes), dtype=np.int64)
+    hs = np.array(hashes, dtype=np.int64).astype(np.uint64)
+    # brute reference
+    want = set()
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin(int(hs[i] ^ hs[j])).count("1")
+            if d <= max_h:
+                want.add((i, j, d))
+    # slab-blocked (mirrors the pairs() inner loop with a tiny slab)
+    got = set()
+    n = len(hs)
+    col = np.arange(n)
+    for s in range(0, n - 1, slab):
+        e = min(s + slab, n)
+        dm = D._popcount64(hs[s:e, None] ^ hs[None, :])
+        keep = (
+            (dm <= max_h)
+            & (col[None, :] > np.arange(s, e)[:, None])
+            & (ids[s:e, None] != ids[None, :])
+        )
+        ii, jj = np.nonzero(keep)
+        got.update(zip((s + ii).tolist(), jj.tolist(), dm[ii, jj].tolist()))
+    assert got == want
+
+
+# ------------------------------------------------- bloom add/remove
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    dup=st.integers(1, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_bloom_add_remove_never_wraps(n, dup, seed):
+    """Balanced add-then-remove with arbitrary in-batch duplication
+    never loses membership of never-removed digests (the counting
+    contract: each element removed at most as many times as added —
+    over-removal legitimately steals shared cell counts in ANY
+    counting bloom) and never wraps a cell 0 -> 255."""
+    from cs_insights_crawler_ray.state.bloom import CountingBloom
+
+    rng = np.random.default_rng(seed)
+    d = rng.integers(0, 256, size=(n, 20), dtype=np.uint8)
+    keep = rng.integers(0, 256, size=(8, 20), dtype=np.uint8)
+    b = CountingBloom(capacity=64)
+    b.add(keep)
+    b.add(np.repeat(d, dup, axis=0))
+    b.remove(np.repeat(d, dup, axis=0))  # exact multiset removed
+    assert b.contains(keep).all()
+    # no cell wrapped high: every live count is bounded by total adds
+    assert int(b.cells.max()) <= 8 + n * dup
