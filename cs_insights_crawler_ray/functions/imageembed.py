@@ -59,19 +59,29 @@ class TinyConvEmbedder:
     def embed(self, pixels: np.ndarray) -> np.ndarray:
         """HxWx3 uint8 -> (EMBED_DIM,) unit-norm float32."""
         x = pixels.astype(np.float32) / 255.0
-        if min(x.shape[:2]) < _MIN_SIDE:
-            # deterministic edge-pad: three stride-2 3x3 layers need a
-            # side of >= 15 to keep every output non-empty — below
-            # that the stack either raised from as_strided (side <= 2)
-            # or silently emitted an all-NaN "embedding" (side <= 14),
-            # poisoning downstream cosine math
-            ph = max(0, _MIN_SIDE - x.shape[0])
-            pw = max(0, _MIN_SIDE - x.shape[1])
-            x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
         f = max(1, int(np.ceil(max(x.shape[:2]) / _MAX_SIDE)))
         if f > 1:  # antialias resize: f x f mean pooling
             h, w = (x.shape[0] // f) * f, (x.shape[1] // f) * f
-            x = x[:h, :w].reshape(h // f, f, w // f, f, 3).mean(axis=(1, 3))
+            # clamp so pooling never outputs a ZERO dimension (a
+            # 20x200 image pools to 0x66 at f=3)
+            h, w = max(h, f), max(w, f)
+            x = np.pad(
+                x,
+                ((0, max(0, h - x.shape[0])), (0, max(0, w - x.shape[1])), (0, 0)),
+                mode="edge",
+            )[:h, :w]
+            x = x.reshape(h // f, f, w // f, f, 3).mean(axis=(1, 3))
+        if min(x.shape[:2]) < _MIN_SIDE:
+            # deterministic edge-pad AFTER the pooling resize (the
+            # resize divides by f, so a pre-pad could be squashed back
+            # below 15 for skinny images like 20x200): three stride-2
+            # 3x3 layers need a side >= 15 to keep every output
+            # non-empty — below that the stack either raised from
+            # as_strided (side <= 2) or silently emitted an all-NaN
+            # "embedding", poisoning downstream cosine math
+            ph = max(0, _MIN_SIDE - x.shape[0])
+            pw = max(0, _MIN_SIDE - x.shape[1])
+            x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
         for k in self.kernels:
             patches, oh, ow = self._im2col(np.ascontiguousarray(x), _STRIDE)
             # patches are laid out (3,3,C) -> kernel expects (C*9); use

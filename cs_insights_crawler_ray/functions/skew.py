@@ -42,13 +42,24 @@ def salted_aggregate(
     round()-boundary flake CLAUDE.md documents for money aggregates
     (rounding happens in integer space, once, on an exact value)."""
     SCALE = 1_000_000_000
+    # int64 capacity is ~9.2e18: with 9-decimal scaling a per-key SUM
+    # past |Σv| ≈ 9.2e9 would wrap SILENTLY inside the integer Sum, so
+    # per-value magnitude is guarded loudly here (values ≤ MAX_ABS keep
+    # any realistic hot-key sum far from the ceiling; callers with
+    # larger measures should pre-scale or lower the decimal precision)
+    MAX_ABS = 1_000_000.0  # per-value bound: 1e6 * 1e9 = 1e15 per row
 
     def add_salt(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__salt"] = (np.arange(len(b)) % n_salts).astype(np.int64)
-        b[value] = (
-            np.round(b[value].to_numpy(np.float64) * SCALE).astype(np.int64)
-        )
+        v = b[value].to_numpy(np.float64)
+        if len(v) and float(np.abs(v).max()) > MAX_ABS:
+            raise ValueError(
+                f"salted_aggregate: |{value}| exceeds {MAX_ABS:g} — the "
+                "9-decimal int64 fixed point would overflow silently; "
+                "pre-scale the measure or lower the precision"
+            )
+        b[value] = np.round(v * SCALE).astype(np.int64)
         return b
 
     partial = (

@@ -19,6 +19,14 @@ from __future__ import annotations
 import numpy as np
 
 
+# distinct odd 64-bit diffusion constants, one per hash slice
+# (fibonacci-hash family: golden ratio and friends)
+_SLICE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+
+
 class CountingBloom:
     def __init__(self, capacity: int, fp_rate: float = 1e-3):
         # m = -n ln p / (ln 2)^2 ; k = m/n ln 2
@@ -46,11 +54,15 @@ class CountingBloom:
         # m > 2^32 (scalable-bloom growth past ~3e8 capacity at the
         # 10^10-URL design point) would silently never touch its upper
         # cells — allocated memory wasted, realized FP rate above the
-        # configured one.  40 bits reach m up to ~10^12 cells.
+        # configured one.  Slice i owns digest bytes [4i..4i+3] + byte
+        # 16+i — fully DISJOINT across slices (an earlier additive
+        # "tail" over bytes 18-19 collided with slices 2/3's widen
+        # byte, correlating the k hash functions); the per-slice odd
+        # multiply diffuses the 40 bits over 2^64 before the modulo so
+        # any m up to ~10^12 cells is fully reachable.
         vals = (vals << np.uint64(8)) | d[:, 16 : 16 + self.k].astype(np.uint64)
-        # mix with tail bytes 18-19 to decorrelate the k slices further
-        tail = (d[:, 18].astype(np.uint64) << np.uint64(8)) | d[:, 19].astype(np.uint64)
-        vals = vals + (np.arange(1, self.k + 1, dtype=np.uint64)[None, :] * tail[:, None])
+        with np.errstate(over="ignore"):
+            vals = vals * _SLICE_MIX[: self.k][None, :]
         return (vals % self.m).T
 
     def contains(self, digests: np.ndarray) -> np.ndarray:

@@ -104,3 +104,20 @@ def test_embedder_tiny_images_finite_unit_norm():
         v = m.embed(px)
         assert np.isfinite(v).all(), side
         assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5, side
+
+
+def test_embedder_skinny_and_large_rectangles():
+    """The MIN_SIDE pad must apply AFTER the max-side pooling resize:
+    a 20x200 image pools to 6x66 at f=3 (or 0xN pre-clamp) — pre-pad
+    ordering left the original failure modes reachable for any image
+    with long side > 96 and small short side."""
+    import numpy as np
+
+    from cs_insights_crawler_ray.functions.imageembed import get_model
+
+    m = get_model()
+    for h, w in [(20, 200), (200, 20), (32, 320), (16, 120), (1, 500), (500, 1)]:
+        px = (np.arange(h * w * 3) % 251).astype(np.uint8).reshape(h, w, 3)
+        v = m.embed(px)
+        assert np.isfinite(v).all(), (h, w)
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4, (h, w)
