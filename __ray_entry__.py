@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q64_dup_spans", dedup.q64_dup_spans),
         ("q61_decontaminate", dedup.q61_decontaminate),
         ("q17_minhash_dedup", dedup.q17_minhash_dedup),
+        ("q68_ngram_jaccard_join", dedup.q68_ngram_jaccard_join),
         ("q38_dup_groups", dedup.q38_dup_groups),
         ("q22_simhash", dedup.q22_simhash),
         ("q23_embedding_near_dup", dedup.q23_embedding_neardup_recall),
@@ -553,6 +554,17 @@ def oracle_sql() -> dict[str, str]:
         # rational, so 7th-decimal ties are real and round()'s tie
         # conventions differ between numpy/Python and DuckDB
         "q17_minhash_dedup": _JACCARD_CTE + """
+            SELECT a, b,
+                   floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000 + 0.5)
+                       / 1000000.0 AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+                       JOIN sizes sb ON sb.doc_id = b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+        """,
+        # q68 targets the SAME spec through a deterministic engine
+        # path (prefix filtering instead of MinHash banding), so the
+        # brute-force oracle is identical — the q10/q10b pattern.
+        "q68_ngram_jaccard_join": _JACCARD_CTE + """
             SELECT a, b,
                    floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000 + 0.5)
                        / 1000000.0 AS jaccard

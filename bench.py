@@ -161,6 +161,7 @@ def run_bench() -> dict:
         timed("q14_quality_scores", textops.q14_quality_scores)
         timed("q15_ann_brute", ann.q15_ann_brute)
         timed("q17_minhash_dedup", dedup.q17_minhash_dedup)
+        timed("q68_ngram_jaccard_join", dedup.q68_ngram_jaccard_join)
         timed("q21_revenue_by_nation", R.q21_revenue_by_nation)
         timed("q42_hopping_window", R.q42_hopping_window)
         timed("q52_range_join", R.q52_range_join)

@@ -404,16 +404,31 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     broadcast the candidate texts (one filtered pass over docs, zero
     shuffles); large sets use two hash joins so payloads only ever
     move for candidates (the 100 TB path)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # raw candidates (a pair appears once per matching band): the
+    # distinct is deferred — the broadcast path dedupes on the driver
+    # for free, the join path pays the hash aggregate
+    return verify_pairs_adaptive(docs, minhash_lsh_candidates(docs, distinct=False), threshold)
+
+
+def verify_pairs_adaptive(
+    docs: rd.Dataset, cand: rd.Dataset, threshold: float
+) -> rd.Dataset | pa.Table:
+    """Exact n-gram-Jaccard verification of a candidate pair Dataset
+    (columns a, b; duplicate pairs allowed) against documents(doc_id,
+    text), keeping pairs with jaccard >= threshold.  Shared by the
+    MinHash-LSH (q17) and prefix-filter (q68) candidate generators.
+
+    Adaptive: small candidate sets broadcast the candidate texts (one
+    filtered pass over docs, zero shuffles, plain-task verify); large
+    sets pay the (a, b) distinct aggregate plus two hash joins so
+    payloads only ever move for candidates (the 100 TB path)."""
     import ray
 
     from ..functions.broadcast import bget
     from .relational import JOIN_ARGS
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # raw candidates (a pair appears once per matching band): the
-    # distinct is deferred — the broadcast path dedupes on the driver
-    # for free, the join path pays the hash aggregate
-    cand = minhash_lsh_candidates(docs, distinct=False).materialize()
+    cand = cand.materialize()
     n_pairs = cand.count()
 
     if n_pairs == 0:
@@ -502,6 +517,201 @@ def q17_minhash_dedup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
 
     out = joined.map_batches(verify, batch_format="pandas")
     return _typed_pairs(out, ("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+# How many of the most document-frequent grams to broadcast for the
+# rare-grams-first prefix ordering.  Selectivity only — the join is
+# exact under ANY common total order (see q68 docstring); raising this
+# shrinks collision buckets when the corpus has very common shingles.
+_DF_TOP_K = 4096
+
+
+def _df_partials(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-block partial document frequencies of the hashed grams:
+    each doc contributes its DISTINCT grams once, then one np.unique
+    over the block counts them.  Combiner for the vocab grouped-sum."""
+    grams, counts = _batch_gram_hashes(b["text"].tolist())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    per_doc = [
+        np.unique(grams[s : s + c]) for s, c in zip(starts, counts)
+    ]
+    flat = np.concatenate(per_doc) if per_doc else np.zeros(0, dtype=np.uint64)
+    u, n = np.unique(flat, return_counts=True)
+    return pd.DataFrame({"gram": u.astype(np.int64), "n": n.astype(np.int64)})
+
+
+def _gram_df_topk(docs: rd.Dataset, top_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """~top_k most document-frequent grams and their DFs, as two
+    aligned arrays sorted by GRAM (searchsorted lookup form).
+
+    ZERO-SHUFFLE: each block emits only its 2*top_k locally most
+    frequent grams (_df_partials truncated under the (n desc, gram)
+    order); the driver sums the surviving partials and keeps the
+    global top_k.  Truncation can under-count a gram split across
+    many blocks, so the heavy set is APPROXIMATE — which is all the
+    prefix order needs: any common total order is correct (q68), DF
+    ordering only shrinks collision buckets, and a gram popular
+    enough to matter is in nearly every block's local top.  A
+    vocab-keyed grouped sum here cost 5-9s of aggregate fan-out at
+    sf0.01 for a selectivity hint; the driver pull is bounded at
+    n_blocks * 2*top_k counter rows (q58's accounting)."""
+    if top_k <= 0:  # ordering disabled: hash order only
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        d = _df_partials(b)
+        if len(d) > 2 * top_k:
+            d = d.sort_values(["n", "gram"], ascending=[False, True]).head(2 * top_k)
+        return d
+
+    parts = docs.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    top = parts.groupby("gram", as_index=False)["n"].sum().rename(columns={"n": "df"})
+    top = top.sort_values(["df", "gram"], ascending=[False, True]).head(top_k)
+    g = top["gram"].to_numpy(dtype=np.int64).astype(np.uint64)
+    d = top["df"].to_numpy(dtype=np.int64)
+    order = np.argsort(g)
+    return g[order], d[order]
+
+
+def _prefix_postings(
+    b: pd.DataFrame, threshold: float, heavy_grams: np.ndarray, heavy_df: np.ndarray
+) -> pd.DataFrame:
+    """(doc_id, text) batch -> prefix postings (gram, doc_id, size).
+
+    Per doc with |G| distinct grams, emits the |G| - floor(t*|G|) + 1
+    first grams under the global order (DF-ascending for broadcast
+    heavy grams, gram-hash ascending otherwise).  floor (not the exact
+    ceil) keeps the prefix a token longer under float t — over-emission
+    is safe, a short prefix is not."""
+    ids = b["doc_id"].to_numpy()
+    grams, counts = _batch_gram_hashes(b["text"].tolist())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    out_g: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    nh = heavy_grams.size
+    for k in range(len(ids)):
+        g = np.unique(grams[starts[k] : starts[k] + counts[k]])
+        sz = g.size  # >= 1 (every doc hashes to at least one gram)
+        p = min(sz, sz - int(threshold * sz) + 1)
+        if nh:
+            idx = np.minimum(np.searchsorted(heavy_grams, g), nh - 1)
+            dfv = np.where(heavy_grams[idx] == g, heavy_df[idx], 0)
+            pref = g[np.lexsort((g, dfv))[:p]]
+        else:
+            pref = g[:p]  # np.unique output is already hash-ascending
+        out_g.append(pref)
+        out_d.append(np.full(pref.size, ids[k], dtype=np.int64))
+        out_s.append(np.full(pref.size, sz, dtype=np.int64))
+    if not out_g:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("gram", "doc_id", "size")}
+        )
+    return pd.DataFrame(
+        {
+            "gram": np.concatenate(out_g).astype(np.int64),
+            "doc_id": np.concatenate(out_d),
+            "size": np.concatenate(out_s),
+        }
+    )
+
+
+def _prefix_pairs_from_partition(g: pd.DataFrame, t_num: int) -> pd.DataFrame:
+    """Candidate pairs of a co-located posting partition: docs sharing
+    a prefix gram, pruned by the length filter (jaccard >= t forces
+    min(|A|,|B|) >= t*max(|A|,|B|); compared in integer millionths
+    with one count of slack so float t never over-prunes).  No star
+    cap — q68's contract is the EXACT pair set, and DF-ascending
+    ordering keeps buckets small (a bucket only forms on a gram inside
+    both docs' rare-end prefixes)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for bucket in _iter_buckets(g, ["gram"]):
+        ids = bucket["doc_id"].to_numpy()
+        szs = bucket["size"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(szs[ii], szs[jj])
+        hi = np.maximum(szs[ii], szs[jj])
+        keep = lo * 1_000_000 >= (t_num - 1) * hi
+        if not keep.any():
+            continue
+        out_a.append(np.minimum(ids[ii], ids[jj])[keep])
+        out_b.append(np.maximum(ids[ii], ids[jj])[keep])
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+    return pd.DataFrame(
+        {
+            "a": np.concatenate(out_a).astype(np.int64),
+            "b": np.concatenate(out_b).astype(np.int64),
+        }
+    )
+
+
+def prefix_filter_candidates(
+    docs: rd.Dataset, threshold: float, df_top_k: int = _DF_TOP_K
+) -> rd.Dataset:
+    """documents(doc_id, text) -> EXACT candidate pairs (a < b): a
+    superset of every pair with n-gram jaccard >= threshold, with no
+    randomness (prefix-filter guarantee, see q68)."""
+    import ray
+
+    from ..functions.broadcast import bget
+
+    heavy_ref = ray.put(_gram_df_topk(docs, df_top_k))
+    t_num = int(round(threshold * 1e6))
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        hg, hdf = bget(heavy_ref)
+        return _prefix_postings(b, threshold, hg, hdf)
+
+    return (
+        docs.map_batches(postings, batch_format="pandas")
+        .map_batches(lambda b: _add_part(b, ["gram"]), batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: _prefix_pairs_from_partition(g, t_num), batch_format="pandas"
+        )
+    )
+
+
+def q68_ngram_jaccard_join(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """Exact n-gram-Jaccard similarity self-join over documents via
+    prefix filtering (the PPJoin family: Chaudhuri et al. ICDE'06,
+    Xiao et al. WWW'08) — the deterministic counterpart to q17's
+    MinHash-LSH: same output spec (all pairs with word-trigram jaccard
+    >= threshold), but EVERY qualifying pair is found by construction,
+    no banding probability.
+
+    Prefix-filter guarantee: under any total order common to all
+    docs, two gram sets with jaccard >= t overlap within their
+    (|G| - ceil(t|G|) + 1)-prefixes, so indexing only those prefix
+    grams loses nothing.  Ordering is DF-ascending via a broadcast
+    top-k heavy-gram table (rare grams first -> tiny collision
+    buckets); ordering affects selectivity only, never correctness.
+
+    Scale shape: one vocab-keyed grouped sum for DFs (bounded top-k
+    driver pull + O(k) broadcast), one postings map_batches (each doc
+    emits ~(1-t)|G|+1 grams), one coarse 32-way bucket shuffle with
+    length-filtered in-bucket pairing, then the shared adaptive
+    broadcast/join verify.  Partitioning assumption: collision-bucket
+    width stays << corpus because common grams sit at the order's tail
+    — corpora whose rare-gram tail is still ultra-dense need a larger
+    _DF_TOP_K.  Reference analog: extends the reference's exact
+    key-level merge-dedup (``data/s2processor.py:114-118``) from exact
+    keys to near-duplicate text."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return verify_pairs_adaptive(
+        docs, prefix_filter_candidates(docs, threshold), threshold
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,59 @@ def test_minhash_lsh_finds_neardups(neardup_dir):
     assert got_pairs == truth
 
 
+def test_prefix_jaccard_join_exact(neardup_dir):
+    """q68 finds EXACTLY the true pair set — no LSH recall caveat:
+    prefix filtering guarantees a candidate superset by construction."""
+    got = dedup.q68_ngram_jaccard_join(neardup_dir, threshold=0.7)
+    gp = got.to_pandas()
+    truth = _true_jaccard_pairs(neardup_dir, 0.7)
+    assert truth, "fixture must contain true near-dups"
+    assert set(zip(gp["a"], gp["b"])) == truth
+    # verified jaccards match the scalar kernel bit-identically
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{neardup_dir}/documents.parquet").to_pylist()
+    }
+    for a, b, j in zip(gp["a"], gp["b"], gp["jaccard"]):
+        assert j == dedup._round6_half_up(dedup.ngram_jaccard(texts[a], texts[b]))
+
+
+def test_prefix_candidates_superset_under_skew(tmp_path):
+    """Adversarial corpus for the prefix filter: a super-common token
+    run shared by every doc (heavy grams must sort to the order's
+    tail), short (<3-token) docs, duplicate empty docs, and exact
+    dups.  Candidates must be a superset of the true pairs and the
+    verified join must equal brute force — also with the heavy-gram
+    broadcast DISABLED (hash order), since ordering is selectivity
+    only."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    common = " ".join(["the quick brown fox jumps"] * 4)
+    docs = []
+    for i in range(20):
+        tail = " ".join(rng.choice(WORDS, size=12))
+        docs.append({"doc_id": i, "text": common + " " + tail})
+    docs.append({"doc_id": 20, "text": docs[0]["text"]})      # exact dup
+    docs.append({"doc_id": 21, "text": "alpha bravo"})         # short
+    docs.append({"doc_id": 22, "text": "alpha bravo"})         # short dup
+    docs.append({"doc_id": 23, "text": ""})                    # empty
+    docs.append({"doc_id": 24, "text": ""})                    # empty dup
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(docs), d / "documents.parquet")
+
+    truth = _true_jaccard_pairs(str(d), 0.7)
+    assert (21, 22) in truth and (23, 24) in truth and (0, 20) in truth
+
+    ds = rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    for top_k in (4096, 0):  # DF ordering on / off
+        cand = dedup.prefix_filter_candidates(ds, 0.7, df_top_k=top_k).to_pandas()
+        cand_pairs = set(zip(cand["a"], cand["b"]))
+        assert truth <= cand_pairs
+
+    got = dedup.q68_ngram_jaccard_join(str(d), threshold=0.7)
+    assert set(zip(got.to_pandas()["a"], got.to_pandas()["b"])) == truth
+
+
 def test_simhash_neardup_pairs(neardup_dir):
     docs = rd.read_parquet(f"{neardup_dir}/documents.parquet")
     pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
