@@ -698,9 +698,10 @@ def q68_ngram_jaccard_join(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     top-k heavy-gram table (rare grams first -> tiny collision
     buckets); ordering affects selectivity only, never correctness.
 
-    Scale shape: one vocab-keyed grouped sum for DFs (bounded top-k
-    driver pull + O(k) broadcast), one postings map_batches (each doc
-    emits ~(1-t)|G|+1 grams), one coarse 32-way bucket shuffle with
+    Scale shape: one zero-shuffle DF pass (truncated per-block
+    partials, bounded driver merge, O(k) broadcast), one postings
+    map_batches (each doc emits ~(1-t)|G|+1 grams), one coarse
+    32-way bucket shuffle with
     length-filtered in-bucket pairing, then the shared adaptive
     broadcast/join verify.  Partitioning assumption: collision-bucket
     width stays << corpus because common grams sit at the order's tail
