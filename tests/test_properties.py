@@ -225,3 +225,45 @@ def test_bloom_add_remove_never_wraps(n, dup, seed):
     assert b.contains(keep).all()
     # no cell wrapped high: every live count is bounded by total adds
     assert int(b.cells.max()) <= 8 + n * dup
+
+
+# --------------------------------------------------------------- q68
+@settings(max_examples=50, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 6), min_size=0, max_size=30),
+        min_size=2,
+        max_size=22,
+    ),
+    t=st.floats(0.3, 0.95),
+    heavy_k=st.integers(0, 12),
+)
+def test_prefix_filter_candidate_guarantee(docs, t, heavy_k):
+    """The prefix-filter theorem as implemented (q68 kernels, no Ray):
+    for ANY corpus, threshold, and heavy-gram ordering table, every
+    pair whose round6 n-gram jaccard >= t must appear in the candidate
+    pairs produced by _prefix_postings + _prefix_pairs_from_partition.
+    Probes the floor-prefix / (t_num-1)-length-filter slack against
+    float thresholds, tiny vocab (dense collisions), short and empty
+    docs, and arbitrary (even adversarial) DF orderings — ordering
+    must never affect the superset property, only selectivity."""
+    import itertools
+
+    from cs_insights_crawler_ray.pipelines import dedup
+
+    texts = [" ".join(f"w{x}" for x in d) for d in docs]
+    b = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    grams, _ = dedup._batch_gram_hashes(texts)
+    uniq = np.unique(grams)
+    hg = uniq[: min(heavy_k, uniq.size)].astype(np.uint64)
+    hdf = (np.arange(hg.size, dtype=np.int64) % 3) * 7 + 1  # ties + skew
+    post = dedup._prefix_postings(b, t, hg, hdf)
+    t_num = int(round(t * 1e6))
+    pairs = dedup._prefix_pairs_from_partition(post, t_num)
+    cand = set(zip(pairs["a"], pairs["b"]))
+    for (i, ta), (j, tb) in itertools.combinations(enumerate(texts), 2):
+        if dedup._round6_half_up(dedup.ngram_jaccard(ta, tb)) >= t:
+            assert (i, j) in cand, (i, j, ta, tb)
+    assert all(a < b for a, b in cand)
