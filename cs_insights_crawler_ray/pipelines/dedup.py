@@ -623,6 +623,18 @@ def _prefix_postings(
     )
 
 
+_PAIR_SLAB = 1024
+
+
+def _length_filtered(ii, jj, ids, szs, t_num, out_a, out_b) -> None:
+    lo = np.minimum(szs[ii], szs[jj])
+    hi = np.maximum(szs[ii], szs[jj])
+    keep = lo * 1_000_000 >= (t_num - 1) * hi
+    if keep.any():
+        out_a.append(np.minimum(ids[ii], ids[jj])[keep])
+        out_b.append(np.maximum(ids[ii], ids[jj])[keep])
+
+
 def _prefix_pairs_from_partition(g: pd.DataFrame, t_num: int) -> pd.DataFrame:
     """Candidate pairs of a co-located posting partition: docs sharing
     a prefix gram, pruned by the length filter (jaccard >= t forces
@@ -630,20 +642,27 @@ def _prefix_pairs_from_partition(g: pd.DataFrame, t_num: int) -> pd.DataFrame:
     with one count of slack so float t never over-prunes).  No star
     cap — q68's contract is the EXACT pair set, and DF-ascending
     ordering keeps buckets small (a bucket only forms on a gram inside
-    both docs' rare-end prefixes)."""
+    both docs' rare-end prefixes).  A degenerate bucket still emits
+    ALL its pairs, but slab-blocked (the q32 pattern) so the index
+    temporaries are O(slab * m), never O(m^2) at once."""
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     for bucket in _iter_buckets(g, ["gram"]):
         ids = bucket["doc_id"].to_numpy()
         szs = bucket["size"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        lo = np.minimum(szs[ii], szs[jj])
-        hi = np.maximum(szs[ii], szs[jj])
-        keep = lo * 1_000_000 >= (t_num - 1) * hi
-        if not keep.any():
+        m = len(ids)
+        if m <= _PAIR_SLAB:
+            ii, jj = np.triu_indices(m, k=1)
+            _length_filtered(ii, jj, ids, szs, t_num, out_a, out_b)
             continue
-        out_a.append(np.minimum(ids[ii], ids[jj])[keep])
-        out_b.append(np.maximum(ids[ii], ids[jj])[keep])
+        for s in range(0, m, _PAIR_SLAB):
+            e = min(s + _PAIR_SLAB, m)
+            ii, jj = np.triu_indices(e - s, k=1)
+            _length_filtered(ii + s, jj + s, ids, szs, t_num, out_a, out_b)
+            if e < m:
+                ci = np.repeat(np.arange(s, e, dtype=np.int64), m - e)
+                cj = np.tile(np.arange(e, m, dtype=np.int64), e - s)
+                _length_filtered(ci, cj, ids, szs, t_num, out_a, out_b)
     if not out_a:
         return pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
