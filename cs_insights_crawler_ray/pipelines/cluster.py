@@ -89,6 +89,12 @@ def stack_embeddings_arrow(col) -> np.ndarray:
     import pyarrow as _pa
 
     ca = col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
+    if len(ca) == 0:
+        # reshape(0, -1) cannot infer d — refuse loudly instead of
+        # surfacing numpy's baffling "cannot reshape size 0" (every
+        # caller reads a table that must be non-empty: queries,
+        # centroids, corpus)
+        raise ValueError("stack_embeddings_arrow: empty embedding column")
     flat = ca.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(ca), -1)
 
