@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q61_decontaminate", dedup.q61_decontaminate),
         ("q17_minhash_dedup", dedup.q17_minhash_dedup),
         ("q68_ngram_jaccard_join", dedup.q68_ngram_jaccard_join),
+        ("q69_leakage_safe_split", dedup.q69_leakage_safe_split),
         ("q38_dup_groups", dedup.q38_dup_groups),
         ("q22_simhash", dedup.q22_simhash),
         ("q23_embedding_near_dup", dedup.q23_embedding_neardup_recall),
@@ -571,6 +572,38 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = a
                        JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+        """,
+        # q69: split-by-group-representative — q38's recursive walk
+        # gives the rep (docs in no group represent themselves), the
+        # q50 Fibonacci HUGEINT hash gives the split.  Both halves are
+        # existing oracle machinery composed.
+        "q69_leakage_safe_split": _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ") + """,
+            edges AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a
+                         JOIN sizes sb ON sb.doc_id = b
+              WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+            sym AS (SELECT a AS node, b AS peer FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            walk(node, label) AS (
+              SELECT DISTINCT node, node FROM sym
+              UNION
+              SELECT s.node, w.label FROM sym s JOIN walk w ON w.node = s.peer),
+            grp AS (SELECT node AS doc_id, min(label) AS rep
+                    FROM walk GROUP BY node),
+            ar AS (SELECT d.doc_id,
+                          CAST(coalesce(grp.rep, d.doc_id) AS BIGINT) AS rep
+                   FROM documents d LEFT JOIN grp USING (doc_id)),
+            hs AS (SELECT doc_id, rep,
+                          CAST(((CAST(rep AS HUGEINT) * 11400714819323198485)
+                               % 18446744073709551616) // 4294967296 AS BIGINT)
+                              AS hk
+                   FROM ar)
+            SELECT doc_id, rep,
+                   CASE WHEN hk % 10 <= 7 THEN 'train'
+                        WHEN hk % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM hs
         """,
         # q38: recursive min-label propagation (transitive closure) over
         # the same jaccard-verified edge set.

@@ -1251,6 +1251,93 @@ def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     return connected_components(verified)
 
 
+# group tables below this row count broadcast (one filtered corpus
+# pass, zero shuffles); above it, the full corpus pays one left-outer
+# hash join keyed by doc_id — dup-group membership at 100 TB can be a
+# double-digit fraction of the corpus, which no driver should hold
+_SPLIT_BROADCAST_LIMIT = 2_000_000
+
+
+def q69_leakage_safe_split(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """Leakage-safe train/val/test assignment: each document's split
+    is decided by the Fibonacci hash of its near-dup GROUP
+    representative (q38's connected-components label; documents in no
+    group represent themselves), so near-duplicates can never straddle
+    train and test — the contamination guard LLM corpora randomize at
+    the GROUP level, not the document level (a doc-level hash split
+    leaks ~2x the dup rate across the boundary).  h(rep) % 10:
+    0-7 train, 8 val, 9 test.
+
+    Scale shape: the group table (bounded by dup density) broadcasts
+    when small, else one left-outer hash join keyed by doc_id — the
+    corpus itself never moves otherwise; the split tag is a stateless
+    vectorized keep-free pass (q50's _key_hash32 kernel, which the SQL
+    oracle replays exactly in HUGEINT).  Reference analog: the
+    reference has no split logic at all (its dedup is the md5 cache,
+    ``dblpclient.py:442-443``); this is new training-data surface."""
+    import ray
+
+    from ..functions.broadcast import bget
+    from .mlprep import _key_hash32
+    from .relational import JOIN_ARGS
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    groups = q38_dup_groups(sf_dir, threshold).materialize()
+
+    def tag(rep: np.ndarray) -> np.ndarray:
+        code = _key_hash32(rep) % np.int64(10)
+        return np.select(
+            [code <= 7, code == 8], ["train", "val"], default="test"
+        )
+
+    if groups.count() <= _SPLIT_BROADCAST_LIMIT:
+        gp = groups.to_pandas().sort_values("doc_id")
+        ref = ray.put(
+            (
+                gp["doc_id"].to_numpy(dtype=np.int64),
+                gp["group_id"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            ids, gids = bget(ref)
+            d = b["doc_id"].to_numpy(dtype=np.int64)
+            rep = d.copy()
+            if ids.size:
+                idx = np.minimum(np.searchsorted(ids, d), ids.size - 1)
+                hit = ids[idx] == d
+                rep[hit] = gids[idx[hit]]
+            return pd.DataFrame({"doc_id": d, "rep": rep, "split": tag(rep)})
+
+        return docs.map_batches(assign, batch_format="pandas")
+
+    npart = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = docs.join(
+        groups, join_type="left_outer", num_partitions=npart,
+        on=("doc_id",), **JOIN_ARGS,
+    )
+
+    def assign_joined(t: pa.Table) -> pa.Table:
+        # Arrow batch: unmatched group_id stays a NULL int64 — a
+        # pandas batch would lift the column to float64 and corrupt
+        # 2^53+ representatives
+        import pyarrow.compute as pc
+
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = t["group_id"].combine_chunks()
+        valid = pc.is_valid(g).to_numpy(zero_copy_only=False)
+        rep = np.where(valid, g.fill_null(0).to_numpy(zero_copy_only=False), d)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "rep": pa.array(rep, pa.int64()),
+                "split": pa.array(tag(rep)),
+            }
+        )
+
+    return joined.map_batches(assign_joined, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # q61 — benchmark decontamination: flag every training document that
 # shares at least one word trigram with the evaluation set (the

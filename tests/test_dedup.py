@@ -128,6 +128,50 @@ def test_prefix_candidates_superset_under_skew(tmp_path):
     assert set(zip(got.to_pandas()["a"], got.to_pandas()["b"])) == truth
 
 
+def test_leakage_safe_split_group_consistent(neardup_dir):
+    """q69: every member of a near-dup group gets the SAME split (the
+    operator's whole point — no train/test straddling), singletons
+    represent themselves, and every document is assigned exactly
+    once.  The forced join path must agree with the broadcast path
+    byte for byte (including 2^53+ doc_id safety via the Arrow
+    branch)."""
+    import pandas as pd
+
+    got = dedup.q69_leakage_safe_split(neardup_dir, threshold=0.7).to_pandas()
+    n_docs = len(pq.read_table(f"{neardup_dir}/documents.parquet"))
+    assert len(got) == n_docs and got["doc_id"].is_unique
+    assert set(got["split"].unique()) <= {"train", "val", "test"}
+
+    groups = dedup.q38_dup_groups(neardup_dir, threshold=0.7).to_pandas()
+    assert len(groups) > 0, "fixture must contain dup groups"
+    merged = got.merge(groups, on="doc_id", how="left")
+    grouped = merged.dropna(subset=["group_id"])
+    # group members share rep AND split
+    per_group = grouped.groupby("group_id").agg(
+        n_reps=("rep", "nunique"), n_splits=("split", "nunique")
+    )
+    assert (per_group["n_reps"] == 1).all()
+    assert (per_group["n_splits"] == 1).all()
+    # and the rep is the group label itself
+    assert (grouped["rep"] == grouped["group_id"]).all()
+    # singletons represent themselves
+    single = merged[merged["group_id"].isna()]
+    assert (single["rep"] == single["doc_id"]).all()
+
+    # forced join path == broadcast path
+    import cs_insights_crawler_ray.pipelines.dedup as dd
+
+    old = dd._SPLIT_BROADCAST_LIMIT
+    dd._SPLIT_BROADCAST_LIMIT = 0
+    try:
+        forced = dd.q69_leakage_safe_split(neardup_dir, threshold=0.7).to_pandas()
+    finally:
+        dd._SPLIT_BROADCAST_LIMIT = old
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = forced.sort_values("doc_id").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_simhash_neardup_pairs(neardup_dir):
     docs = rd.read_parquet(f"{neardup_dir}/documents.parquet")
     pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
