@@ -558,12 +558,28 @@ def _gram_df_topk(docs: rd.Dataset, top_k: int) -> tuple[np.ndarray, np.ndarray]
     enough to matter is in nearly every block's local top.  A
     vocab-keyed grouped sum here cost 5-9s of aggregate fan-out at
     sf0.01 for a selectivity hint; the driver pull is bounded at
-    n_blocks * 2*top_k counter rows (q58's accounting)."""
+    n_blocks * 2*top_k counter rows (q58's accounting).
+
+    The pass shingles only a deterministic 1-in-4 document sample
+    (_key_hash32(doc_id) % 4 == 0): a gram heavy enough to matter is
+    heavy in any fixed quarter of the corpus, and the full-corpus DF
+    pass was a second complete shingling of the input purely for this
+    hint.  The sample is keyed (not block-positional) so the heavy
+    set is identical on any cluster shape."""
     if top_k <= 0:  # ordering disabled: hash order only
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
 
+    from .mlprep import _key_hash32
+
+    _EMPTY = pd.DataFrame(
+        {"gram": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+    )
+
     def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
-        d = _df_partials(b)
+        keep = (_key_hash32(b["doc_id"]) % np.int64(4)) == 0
+        if not keep.any():
+            return _EMPTY
+        d = _df_partials(b[keep])
         if len(d) > 2 * top_k:
             d = d.sort_values(["n", "gram"], ascending=[False, True]).head(2 * top_k)
         return d
