@@ -128,6 +128,37 @@ def test_prefix_candidates_superset_under_skew(tmp_path):
     assert set(zip(got.to_pandas()["a"], got.to_pandas()["b"])) == truth
 
 
+def test_prefix_pair_slab_blocking_exact():
+    """A bucket wider than _PAIR_SLAB must emit the identical pair set
+    the whole-bucket triu form would (pure kernel, no Ray)."""
+    rng = np.random.default_rng(0)
+    m = int(dedup._PAIR_SLAB * 2.5)
+    g = pd.DataFrame(
+        {
+            "gram": np.concatenate([np.zeros(m, np.int64), np.ones(40, np.int64)]),
+            "doc_id": np.concatenate(
+                [rng.permutation(m).astype(np.int64),
+                 np.arange(500, 540, dtype=np.int64)]
+            ),
+            "size": rng.integers(50, 200, m + 40).astype(np.int64),
+        }
+    )
+    t_num = 700_000
+    got = set(zip(*(dedup._prefix_pairs_from_partition(g, t_num)[c] for c in "ab")))
+    want = set()
+    for gram in (0, 1):
+        b = g[g["gram"] == gram]
+        ids = b["doc_id"].to_numpy()
+        szs = b["size"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        lo, hi = np.minimum(szs[ii], szs[jj]), np.maximum(szs[ii], szs[jj])
+        keep = lo * 1_000_000 >= (t_num - 1) * hi
+        want |= set(
+            zip(np.minimum(ids[ii], ids[jj])[keep], np.maximum(ids[ii], ids[jj])[keep])
+        )
+    assert got == want and len(want) > 0
+
+
 def test_leakage_safe_split_group_consistent(neardup_dir):
     """q69: every member of a near-dup group gets the SAME split (the
     operator's whole point — no train/test straddling), singletons
