@@ -1258,12 +1258,21 @@ def connected_components(pairs: rd.Dataset | pa.Table, max_iters: int = 50) -> r
 
 
 def q38_dup_groups(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
-    """End-to-end dedup: MinHash-LSH candidates -> exact verification
-    -> connected components -> (doc_id, group_id) canonical-dup
-    assignment.  SQL-oracled (WITH RECURSIVE min-label propagation in
-    __ray_entry__); component semantics additionally tested against
-    hand-built graphs in tests/test_dedup.py."""
-    verified = q17_minhash_dedup(sf_dir, threshold)
+    """End-to-end dedup: EXACT prefix-filter candidates -> exact
+    verification -> connected components -> (doc_id, group_id)
+    canonical-dup assignment.  SQL-oracled (WITH RECURSIVE min-label
+    propagation in __ray_entry__); component semantics additionally
+    tested against hand-built graphs in tests/test_dedup.py.
+
+    Candidates come from the q68 prefix filter, not MinHash-LSH: the
+    group chain inherits exactness (an LSH miss — ~2e-4/pair — merges
+    or splits whole groups downstream, and connected components
+    amplify it), and the size probe (scripts/dedup_scale_probe.py)
+    measured the exact generator 2.2x FASTER at 200k docs (one
+    shingling pass vs 256 signature permutations per doc).  q17
+    remains the sketch path for corpora whose prefix buckets
+    degenerate."""
+    verified = q68_ngram_jaccard_join(sf_dir, threshold)
     return connected_components(verified)
 
 
