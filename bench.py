@@ -391,7 +391,11 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     # per-process ray.init cost makes impractical here); readers get
     # the hi-favored number, this control, and every raw draw.
     t_hi_sym = min(d["value"] for d in draws_hi[:repeats])
-    eff_sym = (t_lo * n_lo) / (t_hi_sym * n_hi)
+    # BOTH sides sliced: under race-to-floor the lo level can also
+    # exceed `repeats` draws, and a 5-draw lo floor against a 3-draw
+    # hi floor would no longer be the equal-count control this claims
+    t_lo_sym = min(d["value"] for d in draws_lo[:repeats])
+    eff_sym = (t_lo_sym * n_lo) / (t_hi_sym * n_hi)
     hw = _hardware_ceiling(n_lo, n_hi)
     return {
         "metric": f"scaling efficiency (T{n_lo}*{n_lo})/(T{n_hi}*{n_hi}), crawl headline, min over repeats",
@@ -404,6 +408,7 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_symmetric": round(eff_sym, 3),
         f"sec_{n_hi}_symmetric": t_hi_sym,
+        f"sec_{n_lo}_symmetric": t_lo_sym,
         "hardware_ceiling": hw,
         "efficiency_vs_ceiling": round(eff / hw["hardware_ceiling_efficiency"], 3),
         "sf": lo["sf"],

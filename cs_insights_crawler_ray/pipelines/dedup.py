@@ -503,7 +503,7 @@ def verify_pairs_adaptive(
     # num_partitions=2 would serialize the join on two aggregators
     # exactly when the data is largest (connected_components sizes
     # its joins the same way)
-    npart = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    npart = _join_nparts()
     joined = cand.join(
         ta, join_type="inner", num_partitions=npart, on=("a",), **JOIN_ARGS
     ).join(tb, join_type="inner", num_partitions=npart, on=("b",), **JOIN_ARGS)
@@ -527,6 +527,29 @@ def verify_pairs_adaptive(
 # exact under ANY common total order (see q68 docstring); raising this
 # shrinks collision buckets when the corpus has very common shingles.
 _DF_TOP_K = 4096
+
+
+def _join_nparts() -> int:
+    """Hash-join fan-out sized to the cluster — a hardcoded
+    num_partitions=2 serializes the join on two aggregators exactly
+    when the data is largest (the q17 round-4 lesson); shared by every
+    join in this module so the sizing is tuned in ONE place."""
+    import ray
+
+    return max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+
+def _sorted_lookup(
+    keys: np.ndarray, vals: np.ndarray, x: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Membership lookup against a SORTED key array: returns
+    (vals-at-match, hit mask); values where ~hit are undefined.  The
+    clamp-then-compare idiom lived in two subtly-different copies
+    (prefix postings + the q69 broadcast assign)."""
+    if keys.size == 0:
+        return np.zeros(len(x), dtype=vals.dtype), np.zeros(len(x), dtype=bool)
+    idx = np.minimum(np.searchsorted(keys, x), keys.size - 1)
+    return vals[idx], keys[idx] == x
 
 
 def _df_partials(b: pd.DataFrame) -> pd.DataFrame:
@@ -564,8 +587,12 @@ def _gram_df_topk(docs: rd.Dataset, top_k: int) -> tuple[np.ndarray, np.ndarray]
     (_key_hash32(doc_id) % 4 == 0): a gram heavy enough to matter is
     heavy in any fixed quarter of the corpus, and the full-corpus DF
     pass was a second complete shingling of the input purely for this
-    hint.  The sample is keyed (not block-positional) so the heavy
-    set is identical on any cluster shape."""
+    hint.  The SAMPLE is keyed (not block-positional), but the
+    per-block 2*top_k truncation is NOT — different block layouts can
+    admit a different boundary-rank gram, so the heavy set itself is
+    approximate AND layout-dependent; q68's output is unaffected
+    (any order is correct) and nothing may consume this table as
+    deterministic state."""
     if top_k <= 0:  # ordering disabled: hash order only
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
 
@@ -581,7 +608,10 @@ def _gram_df_topk(docs: rd.Dataset, top_k: int) -> tuple[np.ndarray, np.ndarray]
             return _EMPTY
         d = _df_partials(b[keep])
         if len(d) > 2 * top_k:
-            d = d.sort_values(["n", "gram"], ascending=[False, True]).head(2 * top_k)
+            # partial selection, not a full vocab sort — the hint pass
+            # only needs the block's largest counts, ties arbitrary
+            # (the truncation is approximate either way, see above)
+            d = d.nlargest(2 * top_k, "n")
         return d
 
     parts = docs.map_batches(partial_topk, batch_format="pandas").to_pandas()
@@ -618,8 +648,8 @@ def _prefix_postings(
         sz = g.size  # >= 1 (every doc hashes to at least one gram)
         p = min(sz, sz - int(threshold * sz) + 1)
         if nh:
-            idx = np.minimum(np.searchsorted(heavy_grams, g), nh - 1)
-            dfv = np.where(heavy_grams[idx] == g, heavy_df[idx], 0)
+            dfc, hit = _sorted_lookup(heavy_grams, heavy_df, g)
+            dfv = np.where(hit, dfc, 0)
             pref = g[np.lexsort((g, dfv))[:p]]
         else:
             pref = g[:p]  # np.unique output is already hash-ascending
@@ -1217,7 +1247,7 @@ def connected_components(pairs: rd.Dataset | pa.Table, max_iters: int = 50) -> r
             )
         )
 
-    npart = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    npart = _join_nparts()
     # every endpoint starts labeled with itself (distinct via aggregate)
     labels = (
         edges.groupby("node").aggregate(Min("node", alias_name="label")).materialize()
@@ -1327,16 +1357,13 @@ def q69_leakage_safe_split(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         def assign(b: pd.DataFrame) -> pd.DataFrame:
             ids, gids = bget(ref)
             d = b["doc_id"].to_numpy(dtype=np.int64)
-            rep = d.copy()
-            if ids.size:
-                idx = np.minimum(np.searchsorted(ids, d), ids.size - 1)
-                hit = ids[idx] == d
-                rep[hit] = gids[idx[hit]]
+            g, hit = _sorted_lookup(ids, gids, d)
+            rep = np.where(hit, g, d)
             return pd.DataFrame({"doc_id": d, "rep": rep, "split": tag(rep)})
 
         return docs.map_batches(assign, batch_format="pandas")
 
-    npart = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    npart = _join_nparts()
     joined = docs.join(
         groups, join_type="left_outer", num_partitions=npart,
         on=("doc_id",), **JOIN_ARGS,

@@ -27,7 +27,14 @@ def generate(n_docs: int, out_dir: str, seed: int = 41) -> None:
     os.makedirs(out_dir, exist_ok=True)
     path = f"{out_dir}/documents.parquet"
     if os.path.exists(path):
-        return
+        try:  # reuse only a COMPLETE table of the expected size — a
+            # killed write or an edited generator must not be
+            # benchmarked silently
+            if pq.read_metadata(path).num_rows == n_docs:
+                return
+        except Exception:
+            pass
+        os.remove(path)
     rng = np.random.Generator(np.random.PCG64(seed))
     vocab = np.array([f"w{i:04d}" for i in range(5000)], dtype=object)
     n_near = n_docs // 50
@@ -41,6 +48,7 @@ def generate(n_docs: int, out_dir: str, seed: int = 41) -> None:
         texts.append(" ".join(row))
     for i in range(n_exact):
         texts.append(texts[i])
+    tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(
         pa.table(
             {
@@ -48,8 +56,9 @@ def generate(n_docs: int, out_dir: str, seed: int = 41) -> None:
                 "text": pa.array(texts),
             }
         ),
-        path,
+        tmp,
     )
+    os.replace(tmp, path)  # atomic: readers never see a torn file
 
 
 def main() -> None:
