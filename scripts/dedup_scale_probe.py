@@ -62,7 +62,7 @@ def generate(n_docs: int, out_dir: str, seed: int = 41) -> None:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [50_000, 200_000]
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [50_000, 200_000]
     import ray
 
     if not ray.is_initialized():
@@ -105,6 +105,26 @@ def main() -> None:
             f"q17-only {len(s17 - s68)} (MUST be 0)"
         )
         assert not (s17 - s68), "exact join missed a verified LSH pair"
+
+        if "--groups" in sys.argv:  # group chain + leakage-safe split
+            t0 = time.perf_counter()
+            g = dedup.q38_dup_groups(d, 0.7).to_pandas()
+            t38 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s = dedup.q69_leakage_safe_split(d, 0.7)
+            s = s.to_pandas() if hasattr(s, "to_pandas") else s
+            t69 = time.perf_counter() - t0
+            merged = s.merge(g, on="doc_id", how="inner")
+            straddle = (
+                merged.groupby("group_id")["split"].nunique() > 1
+            ).sum()
+            print(
+                f"  q38 {t38:.1f}s ({g['group_id'].nunique()} groups, "
+                f"{len(g)} grouped docs) | q69 {t69:.1f}s "
+                f"{s['split'].value_counts().to_dict()} | "
+                f"groups straddling splits: {straddle} (MUST be 0)"
+            )
+            assert straddle == 0
     ray.shutdown()
 
 
