@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q17_minhash_dedup", dedup.q17_minhash_dedup),
         ("q68_ngram_jaccard_join", dedup.q68_ngram_jaccard_join),
         ("q69_leakage_safe_split", dedup.q69_leakage_safe_split),
+        ("q70_dedup_corpus", dedup.q70_dedup_corpus),
         ("q38_dup_groups", dedup.q38_dup_groups),
         ("q22_simhash", dedup.q22_simhash),
         ("q23_embedding_near_dup", dedup.q23_embedding_neardup_recall),
@@ -604,6 +605,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hk % 10 = 8 THEN 'val'
                         ELSE 'test' END AS split
             FROM hs
+        """,
+        # q70: the dedup'd corpus — keep the min-doc_id representative
+        # per group plus every singleton, with the group size attached
+        # (same recursive walk; sum(n_members) must equal the corpus).
+        "q70_dedup_corpus": _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ") + """,
+            edges AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a
+                         JOIN sizes sb ON sb.doc_id = b
+              WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+            sym AS (SELECT a AS node, b AS peer FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            walk(node, label) AS (
+              SELECT DISTINCT node, node FROM sym
+              UNION
+              SELECT s.node, w.label FROM sym s JOIN walk w ON w.node = s.peer),
+            grp AS (SELECT node AS doc_id, min(label) AS rep
+                    FROM walk GROUP BY node),
+            gsz AS (SELECT rep, count(*) AS n_members FROM grp GROUP BY rep)
+            SELECT d.doc_id,
+                   CAST(coalesce(gsz.n_members, 1) AS BIGINT) AS n_members
+            FROM documents d
+            LEFT JOIN grp g USING (doc_id)
+            LEFT JOIN gsz ON gsz.rep = d.doc_id
+            WHERE g.rep IS NULL OR g.rep = d.doc_id
         """,
         # q38: recursive min-label propagation (transitive closure) over
         # the same jaccard-verified edge set.

@@ -1390,6 +1390,90 @@ def q69_leakage_safe_split(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     return joined.map_batches(assign_joined, batch_format="pyarrow")
 
 
+def q70_dedup_corpus(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """The near-deduplicated corpus — the canonical endpoint of the
+    dedup chain: keep ONE representative per dup group (the group's
+    min doc_id, q38's label) plus every singleton, each row carrying
+    its group size.  (doc_id, n_members); sum(n_members) == corpus.
+
+    Scale shape mirrors q69: the (bounded-by-dup-density) group table
+    either broadcasts as three sorted arrays (dropped ids, rep ids,
+    sizes) for a stateless one-pass filter, or — above the broadcast
+    limit — the corpus pays one left-outer hash join against the
+    group table and one against the per-rep size table, both keyed by
+    doc_id; payload columns never move (callers semi-join the surviving
+    ids against the full table, the q05 pattern).  Reference analog:
+    the reference's whole-corpus md5-keyed drop
+    (``data/s2processor.py:114-118``) extended to near-duplicates."""
+    import ray
+
+    from ..functions.broadcast import bget
+    from .relational import JOIN_ARGS
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    groups = q38_dup_groups(sf_dir, threshold).materialize()
+
+    if groups.count() <= _SPLIT_BROADCAST_LIMIT:
+        gp = groups.to_pandas()
+        dropped = np.sort(
+            gp.loc[gp["doc_id"] != gp["group_id"], "doc_id"].to_numpy(np.int64)
+        )
+        sz = gp.groupby("group_id").size()
+        rep_ids = sz.index.to_numpy(np.int64)
+        order = np.argsort(rep_ids)
+        ref = ray.put((dropped, rep_ids[order], sz.to_numpy(np.int64)[order]))
+
+        def keep_one(b: pd.DataFrame) -> pd.DataFrame:
+            drop_ids, reps, counts = bget(ref)
+            d = b["doc_id"].to_numpy(dtype=np.int64)
+            _, is_dropped = _sorted_lookup(drop_ids, drop_ids, d)
+            d = d[~is_dropped]
+            n, hit = _sorted_lookup(reps, counts, d)
+            return pd.DataFrame(
+                {"doc_id": d, "n_members": np.where(hit, n, 1).astype(np.int64)}
+            )
+
+        return docs.map_batches(keep_one, batch_format="pandas")
+
+    from ray.data.aggregate import Count
+
+    npart = _join_nparts()
+    sizes = (
+        groups.groupby("group_id")
+        .aggregate(Count(alias_name="n_members"))
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "n_members"]),
+            batch_format="pyarrow",
+        )
+    )
+    joined = docs.join(
+        groups, join_type="left_outer", num_partitions=npart,
+        on=("doc_id",), **JOIN_ARGS,
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t["group_id"].combine_chunks()
+        keep = pc.or_kleene(
+            pc.is_null(g), pc.equal(g, t["doc_id"].combine_chunks())
+        )
+        return t.filter(keep.fill_null(True)).select(["doc_id"])
+
+    kept = joined.map_batches(survivors, batch_format="pyarrow").join(
+        sizes, join_type="left_outer", num_partitions=npart,
+        on=("doc_id",), **JOIN_ARGS,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_members"].combine_chunks().fill_null(1)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_members": n.cast(pa.int64())}
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # q61 — benchmark decontamination: flag every training document that
 # shares at least one word trigram with the evaluation set (the

@@ -203,6 +203,39 @@ def test_leakage_safe_split_group_consistent(neardup_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_dedup_corpus_keeps_one_per_group(neardup_dir):
+    """q70: exactly the group representatives + singletons survive,
+    n_members partitions the corpus (sums to n_docs), and the forced
+    join path equals the broadcast path."""
+    import pandas as pd
+
+    got = dedup.q70_dedup_corpus(neardup_dir, threshold=0.7).to_pandas()
+    n_docs = len(pq.read_table(f"{neardup_dir}/documents.parquet"))
+    assert int(got["n_members"].sum()) == n_docs
+    assert got["doc_id"].is_unique
+
+    groups = dedup.q38_dup_groups(neardup_dir, threshold=0.7).to_pandas()
+    reps = set(groups["group_id"])
+    non_reps = set(groups.loc[groups["doc_id"] != groups["group_id"], "doc_id"])
+    kept = set(got["doc_id"])
+    assert reps <= kept and not (non_reps & kept)
+    sz = groups.groupby("group_id").size()
+    for rep, n in sz.items():
+        assert int(got.loc[got["doc_id"] == rep, "n_members"].iloc[0]) == n
+
+    import cs_insights_crawler_ray.pipelines.dedup as dd
+
+    old = dd._SPLIT_BROADCAST_LIMIT
+    dd._SPLIT_BROADCAST_LIMIT = 0
+    try:
+        forced = dd.q70_dedup_corpus(neardup_dir, threshold=0.7).to_pandas()
+    finally:
+        dd._SPLIT_BROADCAST_LIMIT = old
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = forced.sort_values("doc_id").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_simhash_neardup_pairs(neardup_dir):
     docs = rd.read_parquet(f"{neardup_dir}/documents.parquet")
     pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).to_pandas()
