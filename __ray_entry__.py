@@ -17,7 +17,7 @@ from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
     ann, cluster, crawl_queries, dblp, dedup, diff, graph, mlprep,
-    multimodal_queries, relational as R, textops)
+    multimodal_queries, relational as R, retrieval, textops)
 
 
 def entry() -> Any:
@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- training-data prep: clustering / quantiles / tf-idf /
     #    sampling / packing / indexing (cluster.py, mlprep.py, diff.py)
     mlprep_family = [
+        ("q71_bm25_topk", retrieval.q71_bm25_topk),
         ("q46_kmeans", cluster.q46_kmeans),
         ("q58_heavy_hitters", mlprep.q58_heavy_hitters),
         ("q57_sequence_pack", mlprep.q57_sequence_pack),
@@ -1025,6 +1026,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS df,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
             FROM u GROUP BY term
+        """,
+        # q71: integer BM25 replayed verbatim — idf/tf-normalization
+        # are BIGINT floor divisions (retrieval.py docstring derives
+        # the fraction-cleared form), the per-doc score is an
+        # order-free int64 sum, ties break (score DESC, doc_id ASC)
+        "q71_bm25_topk": """
+            WITH q(qid, term) AS (VALUES
+                (1,'hash'),(1,'join'),(1,'table'),
+                (2,'fast'),(2,'scan'),(2,'filter'),
+                (3,'window'),(3,'agg'),(3,'group'),(3,'sort'),
+                (4,'dup'),(4,'stream')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                           AS term
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) AS t),
+            a AS (SELECT n, greatest(1, t // n) AS avgdl FROM st),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+                    GROUP BY 1),
+            tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+                   FROM toks t
+                   WHERE t.term IN (SELECT DISTINCT term FROM q)
+                   GROUP BY 1, 2),
+            contrib AS (
+                SELECT tf.doc_id, tf.term,
+                       ((1000 * a.n) // (d.df + 1))
+                       * ((44000 * tf.tf * a.avgdl)
+                          // (20*a.avgdl*tf.tf + 6*a.avgdl + 18*dl.dl))
+                           AS c
+                FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN a),
+            score AS (
+                SELECT q.qid, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
+                FROM (SELECT DISTINCT qid, term FROM q) q
+                JOIN contrib c USING (term)
+                GROUP BY 1, 2)
+            SELECT CAST(qid AS BIGINT) AS qid,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id, score
+            FROM score
+            QUALIFY row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, doc_id ASC) <= 10
         """,
         # q64: exact W-token window sharing with the same MAX_DF
         # boilerplate prune (HAVING mirror); window strings equal on

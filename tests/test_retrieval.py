@@ -1,0 +1,120 @@
+"""BM25 retrieval (q71) determinism and semantics properties.
+
+The value-level oracle compare runs via test_relational.py's
+parametrized driver-gate mimic (q71 has a full DuckDB oracle); these
+tests pin the properties that make that compare exact: block-split
+invariance of the partial top-k, the int64-overflow bound of the
+fixed-point score, and equality with an independent pure-Python
+serial BM25 loop.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from cs_insights_crawler_ray.pipelines import retrieval
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+_WORD = re.compile(r"[0-9a-z_]+")
+
+
+def _serial_bm25(sf_dir: str, k: int = retrieval.BM25_TOP_K) -> pd.DataFrame:
+    """Independent sequential loop: plain dicts + Python ints, no
+    numpy, no shared kernels — re-derives the exact integer formula
+    from the docstring spec."""
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {
+        int(r.doc_id): _WORD.findall(str(r.text).lower())
+        for r in docs.itertuples()
+    }
+    n = len(docs)
+    total = sum(len(t) for t in toks.values())
+    avgdl = max(1, total // n)
+    rows = []
+    for qid, qtext in retrieval.BM25_QUERIES:
+        terms = sorted(set(qtext.split()))
+        df = {
+            t: sum(1 for ts in toks.values() if t in ts) for t in terms
+        }
+        scored = []
+        for did, ts in toks.items():
+            dl = len(ts)
+            s = 0
+            for t in terms:
+                tf = ts.count(t)
+                if tf == 0:
+                    continue
+                idf = (1000 * n) // (df[t] + 1)
+                tfn = (44000 * tf * avgdl) // (
+                    20 * avgdl * tf + 6 * avgdl + 18 * dl
+                )
+                s += idf * tfn
+            if s > 0:
+                scored.append((s, did))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, did) in enumerate(scored[:k], 1):
+            rows.append(
+                {"qid": qid, "rank": rank, "doc_id": did, "score": s}
+            )
+    return pd.DataFrame(rows, dtype="int64")
+
+
+def test_bm25_matches_serial_loop(ray_session):
+    got = (
+        retrieval.q71_bm25_topk(SF_DIR)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _serial_bm25(SF_DIR)
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_bm25_block_split_invariant(ray_session):
+    """Tiny blocks (forced by repartition) must not change any row:
+    the partial top-k's tie-break matches the driver merge's."""
+    import ray.data as rd
+
+    import cs_insights_crawler_ray.pipelines.retrieval as rmod
+
+    base = rmod.q71_bm25_topk(SF_DIR).to_pandas()
+
+    orig = rd.read_parquet
+
+    def shredded(path, **kw):
+        return orig(path, **kw).repartition(13)
+
+    rmod.rd.read_parquet = shredded
+    try:
+        split = rmod.q71_bm25_topk(SF_DIR).to_pandas()
+    finally:
+        rmod.rd.read_parquet = orig
+    pd.testing.assert_frame_equal(
+        base.sort_values(["qid", "rank"]).reset_index(drop=True),
+        split.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_bm25_tfn_bound():
+    """tfn < 2200 for ALL (tf, dl, avgdl) >= 1 — the bound that keeps
+    idf*tfn inside int64 (retrieval.py docstring)."""
+    for avgdl in (1, 7, 60, 10_000):
+        for dl in (1, 5, avgdl, 100 * avgdl):
+            for tf in (1, 2, 50, dl):
+                tfn = (44000 * tf * avgdl) // (
+                    20 * avgdl * tf + 6 * avgdl + 18 * dl
+                )
+                assert 0 <= tfn < 2200
