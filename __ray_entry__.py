@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- text analysis --------------------------------------------------
     text_family = [
         ("q13_token_stats", textops.q13_token_stats),
+        ("q72_winnowing", textops.q72_winnowing),
         ("q62_repetition_filter", textops.q62_repetition_filter),
         ("q14_quality_scores", textops.q14_quality_scores),
         ("q19_lang_id", textops.q19_lang_id),
@@ -1074,6 +1075,13 @@ def oracle_sql() -> dict[str, str]:
             FROM score
             QUALIFY row_number() OVER (
                 PARTITION BY qid ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        # q72: pure-Python-int sequential winnowing re-derivation
+        # (oracle_artifacts._build_winnow) — the distributed kernel's
+        # distinct selected gram hashes must equal it row for row
+        "q72_winnowing": f"""
+            SELECT doc_id, fp
+            FROM read_parquet('{_artifact_glob("winnow_seq")}')
         """,
         # q64: exact W-token window sharing with the same MAX_DF
         # boilerplate prune (HAVING mirror); window strings equal on

@@ -164,6 +164,95 @@ def fingerprint64(texts: pd.Series, window: int = 8) -> pd.Series:
     return pd.Series(out.astype(np.int64), index=texts.index)
 
 
+def winnow_select(
+    texts: pd.Series, k: int = 4, w: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting scheme): over each
+    document's stream of ``k``-token rolling-polynomial gram hashes,
+    every window of ``w`` consecutive gram hashes selects its minimum
+    (rightmost occurrence on ties); the document's fingerprint set is
+    the DISTINCT selected hash values.  Guarantee: any shared token
+    run of length >= k + w - 1 yields a shared fingerprint.
+
+    Returns flat ``(row_index, fingerprint_int64)`` pairs, distinct
+    per row.  Edge semantics (mirrored by textops._naive_winnow):
+    0 tokens -> no fingerprints; 1 <= tokens < k -> the whole-doc
+    polynomial fold is the lone fingerprint; 1 <= n_grams <= w ->
+    one truncated window over all grams.
+
+    Batch-vectorized like fingerprint64: FNV-1a over UNIQUE tokens,
+    gram hashes from one sliding_window_view over the flat token-hash
+    stream, window argmins from one sliding_window_view over the flat
+    gram stream (reversed-column argmin = rightmost min); only the
+    rare short-gram docs take a per-doc fallback."""
+    import itertools
+
+    B = np.uint64(1099511628211)
+    tok_lists = [t.split() for t in texts]
+    counts = np.fromiter(
+        (len(t) for t in tok_lists), np.int64, count=len(tok_lists)
+    )
+    rows_out: list[np.ndarray] = []
+    fps_out: list[np.ndarray] = []
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if not flat:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    th = _fnv1a64_batch(uniq)[inv]
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    with np.errstate(over="ignore"):
+        # tiny docs (1 <= tokens < k): whole-doc fold, grouped by length
+        tiny = (counts > 0) & (counts < k)
+        for L in np.unique(counts[tiny]):
+            docs = np.flatnonzero(counts == L)
+            idx = starts[docs][:, None] + np.arange(L)[None, :]
+            pw = np.power(B, np.arange(L, dtype=np.uint64))[::-1]
+            rows_out.append(docs)
+            fps_out.append((th[idx] * pw).sum(axis=1, dtype=np.uint64))
+        if counts.max() >= k:
+            pk = np.power(B, np.arange(k, dtype=np.uint64))[::-1]
+            G = (np.lib.stride_tricks.sliding_window_view(th, k) * pk).sum(
+                axis=1, dtype=np.uint64
+            )  # flat gram stream; doc d's grams at starts[d]..+ng[d]
+            ng = np.maximum(counts - k + 1, 0)
+            # short-gram docs (1 <= ng <= w): one truncated window
+            shortg = (ng >= 1) & (ng <= w) & (counts >= k)
+            for d in np.flatnonzero(shortg):
+                seg = G[starts[d] : starts[d] + ng[d]]
+                pos = len(seg) - 1 - int(np.argmin(seg[::-1]))
+                rows_out.append(np.array([d], np.int64))
+                fps_out.append(seg[pos : pos + 1])
+            longg = np.flatnonzero(ng > w)
+            if longg.size and len(G) >= w:
+                sww = np.lib.stride_tricks.sliding_window_view(G, w)
+                # rightmost min: argmin over reversed columns
+                sel_off = w - 1 - np.argmin(sww[:, ::-1], axis=1).astype(
+                    np.int64
+                )
+                qpos = np.concatenate(
+                    [
+                        np.arange(starts[d], starts[d] + ng[d] - w + 1)
+                        for d in longg
+                    ]
+                )
+                qdoc = np.repeat(longg, (ng[longg] - w + 1))
+                spos = qpos + sel_off[qpos]
+                vals = G[spos]
+                order = np.lexsort((vals, qdoc))
+                sd, sv = qdoc[order], vals[order]
+                keep = np.ones(len(sd), bool)
+                keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+                rows_out.append(sd[keep])
+                fps_out.append(sv[keep])
+    if not rows_out:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    rows = np.concatenate(rows_out).astype(np.int64)
+    fps = np.concatenate(fps_out).astype(np.uint64).view(np.int64)
+    return rows, fps
+
+
 def _fnv1a64_batch(tokens: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64 over an object array of strings: one
     byte-concat + offsets, then one vectorized step per byte POSITION

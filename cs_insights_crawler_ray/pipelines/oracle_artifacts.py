@@ -507,3 +507,31 @@ def _build_pq(sf_dir: str) -> None:
 
 
 _BUILDERS["pq_seq"] = _build_pq
+
+
+def _build_winnow(sf_dir: str) -> None:
+    """q72: pure-Python-int winnowing re-derivation per document
+    (textops._naive_winnow — the independent sequential spec)."""
+    from .textops import _naive_winnow
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids, fps = [], []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for v in _naive_winnow(text):
+            ids.append(did)
+            fps.append(v)
+    write_atomic(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
+            }
+        ),
+        "winnow_seq",
+        sf_dir,
+    )
+
+
+_BUILDERS["winnow_seq"] = _build_winnow

@@ -225,3 +225,76 @@ def q62_repetition_filter(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(metrics, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# q72: winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) — the
+# LOCAL fingerprinting counterpart to q20's single global minimum:
+# each doc emits the distinct set of window-selected gram hashes, so
+# any shared run of >= k + w - 1 tokens is guaranteed a shared
+# fingerprint.  Zero-shuffle: one map_batches pass; the oracle is a
+# pure-Python-int sequential re-derivation written to parquet
+# (oracle_artifacts._build_winnow) that SQL reads back verbatim.
+# ---------------------------------------------------------------------------
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # gram hashes per selection window
+
+
+def _naive_winnow(s: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """winnow_select re-derived with Python ints only (no numpy):
+    the independent spec both the kernel parity test and the oracle
+    artifact rest on."""
+    toks = s.split()
+    if not toks:
+        return []
+    B = 1099511628211
+    hs = []
+    for t in toks:
+        h = 14695981039346656037
+        for byte in t.encode("utf-8"):
+            h = ((h ^ byte) * B) % _M64
+        hs.append(h)
+
+    def fold(seq: list[int]) -> int:
+        acc = 0
+        for h in seq:
+            acc = (acc * B + h) % _M64
+        return acc
+
+    if len(hs) < k:
+        vals = [fold(hs)]
+    else:
+        grams = [fold(hs[i : i + k]) for i in range(len(hs) - k + 1)]
+        if len(grams) <= w:
+            windows = [grams]
+            offs = [0]
+        else:
+            windows = [grams[i : i + w] for i in range(len(grams) - w + 1)]
+            offs = list(range(len(grams) - w + 1))
+        sel = set()
+        for off, win in zip(offs, windows):
+            m = min(win)
+            # rightmost occurrence of the minimum
+            pos = off + max(i for i, v in enumerate(win) if v == m)
+            sel.add(pos)
+        vals = sorted({grams[p] for p in sel})
+    return [v - _M64 if v >= 1 << 63 else v for v in vals]
+
+
+def q72_winnowing(sf_dir: str) -> rd.Dataset:
+    """Distinct winnowing fingerprints per document ->
+    (doc_id, fp).  One shuffle-free pass; ~2/(w+1) of gram positions
+    select, so output is a bounded fraction of the token stream."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        rows, fps = T.winnow_select(b["text"], WINNOW_K, WINNOW_W)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64)[rows],
+                "fp": fps,
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
