@@ -16,7 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
-    ann, cluster, crawl_queries, dblp, dedup, diff, graph, mlprep,
+    ann, cdc, cluster, crawl_queries, dblp, dedup, diff, graph, mlprep,
     multimodal_queries, relational as R, retrieval, textops)
 
 
@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     # -- dedup family --------------------------------------------------
     dedup_family = [
+        ("q73_cdc_dedup", cdc.q73_cdc_dedup),
         ("q64_dup_spans", dedup.q64_dup_spans),
         ("q61_decontaminate", dedup.q61_decontaminate),
         ("q17_minhash_dedup", dedup.q17_minhash_dedup),
@@ -1075,6 +1076,18 @@ def oracle_sql() -> dict[str, str]:
             FROM score
             QUALIFY row_number() OVER (
                 PARTITION BY qid ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        # q73: the sequential rolling-gear chunker's per-chunk parquet
+        # aggregated to the dup summary — boundary placement, chunk
+        # fps, min/max enforcement all transit the compare
+        "q73_cdc_dedup": f"""
+            SELECT fp AS chunk_fp,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(min(len) AS BIGINT) AS chunk_len
+            FROM read_parquet('{_artifact_glob("cdc_seq")}')
+            GROUP BY fp
+            HAVING count(*) >= 2
         """,
         # q72: pure-Python-int sequential winnowing re-derivation
         # (oracle_artifacts._build_winnow) — the distributed kernel's

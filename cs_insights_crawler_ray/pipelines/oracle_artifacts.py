@@ -535,3 +535,36 @@ def _build_winnow(sf_dir: str) -> None:
 
 
 _BUILDERS["winnow_seq"] = _build_winnow
+
+
+def _build_cdc(sf_dir: str) -> None:
+    """q73: pure-Python-int sequential CDC chunker per document
+    (cdc._naive_cdc_chunks — the rolling-loop spec the vectorized
+    closed form must equal)."""
+    from .cdc import _naive_cdc_chunks
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids, ords, fps, lens = [], [], [], []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for o, fp, ln in _naive_cdc_chunks(text):
+            ids.append(did)
+            ords.append(o)
+            fps.append(fp)
+            lens.append(ln)
+    write_atomic(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
+                "len": pa.array(lens, pa.int64()),
+            }
+        ),
+        "cdc_seq",
+        sf_dir,
+    )
+
+
+_BUILDERS["cdc_seq"] = _build_cdc
