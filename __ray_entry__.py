@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     text_family = [
         ("q13_token_stats", textops.q13_token_stats),
         ("q72_winnowing", textops.q72_winnowing),
+        ("q74_normalize", textops.q74_normalize),
         ("q62_repetition_filter", textops.q62_repetition_filter),
         ("q14_quality_scores", textops.q14_quality_scores),
         ("q19_lang_id", textops.q19_lang_id),
@@ -1076,6 +1077,25 @@ def oracle_sql() -> dict[str, str]:
             FROM score
             QUALIFY row_number() OVER (
                 PARTITION BY qid ORDER BY score DESC, doc_id ASC) <= 10
+        """,
+        # q74: the normalized STRING is the compared value; the
+        # operation chain is identical (ASCII-pinned classes, same
+        # order: lower -> drop -> collapse -> trim spaces).  Token
+        # count = tokens of the trimmed string ('' -> 0).
+        "q74_normalize": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text),
+                                          '[^0-9a-z \t\n\r\f\v]+', '', 'g'),
+                           '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text
+                FROM documents)
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+                   CAST(CASE WHEN norm_text = '' THEN 0
+                        ELSE array_length(string_split(norm_text, ' '))
+                        END AS BIGINT) AS n_tokens_norm
+            FROM n
         """,
         # q73: the sequential rolling-gear chunker's per-chunk parquet
         # aggregated to the dup summary — boundary placement, chunk

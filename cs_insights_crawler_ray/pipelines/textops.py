@@ -298,3 +298,47 @@ def q72_winnowing(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# q74: canonical text normalization — the pass every training corpus
+# runs before tokenization/dedup.  Both sides perform the IDENTICAL
+# operation chain on ASCII-pinned classes (lower -> drop
+# non-[0-9a-z]/whitespace -> collapse whitespace runs -> trim), so
+# the normalized STRING itself is the compared value, not a proxy
+# stat.  Non-ASCII input would be stripped by the class on both
+# sides; the repo's oracle-identity rule (CLAUDE.md) is why the
+# classes are spelled out rather than using \\W / \\s shorthands
+# whose Python-vs-RE2 semantics diverge off ASCII.
+# ---------------------------------------------------------------------------
+_NORM_DROP = r"[^0-9a-z \t\n\r\f\v]+"
+_NORM_WS = r"[ \t\n\r\f\v]+"
+
+
+def q74_normalize(sf_dir: str) -> rd.Dataset:
+    """(doc_id, norm_text, n_chars_norm, n_tokens_norm) — one
+    shuffle-free vectorized pass."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            b["text"]
+            .str.lower()
+            .str.replace(_NORM_DROP, "", regex=True)
+            .str.replace(_NORM_WS, " ", regex=True)
+            .str.strip(" ")
+        )
+        n_tok = norm.str.split(" ").map(
+            lambda ws: 0 if ws == [""] else len(ws)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "norm_text": norm,
+                "n_chars_norm": norm.str.len().astype("int64"),
+                "n_tokens_norm": n_tok.astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

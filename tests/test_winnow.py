@@ -82,3 +82,26 @@ def test_winnow_batch_split_invariant():
     whole = _kernel_fps(texts)
     per_doc = [_kernel_fps([t])[0] for t in texts]
     assert whole == per_doc
+
+
+def test_normalize_edge_semantics():
+    """q74 kernel edges: punctuation-only -> empty string, 0 tokens;
+    mixed whitespace collapses; already-clean text unchanged."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import textops
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["!!! ??? ...", "  a\t\tb\nc  ", "clean text", ""],
+        }
+    )
+    norm = (
+        b["text"]
+        .str.lower()
+        .str.replace(textops._NORM_DROP, "", regex=True)
+        .str.replace(textops._NORM_WS, " ", regex=True)
+        .str.strip(" ")
+    )
+    assert norm.tolist() == ["", "a b c", "clean text", ""]
