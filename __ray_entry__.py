@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- relational core (reference semantics, SURVEY.md §2) ----------
     relational = [
         ("q01_pricing_summary", R.q01_pricing_summary),
+        ("q75_funnel_conversion", R.q75_funnel_conversion),
+        ("q78_window_distinct_users", R.q78_window_distinct_users),
         ("q02_timestamp_filter", R.q02_timestamp_filter),
         ("q03_access_filter", R.q03_access_filter),
         ("q04_source_filter_union", R.q04_source_filter_union),
@@ -102,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (candidate parquet + independent SQL brute join); the raw top-k
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
+        ("q77_dim_stats", cluster.q77_dim_stats),
         ("q66_pq_ann", ann.q66_pq_ann),
         ("q56_pagerank", graph.q56_pagerank),
         ("q15_ann_brute", ann.q15_ann_brute),
@@ -119,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     # -- text analysis --------------------------------------------------
     text_family = [
+        ("q76_bigram_coverage", textops.q76_bigram_coverage),
+        ("q79_simpson_diversity", textops.q79_simpson_diversity),
         ("q13_token_stats", textops.q13_token_stats),
         ("q72_winnowing", textops.q72_winnowing),
         ("q74_normalize", textops.q74_normalize),
@@ -1272,5 +1277,101 @@ def oracle_sql() -> dict[str, str]:
                               % 18446744073709551616) // 4294967296 AS BIGINT) AS h
                   FROM documents)
             GROUP BY 1
+        """,
+        # q75: conversion is EXISTENCE of a strictly-later purchase
+        # within the horizon — order-independent set semantics, so the
+        # correlated EXISTS is the natural spec; the engine's masked
+        # bfill (earliest strictly-later purchase) answers the same
+        # predicate
+        "q75_funnel_conversion": """
+            WITH a AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            b AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            c AS (
+              SELECT a.user_id,
+                     EXISTS (SELECT 1 FROM b
+                             WHERE b.user_id = a.user_id
+                               AND b.ts > a.ts
+                               AND epoch_us(b.ts) - epoch_us(a.ts)
+                                   <= 3600000000) AS conv
+              FROM a)
+            SELECT user_id, count(*) AS n_starts,
+                   CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_converted
+            FROM c GROUP BY user_id
+        """,
+        "q78_window_distinct_users": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 1000000 AS es, user_id FROM events),
+            x AS (
+              SELECT (es // 1800) * 1800 AS window_start, user_id FROM e
+              UNION ALL
+              SELECT (es // 1800) * 1800 - 1800 AS window_start, user_id
+              FROM e)
+            SELECT window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM x GROUP BY window_start
+        """,
+        # q76: vocabulary = corpus top-V bigrams by (count DESC, gram
+        # ASC) — the deterministic boundary ordering both sides use;
+        # coverage counts OCCURRENCES (with multiplicity) inside the
+        # vocabulary, integer ppm
+        "q76_bigram_coverage": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 2
+                            THEN list_transform(
+                                     generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])
+                            ELSE [] END AS gs
+                FROM toks),
+            occ AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cnt AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+            vocab AS (SELECT g FROM cnt ORDER BY c DESC, g ASC LIMIT 256),
+            hits AS (
+                SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_in
+                FROM occ o JOIN vocab v USING (g) GROUP BY o.doc_id)
+            SELECT t.doc_id,
+                   CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(h.n_in, 0) AS BIGINT) AS n_in_vocab,
+                   CAST(coalesce(h.n_in, 0) * 1000000
+                        // greatest(len(tk) - 1, 1) AS BIGINT)
+                       AS coverage_ppm
+            FROM toks t LEFT JOIN hits h USING (doc_id)
+        """,
+        "q79_simpson_diversity": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                FROM documents),
+            occ AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+            c AS (SELECT doc_id, t, count(*) AS c FROM occ
+                  GROUP BY doc_id, t),
+            s AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS s2
+                  FROM c GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.s2, 0) * 1000000
+                        // greatest(len(tk) * len(tk), 1) AS BIGINT)
+                       AS simpson_ppm
+            FROM toks t LEFT JOIN s USING (doc_id)
+        """,
+        # q77: trunc-fixed-point components — float32 widens to float64
+        # exactly, ×1e6 is the same IEEE double multiply on both
+        # engines, trunc has no tie cases (round would half-even vs
+        # half-away between numpy and DuckDB)
+        "q77_dim_stats": """
+            WITH u AS (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS q
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(q * q) AS BIGINT) AS sumsq_q
+            FROM u GROUP BY dim
         """,
     }

@@ -303,3 +303,57 @@ def q47_semantic_dedup(
     # dup sets are tiny relative to the corpus; materialize with an
     # explicit schema so an EMPTY result still carries its columns
     return _typed_pairs(out, ("vec_id", "dup_of", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# q77 — per-dimension normalization statistics over the embedding
+# column: the standardize-before-ANN / whitening prep (mean–variance
+# per dimension feeds a (x - μ)/σ transform).  Components are
+# TRUNC-fixed-point at 1e6 (float32 -> exact float64 -> *1e6 ->
+# trunc: every step is bit-identical between numpy and DuckDB — round
+# would tie-break differently between the engines), so the
+# distributed int64 fold is order-independent and the SQL oracle
+# replays the values exactly.
+#
+# Scale shape: one map_batches pass emits a (d, 3)-int partial per
+# block — d ints to the driver per block, never vectors; the driver
+# folds n_blocks × d bounded rows.  int64 headroom: |q| <= 1e6·|v|,
+# sumsq per row <= ~1e12 at |v|<=1 — safe to ~1e6 rows per dimension;
+# beyond that the same partials fold hierarchically (or into Python
+# ints) before the final table.
+# ---------------------------------------------------------------------------
+VEC_FIXED_SCALE = 1_000_000
+
+
+def q77_dim_stats(sf_dir: str) -> pa.Table:
+    def partials(t: pa.Table) -> pa.Table:
+        x = stack_embeddings_arrow(t["embedding"])  # (n, d) float64
+        q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, len(q), dtype=np.int64)),
+                "sum_q": pa.array(q.sum(axis=0, dtype=np.int64)),
+                "sumsq_q": pa.array((q * q).sum(axis=0, dtype=np.int64)),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # bounded: n_blocks × d rows of 4 ints
+    )
+    agg = (
+        parts.groupby("dim", as_index=False)[["n", "sum_q", "sumsq_q"]]
+        .sum()
+        .sort_values("dim")
+    )
+    return pa.table(
+        {
+            "dim": pa.array(agg["dim"].to_numpy(), pa.int64()),
+            "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+            "sum_q": pa.array(agg["sum_q"].to_numpy(), pa.int64()),
+            "sumsq_q": pa.array(agg["sumsq_q"].to_numpy(), pa.int64()),
+        }
+    )

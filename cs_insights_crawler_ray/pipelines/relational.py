@@ -1612,3 +1612,136 @@ def q54_hll_distinct(sf_dir: str) -> rd.Dataset:
         .groupby("l_returnflag")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — sequence-pattern (CEP / funnel) detection over the event log:
+# for every 'click', does a 'purchase' by the SAME user follow
+# STRICTLY later within the horizon?  The MATCH_RECOGNIZE /
+# funnel-analysis shape beside q28's gap sessions (SURVEY.md §2.9
+# custom-operator guidance (a): groupby co-location + vectorized
+# per-partition scan).  Conversion is defined by EXISTENCE (any later
+# purchase within T), so the answer is independent of tie order among
+# equal-ts purchases; the engine still fixes a deterministic sort.
+#
+# Scale shape: the stream is pre-filtered to the two event types
+# inside the read pass (Arrow is_in — at 100 TB the funnel types are
+# a small fraction of the log), then ONE hash exchange on user_id's
+# coarse partition; per-partition work is a sort + masked bfill, no
+# Python row loops.  Reference analog: the reference has no event
+# semantics at all — this extends the windowed family the build
+# contract asks for.
+# ---------------------------------------------------------------------------
+FUNNEL_START, FUNNEL_CONVERT = "click", "purchase"
+FUNNEL_WITHIN_SEC = 3600
+
+
+def q75_funnel_conversion(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    types = pa.array([FUNNEL_START, FUNNEL_CONVERT])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=types))
+
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        # purchases sort BEFORE tied clicks (_bo=0) so an equal-ts
+        # purchase is NOT picked up by the bfill — the oracle's
+        # EXISTS is strict (b.ts > a.ts)
+        is_b = g["event_type"] == FUNNEL_CONVERT
+        g = g.assign(_bo=(~is_b).astype("int8")).sort_values(
+            ["user_id", "ts", "_bo"], kind="mergesort"
+        )
+        is_b = (g["event_type"] == FUNNEL_CONVERT).to_numpy()
+        # next purchase ts at-or-after each row, per user (q29's
+        # masked-fill mechanism, reversed)
+        nxt = (
+            g["ts"].where(is_b).groupby(g["user_id"], sort=False).bfill()
+        )
+        is_a = (g["event_type"] == FUNNEL_START).to_numpy()
+        ok = nxt.notna().to_numpy() & is_a
+        conv = np.zeros(len(g), dtype=np.int64)
+        if ok.any():
+            # exact microsecond compare (float division near the
+            # horizon boundary would flip rows; see q28)
+            delta_us = (
+                (nxt.to_numpy()[ok] - g["ts"].to_numpy()[ok])
+                .astype("timedelta64[us]")
+                .astype(np.int64)
+            )
+            hit = delta_us <= FUNNEL_WITHIN_SEC * 1_000_000
+            conv[np.flatnonzero(ok)[hit]] = 1
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "_a": is_a.astype(np.int64),
+                "_c": conv,
+            }
+        )
+        agg = (
+            out[out["_a"] == 1]
+            .groupby("user_id", as_index=False)
+            .agg(n_starts=("_a", "sum"), n_converted=("_c", "sum"))
+        )
+        return agg.astype({"n_starts": "int64", "n_converted": "int64"})
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(prefilter, batch_format="pyarrow")
+        .map_batches(lambda b: _add_key_part(b, "user_id"), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — hopping-window COUNT(DISTINCT user_id): the q42 window
+# explode composed with the q35 coarse-partition exact-distinct.
+# Each event lands in exactly two 1-hour windows on 30-minute hops;
+# a (window, user) pair is deduped per block, hash-partitioned so the
+# pair lives in exactly ONE partition (per-partition dedupe is global
+# dedupe), counted per window per partition, then summed across the
+# 32 bounded partials.  The shuffle carries pre-deduped pairs, never
+# events; nothing unbounded reaches the driver.
+# ---------------------------------------------------------------------------
+def q78_window_distinct_users(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        es = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))
+        s1 = pc.multiply(pc.divide(es, pa.scalar(HOP_SEC)), pa.scalar(HOP_SEC))
+        s0 = pc.subtract(s1, pa.scalar(HOP_SEC))
+        u = t["user_id"]
+        both = pa.concat_tables(
+            [
+                pa.table({"window_start": s0, "user_id": u}),
+                pa.table({"window_start": s1, "user_id": u}),
+            ]
+        )
+        ded = both.group_by(["window_start", "user_id"]).aggregate([])
+        ws = ded["window_start"].to_numpy()
+        uid = ded["user_id"].to_numpy()
+        with np.errstate(over="ignore"):
+            h = (
+                ws.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ (uid.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        part = pa.array((h % np.uint64(_N_AGG_PARTS)).astype(np.int32))
+        return ded.append_column("_part", part)
+
+    def part_counts(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = g.drop_duplicates(["window_start", "user_id"])
+        c = d.groupby("window_start", as_index=False).size()
+        return c.rename(columns={"size": "n_users"})
+
+    partials = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(explode_pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_counts, batch_format="pandas")
+    )
+    # a window's users span partitions; each pair was counted exactly
+    # once, so the per-window SUM of partials is the exact distinct
+    # count (bounded final aggregate: n_windows × 32 partial rows)
+    return partials.groupby("window_start").aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

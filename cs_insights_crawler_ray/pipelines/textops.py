@@ -342,3 +342,133 @@ def q74_normalize(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — statistical-LM familiarity score (the CCNet/KenLM "score every
+# document against a corpus language model" quality gate, integerized
+# so SQL replays it exactly): pass 1 builds the corpus top-V common-
+# bigram vocabulary (count DESC, gram ASC — deterministic at the
+# boundary), pass 2 scores each document by the fraction of its
+# bigram OCCURRENCES that fall inside the vocabulary, in ppm.
+#
+# Scale shape: per-block bigram partials -> the crc32-partitioned
+# string grouped sum (mlprep._term_grouped_sum, vocab-scale rows only)
+# -> per-block top-V safe prune (each gram appears ONCE after the
+# grouped sum, so the global top-V is a subset of the union of
+# per-block top-Vs) -> bounded driver merge (n_blocks × V rows) ->
+# one frozen-set broadcast -> ONE shuffle-free scoring pass whose
+# kernels are flat-array builds + C-path isin + bincount, no per-doc
+# Python.  Document text never shuffles.
+# ---------------------------------------------------------------------------
+BIGRAM_VOCAB_V = 256
+
+
+def _batch_bigrams(texts: pd.Series):
+    """(flat bigram strings, validity mask, per-doc lens) for a batch:
+    tokens flattened once; bigram i pairs flat[i] with flat[i+1] and is
+    valid iff both sit in the same document."""
+    toks = texts.str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total < 2:
+        return None, None, lens
+    flat = toks.explode().dropna().astype(str).to_numpy()
+    valid = np.ones(total - 1, dtype=bool)
+    ends = np.cumsum(lens)[:-1] - 1  # last token of each non-final doc
+    valid[ends[ends >= 0]] = False
+    grams = pd.Series(flat[:-1]).str.cat(pd.Series(flat[1:]), sep=" ")
+    return grams, valid, lens
+
+
+def q76_bigram_coverage(sf_dir: str) -> rd.Dataset:
+    import ray
+
+    from ..functions.broadcast import bget
+    from .mlprep import _term_grouped_sum
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_block(b: pd.DataFrame) -> pd.DataFrame:
+        grams, valid, _ = _batch_bigrams(b["text"])
+        if grams is None:
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=str),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        c = grams[valid].value_counts()
+        return pd.DataFrame(
+            {"term": c.index.astype(str), "cnt": c.to_numpy().astype(np.int64)}
+        )
+
+    merged = _term_grouped_sum(
+        docs.map_batches(bigram_block, batch_format="pandas"), "cnt"
+    ).materialize()
+
+    def topv(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        ).head(BIGRAM_VOCAB_V)
+
+    cand = merged.map_batches(topv, batch_format="pandas").to_pandas()
+    vocab = frozenset(
+        cand.sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
+        .head(BIGRAM_VOCAB_V)["term"]
+    )
+    vref = ray.put(vocab)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        grams, valid, lens = _batch_bigrams(b["text"])
+        n_bi = np.maximum(lens - 1, 0)
+        n_in = np.zeros(len(b), dtype=np.int64)
+        if grams is not None:
+            hit = (grams.isin(bget(vref)).to_numpy() & valid).astype(np.int64)
+            doc_idx = np.repeat(np.arange(len(b)), lens)[: len(hit)]
+            n_in = np.bincount(doc_idx, weights=hit, minlength=len(b)).astype(
+                np.int64
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bigrams": n_bi,
+                "n_in_vocab": n_in,
+                "coverage_ppm": n_in * 1_000_000 // np.maximum(n_bi, 1),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# q79 — Simpson concentration index per document (Σ c_i² / n² over
+# token counts, in ppm): the lexical-diversity quality signal beside
+# q62's repetition gates — spammy low-entropy docs score high, varied
+# prose scores near 1e6/vocab.  All-integer, one shuffle-free pass;
+# the per-doc count-square sums run through ONE pandas C-path
+# groupby over the flattened (doc, token) pairs, no per-doc Python.
+# ---------------------------------------------------------------------------
+def q79_simpson_diversity(sf_dir: str) -> rd.Dataset:
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = b["text"].str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        s2 = np.zeros(len(b), dtype=np.int64)
+        flat = toks.explode().dropna()
+        if len(flat):
+            pairs = pd.DataFrame(
+                {"i": flat.index.to_numpy(), "t": flat.to_numpy()}
+            )
+            c = pairs.groupby(["i", "t"], sort=False).size()
+            sq = (c * c).groupby(level=0).sum()
+            s2[sq.index.to_numpy()] = sq.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "simpson_ppm": s2 * 1_000_000 // np.maximum(n * n, 1),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

@@ -362,3 +362,32 @@ def test_inverted_index_empty_input(ray_session, tmp_path):
     )
     got = mlprep.q65_inverted_index(str(sf), out_root=str(tmp_path / "idx"))
     assert got.count() == 0
+
+
+def test_q77_dim_stats_matches_naive(ray_session, tmp_path):
+    """q77: the distributed per-dimension fixed-point fold equals a
+    single-process numpy re-derivation, negatives included; trunc (not
+    round) so there are no half-tie cases between engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines.cluster import (
+        VEC_FIXED_SCALE, q77_dim_stats)
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((257, 5)) * 0.5).astype(np.float32)
+    x[0, 0] = -0.9999995  # trunc toward zero on a negative
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = q77_dim_stats(str(tmp_path)).to_pandas().set_index("dim").sort_index()
+    q = np.trunc(x.astype(np.float64) * VEC_FIXED_SCALE).astype(np.int64)
+    assert list(got.index) == list(range(1, 6))
+    assert (got["n"] == len(x)).all()
+    assert np.array_equal(got["sum_q"].to_numpy(), q.sum(axis=0))
+    assert np.array_equal(got["sumsq_q"].to_numpy(), (q * q).sum(axis=0))

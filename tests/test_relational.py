@@ -292,3 +292,85 @@ def test_dim_lookup_rejects_negative_keys():
     names[1] = None
     with pytest.raises(KeyError):
         _dim_lookup(names, np.array([1]), "t")
+
+
+def test_q75_funnel_boundaries(tmp_path):
+    # strict start (tied-ts purchase does NOT convert), inclusive
+    # horizon (purchase at exactly +3600s converts), no cross-user
+    # leakage, and multiple clicks each evaluated independently
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",  # u1 click
+            "2024-01-01 00:00:00",  # u1 purchase (tied -> NOT strict-later)
+            "2024-01-01 02:00:00",  # u1 click
+            "2024-01-01 03:00:00",  # u1 purchase (exactly +3600s -> converts)
+            "2024-01-01 05:00:00",  # u1 click (no later purchase)
+            "2024-01-02 00:00:00",  # u2 click
+            "2024-01-02 00:30:00",  # u3 purchase (other user: no leak)
+            "2024-01-03 00:00:00",  # u4 click
+            "2024-01-03 01:00:00.000001",  # u4 purchase (+3600s + 1us -> no)
+        ],
+        format="mixed",
+    )
+    users = [1, 1, 1, 1, 1, 2, 3, 4, 4]
+    types = [
+        "click", "purchase", "click", "purchase", "click",
+        "click", "purchase", "click", "purchase",
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.q75_funnel_conversion(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # u1: clicks at 00:00 (tied purchase doesn't count, but the 03:00
+    # purchase is within 3h? no — horizon is 1h, so 00:00 does NOT
+    # convert), 02:00 (converts at exactly +1h), 05:00 (no purchase)
+    assert out.loc[1, "n_starts"] == 3 and out.loc[1, "n_converted"] == 1
+    assert out.loc[2, "n_starts"] == 1 and out.loc[2, "n_converted"] == 0
+    assert 3 not in out.index  # purchase-only user has no starts
+    assert out.loc[4, "n_starts"] == 1 and out.loc[4, "n_converted"] == 0
+
+
+def test_q78_distinct_across_blocks(tmp_path):
+    # the same (window, user) pair repeated many times — enough rows to
+    # span multiple blocks — must count once per window; each event
+    # belongs to exactly two hopping windows
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    n = 5000
+    ts = pd.to_datetime(["2024-01-01 00:10:00"] * n + ["2024-01-01 00:40:00"])
+    tbl = pa.table(
+        {
+            "user_id": pa.array([42] * n + [7], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.q78_window_distinct_users(str(tmp_path))
+        .to_pandas()
+        .set_index("window_start")["n_users"]
+        .sort_index()
+    )
+    base = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    # 00:10 event -> windows starting 23:30 (prev day) and 00:00;
+    # 00:40 event -> windows 00:00 and 00:30
+    assert out[base - 1800] == 1           # only user 42
+    assert out[base] == 2                  # users 42 and 7, each once
+    assert out[base + 1800] == 1           # only user 7
+    assert len(out) == 3

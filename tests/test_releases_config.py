@@ -129,3 +129,113 @@ def test_repetition_filter_edges(ray_session, tmp_path):
     assert got.loc[1, "keep"] == 1
     assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "top2gram_ppm"] == 0
     assert got.loc[3, "top2gram_ppm"] == 0 and got.loc[3, "distinct_ppm"] == 1_000_000
+
+
+def test_bigram_coverage_edges(ray_session, tmp_path):
+    """q76: bigrams never cross document boundaries; empty and
+    single-token docs score 0/0; coverage counts OCCURRENCES with
+    multiplicity against the (count desc, gram asc) top-V vocabulary."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q76_bigram_coverage
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b a b a b",   # grams: 'a b' x3, 'b a' x2
+                "c d",           # gram 'c d' x1
+                "",              # no tokens
+                "solo",          # one token, no bigram
+                "b c",           # 'b c' x1 — would only exist if grams
+                                  # crossed the doc-0/doc-1 boundary?
+                                  # no: it's a real gram of THIS doc
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q76_bigram_coverage(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # vocab (V=256) holds every distinct gram here, so coverage is
+    # 100% wherever a bigram exists at all
+    assert got.loc[0, "n_bigrams"] == 5 and got.loc[0, "n_in_vocab"] == 5
+    assert got.loc[0, "coverage_ppm"] == 1_000_000
+    assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "coverage_ppm"] == 1_000_000
+    assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "coverage_ppm"] == 0
+    assert got.loc[3, "n_bigrams"] == 0 and got.loc[3, "n_in_vocab"] == 0
+    assert got.loc[4, "n_bigrams"] == 1
+
+
+def test_bigram_coverage_vocab_boundary(ray_session, tmp_path):
+    """q76 vocabulary cut: with more distinct grams than V the
+    (count DESC, gram ASC) boundary picks deterministically — verified
+    against a brute-force single-process recount."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import textops as TO
+
+    old_v = TO.BIGRAM_VOCAB_V
+    TO.BIGRAM_VOCAB_V = 3
+    try:
+        texts = [
+            "x y x y x y",        # 'x y' x3, 'y x' x2
+            "p q p q",            # 'p q' x2, 'q p' x1
+            "m n",                # 'm n' x1
+            "z w z w z w z w",    # 'z w' x4, 'w z' x3
+        ]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        got = (
+            TO.q76_bigram_coverage(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # brute-force: global counts, top-3 by (count desc, gram asc)
+        cnt = Counter()
+        for t in texts:
+            ws = t.split()
+            cnt.update(" ".join(p) for p in zip(ws, ws[1:]))
+        vocab = {
+            g for g, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        }
+        for i, t in enumerate(texts):
+            ws = t.split()
+            grams = [" ".join(p) for p in zip(ws, ws[1:])]
+            n_in = sum(g in vocab for g in grams)
+            assert got.loc[i, "n_in_vocab"] == n_in, (i, vocab)
+            assert got.loc[i, "coverage_ppm"] == n_in * 1_000_000 // max(
+                len(grams), 1
+            )
+    finally:
+        TO.BIGRAM_VOCAB_V = old_v
+
+
+def test_simpson_diversity_edges(ray_session, tmp_path):
+    """q79: pure spam scores 1e6; an all-distinct doc scores 1e6/n;
+    empty doc scores 0 with n=0."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q79_simpson_diversity
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["spam spam spam spam", "a b c d", ""],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q79_simpson_diversity(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "simpson_ppm"] == 1_000_000  # 16/16
+    assert got.loc[1, "simpson_ppm"] == 250_000    # 4/16
+    assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "simpson_ppm"] == 0
