@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q01_pricing_summary", R.q01_pricing_summary),
         ("q75_funnel_conversion", R.q75_funnel_conversion),
         ("q78_window_distinct_users", R.q78_window_distinct_users),
+        ("q81_winsorize_values", R.q81_winsorize_values),
         ("q02_timestamp_filter", R.q02_timestamp_filter),
         ("q03_access_filter", R.q03_access_filter),
         ("q04_source_filter_union", R.q04_source_filter_union),
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- text analysis --------------------------------------------------
     text_family = [
         ("q76_bigram_coverage", textops.q76_bigram_coverage),
+        ("q80_pmi_collocations", textops.q80_pmi_collocations),
         ("q79_simpson_diversity", textops.q79_simpson_diversity),
         ("q13_token_stats", textops.q13_token_stats),
         ("q72_winnowing", textops.q72_winnowing),
@@ -1358,6 +1360,79 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(len(tk) * len(tk), 1) AS BIGINT)
                        AS simpson_ppm
             FROM toks t LEFT JOIN s USING (doc_id)
+        """,
+        # q80: exact-rational PMI in HUGEINT (the engine scores the
+        # pigeonhole-bounded candidate set with Python ints — both
+        # sides are arbitrary-precision, so no overflow anywhere);
+        # support threshold and tie-break replayed verbatim
+        "q80_pmi_collocations": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 2
+                            THEN list_transform(
+                                     generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])
+                            ELSE [] END AS gs
+                FROM toks),
+            occ AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            tot AS (SELECT count(*) AS n_pairs FROM occ),
+            utot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n_uni
+                     FROM toks),
+            cnt AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+            cand AS (
+                SELECT g, c FROM cnt
+                WHERE c >= greatest(
+                    5, (SELECT n_pairs FROM tot) * 100 // 1000000)),
+            uni AS (SELECT t AS w, count(*) AS cu
+                    FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+            scored AS (
+                SELECT cand.g AS gram,
+                       CAST(cand.c AS BIGINT) AS c_xy,
+                       CAST(ux.cu AS BIGINT) AS c_x,
+                       CAST(uy.cu AS BIGINT) AS c_y,
+                       CAST((CAST(cand.c AS HUGEINT) * n_uni * n_uni
+                             * 1000000)
+                            // (CAST(n_pairs AS HUGEINT) * ux.cu * uy.cu)
+                            AS BIGINT) AS pmi_ppm
+                FROM cand
+                CROSS JOIN tot CROSS JOIN utot
+                JOIN uni ux ON ux.w = split_part(cand.g, ' ', 1)
+                JOIN uni uy ON uy.w = split_part(cand.g, ' ', 2))
+            SELECT gram, c_xy, c_x, c_y, pmi_ppm
+            FROM scored ORDER BY pmi_ppm DESC, gram ASC LIMIT 50
+        """,
+        # q81: PERCENTILE_DISC bounds via q48's integer rank formula,
+        # clipping in fixed-point cents, /100.0 restores the exact
+        # 2-decimal double on both sides
+        "q81_winsorize_values": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events),
+            n AS (SELECT event_type, count(*) AS n FROM v
+                  GROUP BY event_type),
+            r AS (SELECT event_type,
+                         (5 * n - 1) // 100 + 1 AS r05,
+                         (95 * n - 1) // 100 + 1 AS r95
+                  FROM n),
+            s AS (SELECT event_type, vc,
+                         row_number() OVER (
+                             PARTITION BY event_type ORDER BY vc) AS rk
+                  FROM v),
+            b AS (SELECT s.event_type,
+                         max(CASE WHEN rk = r05 THEN vc END) AS lo,
+                         max(CASE WHEN rk = r95 THEN vc END) AS hi
+                  FROM s JOIN r USING (event_type)
+                  GROUP BY s.event_type)
+            SELECT v.event_id,
+                   CAST(least(greatest(v.vc, b.lo), b.hi) AS DOUBLE)
+                       / 100.0 AS value_w,
+                   CAST(CASE WHEN v.vc < b.lo OR v.vc > b.hi
+                             THEN 1 ELSE 0 END AS BIGINT) AS clipped
+            FROM v JOIN b USING (event_type)
         """,
         # q77: trunc-fixed-point components — float32 widens to float64
         # exactly, ×1e6 is the same IEEE double multiply on both

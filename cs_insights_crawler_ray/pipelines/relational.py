@@ -1745,3 +1745,88 @@ def q78_window_distinct_users(sf_dir: str) -> rd.Dataset:
     return partials.groupby("window_start").aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — quantile winsorization of the event value stream (the
+# outlier-clipping feature-preprocessing stage: clamp each value into
+# its event-type's exact [P05, P95]).  Bounds use q48's
+# PERCENTILE_DISC integer-rank machinery over FIXED-POINT cents
+# (rank = (num·n − 1)//den + 1, histogram partials, per-type
+# cumulative pick), so both sides choose identical bound values;
+# clipping then happens in integer space.
+#
+# Scale shape: per-block (type, value_c, count) histogram partials are
+# the only thing that shuffles (value cardinality, never events); the
+# per-type bound table (n_types rows) broadcasts once; the clip pass
+# is stateless and shuffle-free.
+# ---------------------------------------------------------------------------
+WINSOR_LO = (5, 100)   # P05 as an integer rational
+WINSOR_HI = (95, 100)  # P95
+
+
+def q81_winsorize_values(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def hist_part(b: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "vc": _fixed(b["value"], 100).to_pandas(),
+            }
+        )
+        g = df.groupby(["event_type", "vc"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["_part"] = np.array(
+            [zlib.crc32(s.encode()) & 7 for s in g["event_type"]],
+            dtype=np.int32,
+        )
+        return g
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = {"event_type": [], "lo": [], "hi": []}
+        for et, grp in g.groupby("event_type"):
+            grp = grp.groupby("vc", as_index=False)["cnt"].sum().sort_values("vc")
+            vals = grp["vc"].to_numpy()
+            cum = grp["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            bounds = []
+            for num, den in (WINSOR_LO, WINSOR_HI):
+                rank = (num * n - 1) // den + 1
+                bounds.append(int(vals[np.searchsorted(cum, rank)]))
+            out["event_type"].append(et)
+            out["lo"].append(bounds[0])
+            out["hi"].append(bounds[1])
+        return pd.DataFrame(out)
+
+    bounds = (
+        ev.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()  # bounded: n_event_types rows
+    )
+    lo = dict(zip(bounds["event_type"], bounds["lo"].astype(np.int64)))
+    hi = dict(zip(bounds["event_type"], bounds["hi"].astype(np.int64)))
+    ref = ray.put((lo, hi))
+
+    def clip(t: pa.Table) -> pa.Table:
+        lo_d, hi_d = bget(ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vc = _fixed(t["value"], 100).to_numpy(zero_copy_only=False)
+        # value-keyed lookup via unique+inverse (q35's pattern): a
+        # missing type is impossible — bounds came from the same table
+        uniq, inv = np.unique(et, return_inverse=True)
+        lo_a = np.array([lo_d[u] for u in uniq], dtype=np.int64)[inv]
+        hi_a = np.array([hi_d[u] for u in uniq], dtype=np.int64)[inv]
+        w = np.minimum(np.maximum(vc, lo_a), hi_a)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value_w": _unscale(pa.array(w), 100),
+                "clipped": pa.array((w != vc).astype(np.int64)),
+            }
+        )
+
+    return ev.map_batches(clip, batch_format="pyarrow")

@@ -472,3 +472,116 @@ def q79_simpson_diversity(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — PMI collocation mining: the corpus-analytics "which word pairs
+# co-occur far more than chance" operator (Church & Hanks 1990),
+# integerized.  score = p(xy) / (p(x)·p(y)) as the exact rational
+# (c_xy · N_uni²) / (N_pairs · c_x · c_y), emitted in ppm via
+# arbitrary-precision Python-int floor division so no intermediate
+# overflows at any corpus size (SQL mirrors it in HUGEINT).
+#
+# Scale shape: the support prune IS the scale story — candidates must
+# hold ≥ SUPPORT_PPM of all bigram occurrences, so BY PIGEONHOLE at
+# most 1e6/SUPPORT_PPM bigrams qualify at ANY corpus size; the driver
+# scores a provably bounded set.  Counts come from the same
+# crc32-partitioned string grouped sums as q49/q58/q76; the unigram
+# pass counts ONLY terms appearing in candidate pairs (the q71
+# query-vocab-only trick) via one frozen-set broadcast.
+# ---------------------------------------------------------------------------
+PMI_SUPPORT_PPM = 100   # candidate bigrams hold >=100 ppm of pair mass
+PMI_MIN_COUNT = 5       # absolute floor so tiny corpora don't pass noise
+PMI_TOP_K = 50
+
+
+def q80_pmi_collocations(sf_dir: str) -> "pa.Table":
+    import pyarrow as pa
+    import ray
+
+    from ..functions.broadcast import bget
+    from .mlprep import _term_grouped_sum
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    # -- pass 1: bigram counts + per-block pair/token totals ---------
+    def bigram_block(b: pd.DataFrame) -> pd.DataFrame:
+        grams, valid, lens = _batch_bigrams(b["text"])
+        n_tok = int(lens.sum())
+        if grams is None:
+            c = pd.Series(dtype=np.int64)
+            n_pairs = 0
+        else:
+            c = grams[valid].value_counts()
+            n_pairs = int(valid.sum())
+        out = pd.DataFrame(
+            {"term": c.index.astype(str), "cnt": c.to_numpy().astype(np.int64)}
+        )
+        # bookkeeping rows: a leading space cannot collide with real
+        # grams ("x y" with nonempty whitespace-free tokens never
+        # starts with a space).  NOT a NUL sentinel: pandas 2.2's
+        # object hashtable collapses strings at the NUL byte, so
+        # "\\x00p" and "\\x00u" groupby-merge into one key (observed).
+        book = pd.DataFrame({"term": [" p", " u"], "cnt": [n_pairs, n_tok]})
+        return pd.concat([out, book], ignore_index=True)
+
+    merged = _term_grouped_sum(
+        docs.map_batches(bigram_block, batch_format="pandas"), "cnt"
+    ).materialize()
+
+    totals = merged.map_batches(
+        lambda b: b[b["term"].isin([" p", " u"])],
+        batch_format="pandas",
+    ).to_pandas()  # <= 2 rows
+    n_pairs = int(totals.loc[totals["term"] == " p", "cnt"].sum())
+    n_uni = int(totals.loc[totals["term"] == " u", "cnt"].sum())
+    if n_pairs == 0:
+        return pa.table(
+            {c: pa.array([], pa.int64() if c != "gram" else pa.string())
+             for c in ("gram", "c_xy", "c_x", "c_y", "pmi_ppm")}
+        )
+    support = max(PMI_MIN_COUNT, n_pairs * PMI_SUPPORT_PPM // 1_000_000)
+
+    # bounded by pigeonhole: <= n_pairs/support <= 1e6/SUPPORT_PPM rows
+    cand = merged.map_batches(
+        lambda b: b[(b["cnt"] >= support) & ~b["term"].str.startswith(" ")],
+        batch_format="pandas",
+    ).to_pandas()
+
+    # -- pass 2: unigram counts for candidate terms only --------------
+    terms = frozenset(
+        t for g in cand["term"] for t in g.split(" ", 1)
+    )
+    tref = ray.put(terms)
+
+    def uni_block(b: pd.DataFrame) -> pd.DataFrame:
+        tset = bget(tref)
+        flat = b["text"].str.split().explode().dropna()
+        c = flat[flat.isin(tset)].value_counts()
+        return pd.DataFrame(
+            {"term": c.index.astype(str), "cnt": c.to_numpy().astype(np.int64)}
+        )
+
+    uni = _term_grouped_sum(
+        docs.map_batches(uni_block, batch_format="pandas"), "cnt"
+    ).to_pandas()  # bounded: <= 2 x |cand| rows
+    ucnt = dict(zip(uni["term"], uni["cnt"].astype(int)))
+
+    # -- driver scoring over the bounded candidate set (exact ints) ---
+    rows = []
+    for g, cxy in zip(cand["term"], cand["cnt"].astype(int)):
+        x, y = g.split(" ", 1)
+        cx, cy = ucnt[x], ucnt[y]
+        ppm = (cxy * n_uni * n_uni * 1_000_000) // (n_pairs * cx * cy)
+        rows.append((g, cxy, cx, cy, ppm))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    rows = rows[:PMI_TOP_K]
+    return pa.table(
+        {
+            "gram": pa.array([r[0] for r in rows], pa.string()),
+            "c_xy": pa.array([r[1] for r in rows], pa.int64()),
+            "c_x": pa.array([r[2] for r in rows], pa.int64()),
+            "c_y": pa.array([r[3] for r in rows], pa.int64()),
+            "pmi_ppm": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

@@ -374,3 +374,32 @@ def test_q78_distinct_across_blocks(tmp_path):
     assert out[base] == 2                  # users 42 and 7, each once
     assert out[base + 1800] == 1           # only user 7
     assert len(out) == 3
+
+
+def test_q81_winsorize_bounds(tmp_path):
+    # hand-checkable percentile ranks: 20 values of one type ->
+    # r05 = (5*20-1)//100+1 = 1 (the minimum), r95 = (95*20-1)//100+1
+    # = 19 -> only the max clips high, nothing clips low
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    vals = [float(v) for v in range(1, 21)]  # 1.0 .. 20.0
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(20), pa.int64()),
+            "event_type": pa.array(["x"] * 20, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.q81_winsorize_values(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[0, "value_w"] == 1.0 and out.loc[0, "clipped"] == 0
+    assert out.loc[18, "value_w"] == 19.0 and out.loc[18, "clipped"] == 0
+    assert out.loc[19, "value_w"] == 19.0 and out.loc[19, "clipped"] == 1
+    assert int(out["clipped"].sum()) == 1

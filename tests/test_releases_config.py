@@ -239,3 +239,55 @@ def test_simpson_diversity_edges(ray_session, tmp_path):
     assert got.loc[0, "simpson_ppm"] == 1_000_000  # 16/16
     assert got.loc[1, "simpson_ppm"] == 250_000    # 4/16
     assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "simpson_ppm"] == 0
+
+
+def test_pmi_collocations_vs_bruteforce(ray_session, tmp_path):
+    """q80: the distributed count + pigeonhole-bounded driver scoring
+    equals a single-process big-int re-derivation, including the
+    support prune and (pmi desc, gram asc) tie-break; bookkeeping
+    sentinel rows never leak into the output."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import textops as TO
+
+    texts = [
+        "strong tea strong tea strong tea strong tea strong tea",
+        "weak tea strong coffee weak tea strong coffee weak tea",
+        "the the the the the the the the strong tea weak tea",
+        "coffee strong coffee strong coffee strong coffee strong coffee",
+    ]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = TO.q80_pmi_collocations(str(tmp_path)).to_pandas()
+    assert not got["gram"].str.startswith(" ").any()
+
+    # brute force with Python ints
+    bi, unic = Counter(), Counter()
+    n_pairs = n_uni = 0
+    for t in texts:
+        ws = t.split()
+        unic.update(ws)
+        n_uni += len(ws)
+        ps = [" ".join(p) for p in zip(ws, ws[1:])]
+        bi.update(ps)
+        n_pairs += len(ps)
+    support = max(TO.PMI_MIN_COUNT, n_pairs * TO.PMI_SUPPORT_PPM // 1_000_000)
+    rows = []
+    for g, cxy in bi.items():
+        if cxy < support:
+            continue
+        x, y = g.split(" ", 1)
+        ppm = (cxy * n_uni * n_uni * 1_000_000) // (n_pairs * unic[x] * unic[y])
+        rows.append((g, cxy, unic[x], unic[y], ppm))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    rows = rows[: TO.PMI_TOP_K]
+    want = pd.DataFrame(rows, columns=["gram", "c_xy", "c_x", "c_y", "pmi_ppm"])
+    assert len(got) == len(want)
+    got = got.reset_index(drop=True)
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), c
+    # the support prune actually bit: some bigram exists below it
+    assert any(c < support for c in bi.values())
