@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q75_funnel_conversion", R.q75_funnel_conversion),
         ("q78_window_distinct_users", R.q78_window_distinct_users),
         ("q81_winsorize_values", R.q81_winsorize_values),
+        ("q82_mad_outliers", R.q82_mad_outliers),
+        ("q83_keep_latest", R.q83_keep_latest),
         ("q02_timestamp_filter", R.q02_timestamp_filter),
         ("q03_access_filter", R.q03_access_filter),
         ("q04_source_filter_union", R.q04_source_filter_union),
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #    sampling / packing / indexing (cluster.py, mlprep.py, diff.py)
     mlprep_family = [
         ("q71_bm25_topk", retrieval.q71_bm25_topk),
+        ("q84_shuffle_order", mlprep.q84_shuffle_order),
         ("q46_kmeans", cluster.q46_kmeans),
         ("q58_heavy_hitters", mlprep.q58_heavy_hitters),
         ("q57_sequence_pack", mlprep.q57_sequence_pack),
@@ -124,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- text analysis --------------------------------------------------
     text_family = [
         ("q76_bigram_coverage", textops.q76_bigram_coverage),
+        ("q85_context_chunks", textops.q85_context_chunks),
         ("q80_pmi_collocations", textops.q80_pmi_collocations),
         ("q79_simpson_diversity", textops.q79_simpson_diversity),
         ("q13_token_stats", textops.q13_token_stats),
@@ -1433,6 +1437,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN v.vc < b.lo OR v.vc > b.hi
                              THEN 1 ELSE 0 END AS BIGINT) AS clipped
             FROM v JOIN b USING (event_type)
+        """,
+        # q82: exact median/MAD via the same integer rank formula; the
+        # flag compare is all-BIGINT so both engines agree bit-for-bit
+        "q82_mad_outliers": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events),
+            n AS (SELECT event_type, count(*) AS n FROM v
+                  GROUP BY event_type),
+            s AS (SELECT event_type, vc,
+                         row_number() OVER (
+                             PARTITION BY event_type ORDER BY vc) AS rk
+                  FROM v),
+            m AS (SELECT s.event_type,
+                         max(CASE WHEN rk = (n - 1) // 2 + 1
+                                  THEN vc END) AS med
+                  FROM s JOIN n USING (event_type)
+                  GROUP BY s.event_type),
+            d AS (SELECT v.event_id, v.event_type,
+                         abs(v.vc - m.med) AS dev
+                  FROM v JOIN m USING (event_type)),
+            s2 AS (SELECT event_type, dev,
+                          row_number() OVER (
+                              PARTITION BY event_type ORDER BY dev) AS rk
+                   FROM d),
+            md AS (SELECT s2.event_type,
+                          max(CASE WHEN rk = (n - 1) // 2 + 1
+                                   THEN dev END) AS mad
+                   FROM s2 JOIN n USING (event_type)
+                   GROUP BY s2.event_type)
+            SELECT d.event_id, CAST(d.dev AS BIGINT) AS abs_dev_c,
+                   CAST(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_outlier
+            FROM d JOIN md USING (event_type)
+        """,
+        # q83: keep-latest compaction — (ts DESC, event_id DESC) rank 1
+        # per (user_id, event_type); ts compared as epoch microseconds
+        # on both sides so no timestamp-rendering ambiguity
+        "q83_keep_latest": """
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        # q84: the Fibonacci-hash kernel replayed in HUGEINT (the q50
+        # pattern) as the deterministic shuffle sort key
+        "q84_shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY
+                       CAST(((CAST(doc_id AS HUGEINT)
+                              * 11400714819323198485)
+                             % 18446744073709551616) // 4294967296
+                            AS BIGINT),
+                       doc_id) AS shuffle_rank
+            FROM documents
+        """,
+        # q85: chunk layout replayed with the closed-form chunk count
+        # m = 1 + ceil(max(0, n-W)/S) and 1-based INCLUSIVE list slices
+        "q85_context_chunks": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                FROM documents),
+            p AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+            c AS (SELECT doc_id, tk, n,
+                         CASE WHEN n = 0 THEN 0
+                              ELSE 1 + (greatest(n - 64, 0) + 47) // 48
+                         END AS m
+                  FROM p),
+            e AS (SELECT doc_id, tk, n,
+                         unnest(generate_series(0, m - 1)) AS i
+                  FROM c WHERE m > 0)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   CAST(least(i * 48 + 64, n) - i * 48 AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(tk[i * 48 + 1 : least(i * 48 + 64, n)],
+                                   ' ') AS chunk_text
+            FROM e
         """,
         # q77: trunc-fixed-point components — float32 widens to float64
         # exactly, ×1e6 is the same IEEE double multiply on both

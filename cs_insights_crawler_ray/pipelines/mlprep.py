@@ -810,3 +810,54 @@ def q65_inverted_index(sf_dir: str, out_root: str | None = None) -> rd.Dataset:
         )
 
     return back.map_batches(counters, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q84 — deterministic global training-shuffle order: every document
+# gets a pseudorandom but REPRODUCIBLE position (rank of the Fibonacci
+# hash of its id, ties by id).  This is the "shuffle the corpus before
+# epoch packing" step done as data, not as ray.data.random_shuffle —
+# the same corpus yields the same order on any cluster shape, so a
+# resumed/re-run job trains on the identical stream.
+#
+# Scale shape: one vectorized hash pass, ONE range-partitioned sort
+# (the unavoidable all-to-all — Ray's sort samples boundaries, so no
+# skew: the hash output is uniform by construction), then block-offset
+# rank assignment (n_blocks ints to the driver, q08/fetch_seq
+# mechanism).  The hash kernel is `_key_hash32`, which the SQL oracle
+# replays exactly in HUGEINT.
+# ---------------------------------------------------------------------------
+def q84_shuffle_order(sf_dir: str) -> rd.Dataset:
+    def hk(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "hk": _key_hash32(b["doc_id"])}
+        )
+
+    s = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(hk, batch_format="pandas")
+        .sort(["hk", "doc_id"])
+    )
+    refs = s.to_arrow_refs()
+    counts = ray.get([_nrows_blk.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    out = [_shuffle_rank_blk.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
+
+
+@ray.remote
+def _nrows_blk(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _shuffle_rank_blk(t: pa.Table, offset: int) -> pa.Table:
+    if t.num_rows == 0:
+        # empty post-sort blocks carry an EMPTY schema (no doc_id
+        # column at all) — emit the canonical empty table instead
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shuffle_rank": pa.array([], pa.int64())}
+        )
+    rnk = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64())
+    return pa.table({"doc_id": t["doc_id"], "shuffle_rank": rnk})

@@ -847,6 +847,14 @@ def _nrows_q08(t: pa.Table) -> int:
 
 @ray.remote
 def _rank_block(t: pa.Table, offset: int) -> pa.Table:
+    if t.num_rows == 0:
+        # empty post-sort blocks carry an EMPTY schema (observed via
+        # q84's small-input failure) — emit the canonical empty table
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "total": pa.array([], pa.float64()),
+             "rnk": pa.array([], pa.int64())}
+        )
     rnk = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64())
     return pa.table(
         {"c_custkey": t["c_custkey"], "total": t["total"], "rnk": rnk}
@@ -1765,61 +1773,82 @@ WINSOR_LO = (5, 100)   # P05 as an integer rational
 WINSOR_HI = (95, 100)  # P95
 
 
-def q81_winsorize_values(sf_dir: str) -> rd.Dataset:
+def _disc_quantiles(
+    kv: rd.Dataset, fracs: tuple[tuple[int, int], ...]
+) -> "pd.DataFrame":
+    """Exact per-key PERCENTILE_DISC over a (k: str, vc: int64)
+    Dataset: per-block (k, vc, cnt) histogram partials -> 8-way
+    crc32(k) exchange -> per-key cumulative pick at q48's integer rank
+    ``(num·n − 1)//den + 1``.  Only value-cardinality rows shuffle
+    (never the input rows); the returned frame is bounded at n_keys
+    rows with one ``q{i}`` column per requested fraction.  Shared by
+    q81 (winsorize bounds) and q82 (median / MAD)."""
     import pandas as pd
 
-    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-
-    def hist_part(b: pa.Table) -> "pd.DataFrame":
-        df = pd.DataFrame(
-            {
-                "event_type": b["event_type"].to_pandas(),
-                "vc": _fixed(b["value"], 100).to_pandas(),
-            }
-        )
-        g = df.groupby(["event_type", "vc"], as_index=False).size()
+    def hist_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["k", "vc"], as_index=False).size()
         g = g.rename(columns={"size": "cnt"})
         g["_part"] = np.array(
-            [zlib.crc32(s.encode()) & 7 for s in g["event_type"]],
-            dtype=np.int32,
+            [zlib.crc32(s.encode()) & 7 for s in g["k"]], dtype=np.int32
         )
         return g
 
-    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
-        out = {"event_type": [], "lo": [], "hi": []}
-        for et, grp in g.groupby("event_type"):
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {"k": [], **{f"q{i}": [] for i in range(len(fracs))}}
+        for k, grp in g.groupby("k"):
             grp = grp.groupby("vc", as_index=False)["cnt"].sum().sort_values("vc")
             vals = grp["vc"].to_numpy()
             cum = grp["cnt"].to_numpy().cumsum()
             n = int(cum[-1])
-            bounds = []
-            for num, den in (WINSOR_LO, WINSOR_HI):
+            out["k"].append(k)
+            for i, (num, den) in enumerate(fracs):
                 rank = (num * n - 1) // den + 1
-                bounds.append(int(vals[np.searchsorted(cum, rank)]))
-            out["event_type"].append(et)
-            out["lo"].append(bounds[0])
-            out["hi"].append(bounds[1])
+                out[f"q{i}"].append(int(vals[np.searchsorted(cum, rank)]))
         return pd.DataFrame(out)
 
-    bounds = (
-        ev.map_batches(hist_part, batch_format="pyarrow")
+    return (
+        kv.map_batches(hist_part, batch_format="pandas")
         .groupby("_part")
         .map_groups(pick, batch_format="pandas")
-        .to_pandas()  # bounded: n_event_types rows
+        .to_pandas()  # bounded: n_keys rows
     )
-    lo = dict(zip(bounds["event_type"], bounds["lo"].astype(np.int64)))
-    hi = dict(zip(bounds["event_type"], bounds["hi"].astype(np.int64)))
+
+
+def _events_kv(t: pa.Table) -> "pd.DataFrame":
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "k": t["event_type"].to_pandas(),
+            "vc": _fixed(t["value"], 100).to_pandas(),
+        }
+    )
+
+
+def _per_key_lookup(d: dict, keys: np.ndarray) -> np.ndarray:
+    """Broadcast-dict value lookup via unique+inverse (q35's pattern) —
+    one Python dict probe per DISTINCT key, not per row."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    return np.array([d[u] for u in uniq], dtype=np.int64)[inv]
+
+
+def q81_winsorize_values(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    bounds = _disc_quantiles(
+        ev.map_batches(_events_kv, batch_format="pyarrow"),
+        (WINSOR_LO, WINSOR_HI),
+    )
+    lo = dict(zip(bounds["k"], bounds["q0"].astype(np.int64)))
+    hi = dict(zip(bounds["k"], bounds["q1"].astype(np.int64)))
     ref = ray.put((lo, hi))
 
     def clip(t: pa.Table) -> pa.Table:
         lo_d, hi_d = bget(ref)
         et = t["event_type"].to_numpy(zero_copy_only=False)
         vc = _fixed(t["value"], 100).to_numpy(zero_copy_only=False)
-        # value-keyed lookup via unique+inverse (q35's pattern): a
-        # missing type is impossible — bounds came from the same table
-        uniq, inv = np.unique(et, return_inverse=True)
-        lo_a = np.array([lo_d[u] for u in uniq], dtype=np.int64)[inv]
-        hi_a = np.array([hi_d[u] for u in uniq], dtype=np.int64)[inv]
+        # a missing type is impossible — bounds came from the same table
+        lo_a = _per_key_lookup(lo_d, et)
+        hi_a = _per_key_lookup(hi_d, et)
         w = np.minimum(np.maximum(vc, lo_a), hi_a)
         return pa.table(
             {
@@ -1830,3 +1859,106 @@ def q81_winsorize_values(sf_dir: str) -> rd.Dataset:
         )
 
     return ev.map_batches(clip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q82 — robust outlier flags via median / MAD (the Hampel / robust
+# z-score gate a feature pipeline uses where mean/std would be dragged
+# by the very outliers it hunts).  Per event_type: med = exact P50 of
+# the fixed-point cents, MAD = exact P50 of |vc − med|; a row is an
+# outlier when |vc − med| > MAD_K·MAD — every comparison in int64, so
+# both engines flag the identical row set (including the MAD == 0
+# degenerate type, where any nonzero deviation flags).
+#
+# Scale shape: two histogram-quantile passes (value-cardinality
+# shuffles only — `_disc_quantiles`) + one stateless flag pass; the
+# med/MAD tables (n_types rows each) broadcast once.  Exact MAD needs
+# the second pass by definition (deviations depend on the median).
+# ---------------------------------------------------------------------------
+MAD_K = 3
+
+
+def q82_mad_outliers(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    med_df = _disc_quantiles(
+        ev.map_batches(_events_kv, batch_format="pyarrow"), ((1, 2),)
+    )
+    med = dict(zip(med_df["k"], med_df["q0"].astype(np.int64)))
+    mref = ray.put(med)
+
+    def dev_kv(t: pa.Table) -> pd.DataFrame:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vc = _fixed(t["value"], 100).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"k": et, "vc": np.abs(vc - _per_key_lookup(bget(mref), et))}
+        )
+
+    mad_df = _disc_quantiles(
+        ev.map_batches(dev_kv, batch_format="pyarrow"), ((1, 2),)
+    )
+    mad = dict(zip(mad_df["k"], mad_df["q0"].astype(np.int64)))
+    ref = ray.put((med, mad))
+
+    def flag(t: pa.Table) -> pa.Table:
+        med_d, mad_d = bget(ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vc = _fixed(t["value"], 100).to_numpy(zero_copy_only=False)
+        dev = np.abs(vc - _per_key_lookup(med_d, et))
+        thr = MAD_K * _per_key_lookup(mad_d, et)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "abs_dev_c": pa.array(dev),
+                "is_outlier": pa.array((dev > thr).astype(np.int64)),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q83 — keep-latest compaction: one surviving row per (user_id,
+# event_type), the one with the greatest (ts, event_id) — the
+# "newest snapshot per key" upsert/compaction a recrawled corpus needs
+# (keep the latest fetch of each URL, the latest profile per user).
+#
+# Scale shape: the classic combiner-then-groupby.  A per-block
+# sort + drop_duplicates(keep="last") reduces each block to ≤ one row
+# per key BEFORE the exchange, so only per-block winners shuffle
+# (distinct keys per block, never input rows); the 32-way
+# key-hash-partitioned final pick repeats the same reduction.  Ties on
+# ts break by event_id — ordering is data, never task arrival.
+# ---------------------------------------------------------------------------
+def q83_keep_latest(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    _KEEP_SORT = ["user_id", "event_type", "ts_us", "event_id"]
+
+    def _reduce(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(_KEEP_SORT, kind="stable")
+        return b.drop_duplicates(subset=["user_id", "event_type"], keep="last")
+
+    def part_max(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(ts_us=b["ts"].astype("datetime64[us]").astype(np.int64))
+        keep = _reduce(b)[["user_id", "event_type", "ts_us", "event_id", "value"]]
+        # composite partition key: crc32 per DISTINCT type (few types),
+        # folded with the int key — both columns co-locate
+        uniq, inv = np.unique(keep["event_type"].to_numpy(), return_inverse=True)
+        tc = np.array([zlib.crc32(u.encode()) for u in uniq], dtype=np.int64)[inv]
+        return keep.assign(
+            _part=((keep["user_id"].to_numpy(np.int64) * 31 + tc) & 31).astype(
+                np.int32
+            )
+        )
+
+    def final_pick(g: pd.DataFrame) -> pd.DataFrame:
+        return _reduce(g).drop(columns=["_part"])
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(part_max, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final_pick, batch_format="pandas")
+    )

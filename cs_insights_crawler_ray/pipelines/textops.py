@@ -585,3 +585,72 @@ def q80_pmi_collocations(sf_dir: str) -> "pa.Table":
             "pmi_ppm": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — context-window chunking: split each document's token stream
+# into fixed windows of CHUNK_W tokens with CHUNK_S-token stride
+# (overlap = W − S), the RAG-/pretraining-shaped "document → model
+# context windows" explode.  Chunk count per doc is the closed form
+# m = 1 + ceil(max(0, n − W)/S) (0 when empty), so the SQL oracle
+# replays the exact layout with generate_series + 1-based inclusive
+# list slices.
+#
+# Scale shape: shuffle-free flat_map — one vectorized pass builds
+# every chunk boundary with numpy index arithmetic (repeat/cumsum
+# gather over the flattened token array, no per-doc Python); the only
+# per-chunk Python is the unavoidable final `" ".join` (pandas groupby
+# agg).  Output grows by the overlap factor (≤ W/S ≈ 1.33×), never
+# materialized — it streams straight to the consumer.
+# ---------------------------------------------------------------------------
+CHUNK_W = 64   # tokens per chunk
+CHUNK_S = 48   # stride (overlap = 16)
+
+
+def q85_context_chunks(sf_dir: str) -> rd.Dataset:
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        m = np.where(
+            lens == 0,
+            0,
+            1 + (np.maximum(lens - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S,
+        )
+        total = int(m.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "chunk_id": pd.Series(dtype=np.int64),
+                    "n_tokens": pd.Series(dtype=np.int64),
+                    "chunk_text": pd.Series(dtype=object),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(b)), m)
+        first = np.concatenate([[0], np.cumsum(m)[:-1]])
+        ci = np.arange(total) - np.repeat(first, m)          # chunk no. in doc
+        start = ci * CHUNK_S
+        end = np.minimum(start + CHUNK_W, lens[doc_idx])
+        # gather token indices for every chunk in one flat array
+        flat = toks.explode().dropna().to_numpy()            # all tokens
+        doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        gs, clen = doc_off[doc_idx] + start, (end - start).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(clen)[:-1]])
+        idx = np.repeat(gs, clen) + (np.arange(int(clen.sum())) - np.repeat(cs, clen))
+        texts = (
+            pd.Series(flat[idx])
+            .groupby(np.repeat(np.arange(total), clen))
+            .agg(" ".join)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[doc_idx],
+                "chunk_id": ci.astype(np.int64),
+                "n_tokens": clen,
+                "chunk_text": texts.to_numpy(),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pandas"
+    )

@@ -391,3 +391,35 @@ def test_q77_dim_stats_matches_naive(ray_session, tmp_path):
     assert (got["n"] == len(x)).all()
     assert np.array_equal(got["sum_q"].to_numpy(), q.sum(axis=0))
     assert np.array_equal(got["sumsq_q"].to_numpy(), (q * q).sum(axis=0))
+
+
+def test_q84_shuffle_order_is_hash_rank(ray_session, tmp_path):
+    """The assigned order is EXACTLY the rank of (_key_hash32(id), id)
+    — a permutation, reproducible across runs, independent of input
+    row order."""
+    import numpy as np
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import mlprep as M
+
+    ids = np.array([3, 1, 4, 1_000_000_007, 59, 26, 535, 0], dtype=np.int64)
+    pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids)}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = (
+        M.q84_shuffle_order(str(tmp_path))
+        .to_pandas()
+        .sort_values("shuffle_rank")
+        .reset_index(drop=True)
+    )
+    assert sorted(got["shuffle_rank"]) == list(range(1, len(ids) + 1))
+    hk = M._key_hash32(ids)
+    order = ids[np.lexsort((ids, hk))]
+    assert list(got["doc_id"]) == list(order)
+    again = (
+        M.q84_shuffle_order(str(tmp_path))
+        .to_pandas()
+        .sort_values("shuffle_rank")
+        .reset_index(drop=True)
+    )
+    assert (again["doc_id"] == got["doc_id"]).all()

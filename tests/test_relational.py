@@ -403,3 +403,66 @@ def test_q81_winsorize_bounds(tmp_path):
     assert out.loc[18, "value_w"] == 19.0 and out.loc[18, "clipped"] == 0
     assert out.loc[19, "value_w"] == 19.0 and out.loc[19, "clipped"] == 1
     assert int(out["clipped"].sum()) == 1
+
+
+def test_q82_mad_outliers_hand_case(tmp_path):
+    # type "a": values 1..9 + 100 -> med rank (10-1)//2+1 = 5 -> 5.0;
+    # devs sorted 0,1,1,2,2,3,3,4,4,95 -> MAD (rank 5) = 2.0 ->
+    # threshold 6.0 -> only the 100.0 row flags.
+    # type "b": [5,5,5,5,7] -> med 5, MAD 0 -> any nonzero dev flags.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    vals = [float(v) for v in range(1, 10)] + [100.0] + [5.0] * 4 + [7.0]
+    types = ["a"] * 10 + ["b"] * 5
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(15), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.q82_mad_outliers(str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[9, "abs_dev_c"] == 9500 and out.loc[9, "is_outlier"] == 1
+    assert out.loc[0, "abs_dev_c"] == 400 and out.loc[0, "is_outlier"] == 0
+    assert out.loc[14, "abs_dev_c"] == 200 and out.loc[14, "is_outlier"] == 1
+    assert int(out["is_outlier"].sum()) == 2
+
+
+def test_q83_keep_latest_tiebreak(tmp_path):
+    # same key, same ts -> the HIGHER event_id wins; distinct keys
+    # never merge; a lone key passes through unchanged
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, ts, 7, "click", 1.0),
+        (2, ts, 7, "click", 2.0),              # ts tie -> id 2 wins
+        (3, ts - pd.Timedelta("1h"), 7, "view", 3.0),
+        (4, ts + pd.Timedelta("1h"), 7, "view", 4.0),  # later ts wins
+        (5, ts, 8, "click", 5.0),              # lone key
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = (
+        R.q83_keep_latest(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert list(out["event_id"]) == [2, 4, 5]
+    assert out.loc[0, "ts_us"] == ts.value // 1000

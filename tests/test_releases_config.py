@@ -291,3 +291,32 @@ def test_pmi_collocations_vs_bruteforce(ray_session, tmp_path):
         assert (got[c] == want[c]).all(), c
     # the support prune actually bit: some bigram exists below it
     assert any(c < support for c in bi.values())
+
+
+def test_context_chunks_layout(ray_session, tmp_path):
+    """q85: 130 tokens -> windows [0,64) [48,112) [96,130); a short doc
+    is one whole chunk; an empty doc emits nothing; overlap regions
+    repeat the same tokens."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import textops as TO
+
+    long_toks = [f"t{i}" for i in range(130)]
+    texts = [" ".join(long_toks), "a b c", ""]
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = (
+        TO.q85_context_chunks(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d0 = got[got["doc_id"] == 0]
+    assert list(d0["n_tokens"]) == [64, 64, 34]
+    assert d0.iloc[0]["chunk_text"].split() == long_toks[0:64]
+    assert d0.iloc[1]["chunk_text"].split() == long_toks[48:112]
+    assert d0.iloc[2]["chunk_text"].split() == long_toks[96:130]
+    d1 = got[got["doc_id"] == 1]
+    assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "a b c"
+    assert (got["doc_id"] != 2).all()
