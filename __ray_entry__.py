@@ -1360,8 +1360,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM c GROUP BY doc_id)
             SELECT t.doc_id,
                    CAST(len(tk) AS BIGINT) AS n_tokens,
-                   CAST(coalesce(s.s2, 0) * 1000000
-                        // greatest(len(tk) * len(tk), 1) AS BIGINT)
+                   -- HUGEINT: s2*1e6 passes int64 max for >3.03M-token
+                   -- docs (engine mirrors with a Python-int path)
+                   CAST(CAST(coalesce(s.s2, 0) AS HUGEINT) * 1000000
+                        // greatest(CAST(len(tk) AS HUGEINT) * len(tk), 1)
+                        AS BIGINT)
                        AS simpson_ppm
             FROM toks t LEFT JOIN s USING (doc_id)
         """,

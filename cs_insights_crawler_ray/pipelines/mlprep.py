@@ -833,31 +833,11 @@ def q84_shuffle_order(sf_dir: str) -> rd.Dataset:
             {"doc_id": b["doc_id"], "hk": _key_hash32(b["doc_id"])}
         )
 
+    from ..functions.ranking import rank_sorted
+
     s = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         .map_batches(hk, batch_format="pandas")
         .sort(["hk", "doc_id"])
     )
-    refs = s.to_arrow_refs()
-    counts = ray.get([_nrows_blk.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
-    out = [_shuffle_rank_blk.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return rd.from_arrow_refs(out)
-
-
-@ray.remote
-def _nrows_blk(t: pa.Table) -> int:
-    return t.num_rows
-
-
-@ray.remote
-def _shuffle_rank_blk(t: pa.Table, offset: int) -> pa.Table:
-    if t.num_rows == 0:
-        # empty post-sort blocks carry an EMPTY schema (no doc_id
-        # column at all) — emit the canonical empty table instead
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "shuffle_rank": pa.array([], pa.int64())}
-        )
-    rnk = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64())
-    return pa.table({"doc_id": t["doc_id"], "shuffle_rank": rnk})
+    return rank_sorted(s, {"doc_id": pa.int64()}, "shuffle_rank")

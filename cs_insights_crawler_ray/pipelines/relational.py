@@ -625,8 +625,15 @@ def q11_anti_join_denylist(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 def q12_window_agg(sf_dir: str) -> rd.Dataset:
     def bucket(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64())  # epoch microseconds
-        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())  # epoch microseconds
+        # numpy floor division — the oracle's floor(epoch/3600) FLOORS
+        # while pc.divide truncates toward zero (diverges pre-1970)
+        hour = pa.array(
+            np.floor_divide(
+                us.to_numpy(zero_copy_only=False), 3_600_000_000
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {"user_id": t["user_id"], "hour_bucket": hour, "v_m": _fixed(t["value"], 1000)}
         )
@@ -830,34 +837,12 @@ def q08_sort_rank(sf_dir: str) -> rd.Dataset:
 
 
 def _rank_sorted(s: rd.Dataset) -> rd.Dataset:
-    import ray.data as _rd
+    # block-offset rank assignment (sorted block order == global
+    # order) — shared mechanism in functions/ranking.py
+    from ..functions.ranking import rank_sorted
 
-    # block-offset rank assignment (sorted block order == global order)
-    refs = s.to_arrow_refs()
-    counts = ray.get([_nrows_q08.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
-    out = [_rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return _rd.from_arrow_refs(out)
-
-
-@ray.remote
-def _nrows_q08(t: pa.Table) -> int:
-    return t.num_rows
-
-
-@ray.remote
-def _rank_block(t: pa.Table, offset: int) -> pa.Table:
-    if t.num_rows == 0:
-        # empty post-sort blocks carry an EMPTY schema (observed via
-        # q84's small-input failure) — emit the canonical empty table
-        return pa.table(
-            {"c_custkey": pa.array([], pa.int64()),
-             "total": pa.array([], pa.float64()),
-             "rnk": pa.array([], pa.int64())}
-        )
-    rnk = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64())
-    return pa.table(
-        {"c_custkey": t["c_custkey"], "total": t["total"], "rnk": rnk}
+    return rank_sorted(
+        s, {"c_custkey": pa.int64(), "total": pa.float64()}, "rnk"
     )
 
 
@@ -1057,9 +1042,17 @@ HOP_SEC, WINDOW_SEC = 1800, 3600
 
 def q42_hopping_window(sf_dir: str) -> rd.Dataset:
     def explode(t: pa.Table) -> pa.Table:
-        es = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))  # epoch sec
-        s1 = pc.multiply(pc.divide(es, pa.scalar(HOP_SEC)), pa.scalar(HOP_SEC))
-        s0 = pc.subtract(s1, pa.scalar(HOP_SEC))
+        # numpy floor division, NOT pc.divide (truncates toward zero;
+        # the DuckDB oracle's // floors — diverges pre-1970, see q78)
+        ts_us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        s1_np = np.floor_divide(
+            np.floor_divide(ts_us, 1_000_000), HOP_SEC
+        ) * HOP_SEC
+        s1 = pa.array(s1_np, pa.int64())
+        s0 = pa.array(s1_np - HOP_SEC, pa.int64())
         v_m = _fixed(t["value"], 1000)
         return pa.concat_tables(
             [
@@ -1716,9 +1709,18 @@ def q78_window_distinct_users(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
     def explode_pairs(t: pa.Table) -> pa.Table:
-        es = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))
-        s1 = pc.multiply(pc.divide(es, pa.scalar(HOP_SEC)), pa.scalar(HOP_SEC))
-        s0 = pc.subtract(s1, pa.scalar(HOP_SEC))
+        # numpy floor division, NOT pc.divide: Arrow integer divide
+        # truncates toward zero, but the oracle's DuckDB `//` FLOORS —
+        # a pre-1970 timestamp would land in a different window
+        # (review finding; post-1970 data never exposes it)
+        ts_us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        es_np = np.floor_divide(ts_us, 1_000_000)
+        s1_np = np.floor_divide(es_np, HOP_SEC) * HOP_SEC
+        s1 = pa.array(s1_np, pa.int64())
+        s0 = pa.array(s1_np - HOP_SEC, pa.int64())
         u = t["user_id"]
         both = pa.concat_tables(
             [

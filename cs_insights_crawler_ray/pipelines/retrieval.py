@@ -158,13 +158,15 @@ def q71_bm25_topk(sf_dir: str, k: int = BM25_TOP_K) -> pa.Table:
                 continue
             score = np.zeros(len(b), np.int64)
             np.add.at(score, r_u[sel], contrib[sel])
-            nz = np.nonzero(score)[0]
-            if nz.size == 0:
-                continue
-            kk = min(k, nz.size)
+            # candidates = docs containing >=1 query term — NOT docs
+            # with nonzero score: tfn floors to 0 for a huge doc with
+            # one occurrence, and the SQL oracle still ranks it
+            # (review repro: 1e6-token doc, score 0, oracle rank 2)
+            cand = np.unique(r_u[sel])
+            kk = min(k, cand.size)
             # partial top-k with the DRIVER MERGE's tie-break (score
             # DESC, doc_id ASC) so block splits can't pick among ties
-            top = nz[np.lexsort((vid[nz], -score[nz]))[:kk]]
+            top = cand[np.lexsort((vid[cand], -score[cand]))[:kk]]
             out.append(pd.DataFrame(
                 {"qid": np.full(kk, qid, np.int64),
                  "doc_id": vid[top], "score": score[top]}

@@ -327,8 +327,13 @@ def q74_normalize(sf_dir: str) -> rd.Dataset:
             .str.replace(_NORM_WS, " ", regex=True)
             .str.strip(" ")
         )
-        n_tok = norm.str.split(" ").map(
-            lambda ws: 0 if ws == [""] else len(ws)
+        # whitespace is already collapsed to single spaces and
+        # stripped, so tokens = spaces+1 (0 for the empty string) —
+        # fully vectorized, no per-row split+lambda (review finding)
+        n_tok = np.where(
+            norm.str.len().to_numpy() > 0,
+            norm.str.count(" ").to_numpy() + 1,
+            0,
         )
         return pd.DataFrame(
             {
@@ -461,11 +466,23 @@ def q79_simpson_diversity(sf_dir: str) -> rd.Dataset:
             c = pairs.groupby(["i", "t"], sort=False).size()
             sq = (c * c).groupby(level=0).sum()
             s2[sq.index.to_numpy()] = sq.to_numpy()
+        den = np.maximum(n * n, 1)
+        with np.errstate(over="ignore"):
+            ppm = s2 * 1_000_000 // den
+        # s2·1e6 exceeds int64 for docs beyond ~3.03M tokens (s2 ≤ n²)
+        # — recompute those rows in Python ints (the SQL mirror uses
+        # HUGEINT), so no silent wrap at any document size
+        big = s2 > (2**63 - 1) // 1_000_000
+        if big.any():
+            ppm[big] = np.array(
+                [int(a) * 1_000_000 // int(d) for a, d in zip(s2[big], den[big])],
+                dtype=np.int64,
+            )
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "n_tokens": n,
-                "simpson_ppm": s2 * 1_000_000 // np.maximum(n * n, 1),
+                "simpson_ppm": ppm,
             }
         )
 

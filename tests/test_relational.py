@@ -466,3 +466,38 @@ def test_q83_keep_latest_tiebreak(tmp_path):
     assert len(out) == 3
     assert list(out["event_id"]) == [2, 4, 5]
     assert out.loc[0, "ts_us"] == ts.value // 1000
+
+
+def test_window_ops_floor_pre1970(tmp_path):
+    """q12/q42/q78 must FLOOR-divide epoch time like the DuckDB
+    oracles (`//` / floor()) — Arrow's pc.divide truncates toward
+    zero, which shifted pre-1970 events one window late (review
+    finding).  One event 60s before the epoch: floor(-60/3600) = -1,
+    hop windows -3600 and -1800."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    ts = pd.Timestamp("1969-12-31 23:59:00")
+    df = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": [ts],
+            "user_id": [7],
+            "event_type": ["click"],
+            "value": [2.5],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+
+    q12 = R.q12_window_agg(str(tmp_path)).to_pandas()
+    assert list(q12["hour_bucket"]) == [-1]
+
+    q42 = R.q42_hopping_window(str(tmp_path)).to_pandas()
+    assert sorted(q42["window_start"]) == [-3600, -1800]
+
+    q78 = R.q78_window_distinct_users(str(tmp_path)).to_pandas()
+    assert sorted(q78["window_start"]) == [-3600, -1800]
+    assert (q78["n_users"] == 1).all()

@@ -320,3 +320,20 @@ def test_context_chunks_layout(ray_session, tmp_path):
     d1 = got[got["doc_id"] == 1]
     assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "a b c"
     assert (got["doc_id"] != 2).all()
+
+
+def test_simpson_no_int64_wrap_huge_doc(ray_session, tmp_path):
+    """q79: a 3.2M-token uniform doc has s2·1e6 > int64 max — the
+    wide-int escape path must return exactly 1e6 ppm, not a wrapped
+    negative (review finding; SQL mirror uses HUGEINT)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import textops as TO
+
+    n = 3_200_000
+    pd.DataFrame({"doc_id": [0], "text": ["x " * n]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = TO.q79_simpson_diversity(str(tmp_path)).to_pandas()
+    assert got.loc[0, "n_tokens"] == n
+    assert got.loc[0, "simpson_ppm"] == 1_000_000

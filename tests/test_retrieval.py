@@ -49,16 +49,20 @@ def _serial_bm25(sf_dir: str, k: int = retrieval.BM25_TOP_K) -> pd.DataFrame:
         for did, ts in toks.items():
             dl = len(ts)
             s = 0
+            matched = False
             for t in terms:
                 tf = ts.count(t)
                 if tf == 0:
                     continue
+                matched = True
                 idf = (1000 * n) // (df[t] + 1)
                 tfn = (44000 * tf * avgdl) // (
                     20 * avgdl * tf + 6 * avgdl + 18 * dl
                 )
                 s += idf * tfn
-            if s > 0:
+            # a doc with a query term is a candidate even at integer
+            # score 0 (tfn floors to 0 for huge docs) — oracle parity
+            if matched:
                 scored.append((s, did))
         scored.sort(key=lambda x: (-x[0], x[1]))
         for rank, (s, did) in enumerate(scored[:k], 1):
@@ -118,3 +122,22 @@ def test_bm25_tfn_bound():
                     20 * avgdl * tf + 6 * avgdl + 18 * dl
                 )
                 assert 0 <= tfn < 2200
+
+
+def test_bm25_zero_score_doc_still_ranks(ray_session, tmp_path):
+    """A doc whose integer BM25 score floors to 0 (huge dl, one term
+    occurrence) is still a candidate — the SQL oracle ranks it, so the
+    engine must too (review repro: the old nonzero(score) filter
+    dropped it)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines import retrieval as rmod
+
+    # avgdl = 85000//5001 = 16; dl = 80000 > 2443*16 so tfn floors to 0
+    texts = ["filler"] * 5000 + ["xx " * 79_999 + "dup"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df.to_parquet(tmp_path / "documents.parquet")
+    got = rmod.q71_bm25_topk(str(tmp_path)).to_pandas()
+    q4 = got[got["qid"] == 4]
+    assert len(q4) == 1
+    assert q4.iloc[0]["doc_id"] == 5000 and q4.iloc[0]["score"] == 0
