@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ("q81_winsorize_values", R.q81_winsorize_values),
         ("q82_mad_outliers", R.q82_mad_outliers),
         ("q83_keep_latest", R.q83_keep_latest),
+        ("q86_retention_cohorts", R.q86_retention_cohorts),
+        ("q87_gap_quantiles", R.q87_gap_quantiles),
         ("q02_timestamp_filter", R.q02_timestamp_filter),
         ("q03_access_filter", R.q03_access_filter),
         ("q04_source_filter_union", R.q04_source_filter_union),
@@ -1487,6 +1489,49 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # q86: cohort = a user's first active week; every DISTINCT
+        # (user, week) pair counts once at offset = week - cohort
+        "q86_retention_cohorts": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 1000000 // 604800 AS wk
+                FROM events),
+            c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+            SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM w JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # q87: per-user consecutive gaps (lag over (ts, event_id)),
+        # attributed to the LATER event's type; exact P50/P90 via the
+        # integer rank formula
+        "q87_gap_quantiles": """
+            WITH e AS (
+                SELECT user_id, event_type, event_id,
+                       epoch_us(ts) AS us
+                FROM events),
+            g AS (SELECT event_type,
+                         us - lag(us) OVER (
+                             PARTITION BY user_id
+                             ORDER BY us, event_id) AS gap_us
+                  FROM e),
+            v AS (SELECT event_type, gap_us FROM g
+                  WHERE gap_us IS NOT NULL),
+            n AS (SELECT event_type, count(*) AS n FROM v
+                  GROUP BY event_type),
+            s AS (SELECT event_type, gap_us,
+                         row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY gap_us) AS rk
+                  FROM v)
+            SELECT s.event_type,
+                   max(CASE WHEN rk = (n - 1) // 2 + 1
+                            THEN gap_us END) AS p50_gap_us,
+                   max(CASE WHEN rk = (9 * n - 1) // 10 + 1
+                            THEN gap_us END) AS p90_gap_us
+            FROM s JOIN n USING (event_type)
+            GROUP BY s.event_type
         """,
         # q84: the Fibonacci-hash kernel replayed in HUGEINT (the q50
         # pattern) as the deterministic shuffle sort key

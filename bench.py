@@ -70,7 +70,8 @@ def run_bench() -> dict:
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from cs_insights_crawler_ray.pipelines import (
-        ann, cluster, dedup, diff, graph, mlprep, relational as R, textops)
+        ann, cdc, cluster, dedup, diff, graph, mlprep, relational as R,
+        retrieval, textops)
 
     # warm the page cache so we measure compute + shuffle, not cold reads
     import pyarrow.parquet as pq
@@ -186,6 +187,21 @@ def run_bench() -> dict:
         timed("q64_dup_spans", dedup.q64_dup_spans)
         timed("q65_inverted_index", mlprep.q65_inverted_index)
         timed("q66_pq_ann", ann.q66_pq_ann)
+        # round-4 additions: retrieval / fingerprints / storage dedup /
+        # sequence + window ops / corpus stats / feature prep
+        timed("q71_bm25_topk", retrieval.q71_bm25_topk)
+        timed("q72_winnowing", textops.q72_winnowing)
+        timed("q73_cdc_dedup", cdc.q73_cdc_dedup)
+        timed("q75_funnel_conversion", R.q75_funnel_conversion)
+        timed("q76_bigram_coverage", textops.q76_bigram_coverage)
+        timed("q78_window_distinct_users", R.q78_window_distinct_users)
+        timed("q79_simpson_diversity", textops.q79_simpson_diversity)
+        timed("q80_pmi_collocations", textops.q80_pmi_collocations)
+        timed("q81_winsorize_values", R.q81_winsorize_values)
+        timed("q82_mad_outliers", R.q82_mad_outliers)
+        timed("q83_keep_latest", R.q83_keep_latest)
+        timed("q84_shuffle_order", mlprep.q84_shuffle_order)
+        timed("q85_context_chunks", textops.q85_context_chunks)
 
     ray.shutdown()
 

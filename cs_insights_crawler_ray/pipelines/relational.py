@@ -1964,3 +1964,117 @@ def q83_keep_latest(sf_dir: str) -> rd.Dataset:
         .groupby("_part")
         .map_groups(final_pick, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — weekly retention cohorts: the (cohort_week, week_offset) →
+# active-user matrix every growth/engagement dashboard computes, and a
+# classic two-level-aggregate shape.  A user's cohort is their FIRST
+# active week; every (user, week) activity pair contributes one count
+# at offset = week − cohort.
+#
+# Scale shape: per-block (user, week) pair dedupe bounds the exchange,
+# ONE user-hash shuffle co-locates each user's full week set (min is a
+# per-partition operation — no global pass), and only the tiny
+# (cohort, offset, count) partials cross the final keyed sum
+# (bounded at n_weeks² × 32 rows).
+# ---------------------------------------------------------------------------
+WEEK_SEC = 604_800
+
+
+def q86_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    def pairs(t: pa.Table) -> "pd.DataFrame":
+        ts_us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        wk = np.floor_divide(np.floor_divide(ts_us, 1_000_000), WEEK_SEC)
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "wk": wk}
+        ).drop_duplicates()
+        uid = df["user_id"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (uid * np.uint64(11400714819323198485)) >> np.uint64(32)
+        df["_part"] = (h & np.uint64(31)).astype(np.int32)
+        return df
+
+    def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop_duplicates(["user_id", "wk"])  # cross-block dups
+        cw = g.groupby("user_id")["wk"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_week": cw, "week_offset": g["wk"].to_numpy() - cw}
+        )
+        c = out.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return c.rename(columns={"size": "n_users"})
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — inter-arrival gap quantiles per event type: exact P50/P90 of
+# the time between a user's consecutive events, attributed to the
+# LATER event's type (the "how regularly does this action recur"
+# activity-cadence report; the streaming-sessions sibling of q28).
+#
+# Scale shape: ONE user-hash shuffle co-locates each user's stream
+# (the gap is a per-user sequential construct), a vectorized
+# sort+diff emits (type, gap) value pairs, and the exact quantiles run
+# through the shared `_disc_quantiles` histogram machinery — value-
+# cardinality rows shuffle, never events.
+# ---------------------------------------------------------------------------
+GAP_QS = ((1, 2), (9, 10))  # P50, P90 as integer rationals
+
+
+def q87_gap_quantiles(sf_dir: str) -> "pa.Table":
+    import pandas as pd
+
+    def part(t: pa.Table) -> "pd.DataFrame":
+        ts_us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (uid * np.uint64(11400714819323198485)) >> np.uint64(32)
+        return pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+                "ts_us": ts_us,
+                "_part": (h & np.uint64(31)).astype(np.int32),
+            }
+        )
+
+    def gaps(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        gap = np.diff(g["ts_us"].to_numpy())[same]
+        return pd.DataFrame(
+            {"k": g["event_type"].to_numpy()[1:][same], "vc": gap}
+        )
+
+    kv = (
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(gaps, batch_format="pandas")
+    )
+    q = _disc_quantiles(kv, GAP_QS)  # bounded: n_event_types rows
+    return pa.table(
+        {
+            "event_type": pa.array(q["k"].astype(str), pa.string()),
+            "p50_gap_us": pa.array(q["q0"].to_numpy(np.int64), pa.int64()),
+            "p90_gap_us": pa.array(q["q1"].to_numpy(np.int64), pa.int64()),
+        }
+    )

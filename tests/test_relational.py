@@ -501,3 +501,74 @@ def test_window_ops_floor_pre1970(tmp_path):
     q78 = R.q78_window_distinct_users(str(tmp_path)).to_pandas()
     assert sorted(q78["window_start"]) == [-3600, -1800]
     assert (q78["n_users"] == 1).all()
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+
+
+def test_q86_retention_cohorts_hand_case(tmp_path):
+    # user 1 first active week W, also W+1 and W+2 (twice -> dedupes);
+    # user 2 first active week W+1 only
+    import pandas as pd
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    w0 = pd.Timestamp("2024-01-04")      # inside some epoch week W
+    wk = pd.Timedelta(days=7)
+    _write_events(tmp_path, [
+        (1, w0, 1, "click", 0.0),
+        (2, w0 + wk, 1, "click", 0.0),
+        (3, w0 + 2 * wk, 1, "view", 0.0),
+        (4, w0 + 2 * wk + pd.Timedelta("1h"), 1, "view", 0.0),
+        (5, w0 + wk, 2, "click", 0.0),
+    ])
+    out = (
+        R.q86_retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    cw1 = int(out["cohort_week"].min())
+    got = {
+        (int(r.cohort_week) - cw1, int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_q87_gap_quantiles_hand_case(tmp_path):
+    # user 1: a@0s, b@10s, b@30s -> type-b gaps [10s, 20s]:
+    # P50 rank (2-1)//2+1 = 1 -> 10s, P90 rank (18-1)//10+1 = 2 -> 20s;
+    # user 2: single event -> contributes no gap; ts tie on user 3
+    # breaks by event_id (gap 0 attributed to the higher id's type)
+    import pandas as pd
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta("1s")
+    _write_events(tmp_path, [
+        (1, t0, 1, "a", 0.0),
+        (2, t0 + 10 * s, 1, "b", 0.0),
+        (3, t0 + 30 * s, 1, "b", 0.0),
+        (4, t0, 2, "a", 0.0),
+        (5, t0, 3, "a", 0.0),
+        (6, t0, 3, "c", 0.0),
+    ])
+    out = (
+        R.q87_gap_quantiles(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert out.loc["b", "p50_gap_us"] == 10_000_000
+    assert out.loc["b", "p90_gap_us"] == 20_000_000
+    assert out.loc["c", "p50_gap_us"] == 0
+    assert "a" not in out.index  # 'a' is never the later event of a gap
