@@ -1503,33 +1503,35 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
         """,
-        # q87: per-user consecutive gaps (lag over (ts, event_id)),
-        # attributed to the LATER event's type; exact P50/P90 via the
-        # integer rank formula
+        # q87: per-user consecutive gaps in WHOLE SECONDS (floored
+        # epoch seconds on both sides — bounds the quantile histogram
+        # cardinality), ordered (second, event_id), attributed to the
+        # LATER event's type; exact P50/P90 via the integer rank
+        # formula
         "q87_gap_quantiles": """
             WITH e AS (
                 SELECT user_id, event_type, event_id,
-                       epoch_us(ts) AS us
+                       epoch_us(ts) // 1000000 AS es
                 FROM events),
             g AS (SELECT event_type,
-                         us - lag(us) OVER (
+                         es - lag(es) OVER (
                              PARTITION BY user_id
-                             ORDER BY us, event_id) AS gap_us
+                             ORDER BY es, event_id) AS gap_s
                   FROM e),
-            v AS (SELECT event_type, gap_us FROM g
-                  WHERE gap_us IS NOT NULL),
+            v AS (SELECT event_type, gap_s FROM g
+                  WHERE gap_s IS NOT NULL),
             n AS (SELECT event_type, count(*) AS n FROM v
                   GROUP BY event_type),
-            s AS (SELECT event_type, gap_us,
+            s AS (SELECT event_type, gap_s,
                          row_number() OVER (
                              PARTITION BY event_type
-                             ORDER BY gap_us) AS rk
+                             ORDER BY gap_s) AS rk
                   FROM v)
             SELECT s.event_type,
                    max(CASE WHEN rk = (n - 1) // 2 + 1
-                            THEN gap_us END) AS p50_gap_us,
+                            THEN gap_s END) AS p50_gap_s,
                    max(CASE WHEN rk = (9 * n - 1) // 10 + 1
-                            THEN gap_us END) AS p90_gap_us
+                            THEN gap_s END) AS p90_gap_s
             FROM s JOIN n USING (event_type)
             GROUP BY s.event_type
         """,

@@ -568,7 +568,7 @@ def test_q87_gap_quantiles_hand_case(tmp_path):
         .set_index("event_type")
         .sort_index()
     )
-    assert out.loc["b", "p50_gap_us"] == 10_000_000
-    assert out.loc["b", "p90_gap_us"] == 20_000_000
-    assert out.loc["c", "p50_gap_us"] == 0
+    assert out.loc["b", "p50_gap_s"] == 10
+    assert out.loc["b", "p90_gap_s"] == 20
+    assert out.loc["c", "p50_gap_s"] == 0
     assert "a" not in out.index  # 'a' is never the later event of a gap
