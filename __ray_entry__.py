@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
         ("q77_dim_stats", cluster.q77_dim_stats),
+        ("q88_centroid_outliers", cluster.q88_centroid_outliers),
         ("q66_pq_ann", ann.q66_pq_ann),
         ("q56_pagerank", graph.q56_pagerank),
         ("q15_ann_brute", ann.q15_ann_brute),
@@ -476,12 +477,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "q42_hopping_window": """
+            -- floor(), NOT integer //: DuckDB's // truncates toward
+            -- zero while the engine FLOORS (pre-1970 divergence);
+            -- doubles are exact here (|us| < 2^53)
             WITH e AS (
-              SELECT epoch_us(ts) // 1000000 AS es,
+              SELECT CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS es,
                      CAST(round(value * 1000) AS BIGINT) AS v_m
               FROM events),
             x AS (
-              SELECT (es // 1800) * 1800 - off AS window_start, v_m
+              SELECT CAST(floor(es / 1800.0) AS BIGINT) * 1800 - off
+                         AS window_start, v_m
               FROM e CROSS JOIN (VALUES (0), (1800)) AS o(off))
             SELECT CAST(window_start AS BIGINT) AS window_start,
                    count(*) AS n_events,
@@ -1311,11 +1316,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q78_window_distinct_users": """
             WITH e AS (
-              SELECT epoch_us(ts) // 1000000 AS es, user_id FROM events),
+              SELECT CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT)
+                         AS es, user_id FROM events),
             x AS (
-              SELECT (es // 1800) * 1800 AS window_start, user_id FROM e
+              SELECT CAST(floor(es / 1800.0) AS BIGINT) * 1800
+                         AS window_start, user_id FROM e
               UNION ALL
-              SELECT (es // 1800) * 1800 - 1800 AS window_start, user_id
+              SELECT CAST(floor(es / 1800.0) AS BIGINT) * 1800 - 1800
+                         AS window_start, user_id
               FROM e)
             SELECT window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -1490,12 +1498,46 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1
         """,
+        # q88: trunc-quantized coords (q77's convention), floor-div
+        # centroid per (label, dim), int64 squared distance, outlier
+        # above the per-label exact P90 (integer rank replay)
+        "q88_centroid_outliers": """
+            WITH x AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS d,
+                       CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS xq
+                FROM embeddings),
+            c AS (SELECT label, d, sum(xq) // count(*) AS cq
+                  FROM x GROUP BY label, d),
+            dist AS (
+                SELECT x.vec_id, x.label,
+                       CAST(sum((xq - cq) * (xq - cq)) AS BIGINT)
+                           AS dist_q
+                FROM x JOIN c USING (label, d)
+                GROUP BY x.vec_id, x.label),
+            n AS (SELECT label, count(*) AS n FROM dist GROUP BY label),
+            s AS (SELECT label, dist_q,
+                         row_number() OVER (
+                             PARTITION BY label ORDER BY dist_q) AS rk
+                  FROM dist),
+            p AS (SELECT s.label,
+                         max(CASE WHEN rk = (9 * n - 1) // 10 + 1
+                                  THEN dist_q END) AS p90
+                  FROM s JOIN n USING (label) GROUP BY s.label)
+            SELECT dist.vec_id, CAST(dist.label AS BIGINT) AS label,
+                   dist.dist_q,
+                   CAST(CASE WHEN dist.dist_q > p.p90 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_outlier
+            FROM dist JOIN p USING (label)
+        """,
         # q86: cohort = a user's first active week; every DISTINCT
         # (user, week) pair counts once at offset = week - cohort
         "q86_retention_cohorts": """
             WITH w AS (
                 SELECT DISTINCT user_id,
-                       epoch_us(ts) // 1000000 // 604800 AS wk
+                       CAST(floor(epoch_us(ts) / 604800000000.0)
+                            AS BIGINT) AS wk
                 FROM events),
             c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
             SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
@@ -1511,7 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         "q87_gap_quantiles": """
             WITH e AS (
                 SELECT user_id, event_type, event_id,
-                       epoch_us(ts) // 1000000 AS es
+                       CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT)
+                           AS es
                 FROM events),
             g AS (SELECT event_type,
                          es - lag(es) OVER (

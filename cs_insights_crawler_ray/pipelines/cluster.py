@@ -357,3 +357,114 @@ def q77_dim_stats(sf_dir: str) -> pa.Table:
             "sumsq_q": pa.array(agg["sumsq_q"].to_numpy(), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — per-label centroid-distance outliers: flag embeddings far
+# from their own class centroid (the "mislabeled / semantic outlier
+# sample" gate an embedding-quality pipeline runs before training).
+# All-integer: coordinates trunc-quantized at 1e6 (q77's convention),
+# centroid = floor(sum/n) per (label, dim), distance = Σ(x−c)² in
+# int64 (d·(4e6)² ≈ 1e15 ≪ 2^63), outlier = distance above the
+# label's exact P90 (shared `_disc_quantiles` rank machinery).
+#
+# Scale shape: centroid partials are (labels × d × blocks) int rows to
+# a driver fold (labels × d result — bounded); the distance pass is
+# stateless with the centroid table broadcast once; the quantile pass
+# shuffles only (label, distance-value) histogram rows; the flag pass
+# maps over the materialized (vec_id, label, dist) triples — the wide
+# embedding column is read exactly twice and never shuffled.
+# ---------------------------------------------------------------------------
+OUTLIER_Q = ((9, 10),)  # flag above the per-label exact P90
+
+
+def q88_centroid_outliers(sf_dir: str) -> rd.Dataset:
+    from .relational import _disc_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def _quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        x = stack_embeddings_arrow(t["embedding"])
+        q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return q, lab
+
+    def cent_partials(t: pa.Table) -> pa.Table:
+        q, lab = _quant(t)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(cent_partials, batch_format="pyarrow")
+        .to_pandas()  # bounded: n_blocks × labels × d int rows
+    )
+    agg = parts.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
+    cents: dict[int, np.ndarray] = {}
+    for lab, grp in agg.groupby("label"):
+        grp = grp.sort_values("dim")
+        # TRUNCATING division (toward zero) — DuckDB's // truncates
+        # (-7 // 2 = -3, probed), so numpy's flooring // would put
+        # negative-sum centroids one unit low; sign-adjusted abs-div
+        # stays exact at any magnitude (no float round-trip)
+        s = grp["s"].to_numpy(np.int64)
+        n = grp["n"].to_numpy(np.int64)
+        cents[int(lab)] = np.sign(s) * (np.abs(s) // n)
+    cref = ray.put(cents)
+
+    def dist(t: pa.Table) -> pa.Table:
+        q, lab = _quant(t)
+        cd = bget(cref)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        c = np.stack([cd[int(u)] for u in uniq])[inv]
+        diff = q - c
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": pa.array(lab),
+                "dist_q": pa.array((diff * diff).sum(axis=1, dtype=np.int64)),
+            }
+        )
+
+    dd = ds.map_batches(dist, batch_format="pyarrow").materialize()  # 3 ints/row
+
+    def kv(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": t["label"].to_numpy(zero_copy_only=False).astype(str),
+                "vc": t["dist_q"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    p = _disc_quantiles(dd.map_batches(kv, batch_format="pyarrow"), OUTLIER_Q)
+    p90 = {int(k): int(v) for k, v in zip(p["k"], p["q0"])}
+    pref = ray.put(p90)
+
+    def flag(t: pa.Table) -> pa.Table:
+        th = bget(pref)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        dq = t["dist_q"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        thr = np.array([th[int(u)] for u in uniq], dtype=np.int64)[inv]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": pa.array(lab),
+                "dist_q": pa.array(dq),
+                "is_outlier": pa.array((dq > thr).astype(np.int64)),
+            }
+        )
+
+    return dd.map_batches(flag, batch_format="pyarrow")

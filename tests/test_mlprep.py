@@ -423,3 +423,39 @@ def test_q84_shuffle_order_is_hash_rank(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert (again["doc_id"] == got["doc_id"]).all()
+
+
+def test_q88_centroid_outliers_hand_case(ray_session, tmp_path):
+    """label 0: ten vectors at [1,0] + one at [12,0] -> centroid x =
+    trunc(22e6/11) = 2e6; dists = ten 1e12 + one 1e14; P90 rank
+    (9*11-1)//10+1 = 10 -> threshold 1e12 -> only the far vector
+    flags.  label 1: two identical vectors -> zero dists, none flag."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines import cluster as C
+
+    embs = [[1.0, 0.0]] * 10 + [[12.0, 0.0]] + [[-3.0, 5.0]] * 2
+    labels = [0] * 11 + [1] * 2
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(13), pa.int64()),
+            "embedding": pa.array(
+                [np.array(e, np.float32) for e in embs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = (
+        C.q88_centroid_outliers(str(tmp_path))
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.loc[0, "dist_q"] == 10**12 and out.loc[0, "is_outlier"] == 0
+    assert out.loc[10, "dist_q"] == 10**14 and out.loc[10, "is_outlier"] == 1
+    assert out.loc[11, "dist_q"] == 0 and out.loc[11, "is_outlier"] == 0
+    assert int(out["is_outlier"].sum()) == 1

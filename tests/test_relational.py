@@ -502,6 +502,30 @@ def test_window_ops_floor_pre1970(tmp_path):
     assert sorted(q78["window_start"]) == [-3600, -1800]
     assert (q78["n_users"] == 1).all()
 
+    # the ORACLES must agree on this pre-1970 row too (DuckDB's //
+    # truncates toward zero; the oracles were rewritten to floor())
+    import duckdb
+
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    sqls = em.oracle_sql()
+    assert sorted(
+        con.sql(sqls["q42_hopping_window"]).df()["window_start"]
+    ) == [-3600, -1800]
+    assert sorted(
+        con.sql(sqls["q78_window_distinct_users"]).df()["window_start"]
+    ) == [-3600, -1800]
+    assert list(con.sql(sqls["q12_window_agg"]).df()["hour_bucket"]) == [-1]
+    # q86/q87: the single pre-1970 event cohorts into a negative week
+    q86 = R.q86_retention_cohorts(str(tmp_path)).to_pandas()
+    o86 = con.sql(sqls["q86_retention_cohorts"]).df()
+    assert list(q86["cohort_week"]) == list(o86["cohort_week"]) == [-1]
+
 
 def _write_events(tmp_path, rows):
     import pandas as pd
