@@ -1748,12 +1748,24 @@ def q78_window_distinct_users(sf_dir: str) -> rd.Dataset:
         .map_batches(explode_pairs, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(part_counts, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_windows × 32 partial rows — a second
+        # Ray sort-groupby cost more in shuffle barriers than the whole
+        # per-pair compute (13.6 s of Sort wall for 0.5 s of tasks,
+        # measured at sf0.1); each (window, user) pair was counted
+        # exactly once, so the per-window sum is the exact distinct count
     )
-    # a window's users span partitions; each pair was counted exactly
-    # once, so the per-window SUM of partials is the exact distinct
-    # count (bounded final aggregate: n_windows × 32 partial rows)
-    return partials.groupby("window_start").aggregate(
-        Sum("n_users", alias_name="n_users")
+    out = (
+        partials.groupby("window_start", as_index=False)["n_users"]
+        .sum()
+        .astype({"window_start": np.int64, "n_users": np.int64})
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "window_start": pa.array(out["window_start"], pa.int64()),
+                "n_users": pa.array(out["n_users"], pa.int64()),
+            }
+        )
     )
 
 
