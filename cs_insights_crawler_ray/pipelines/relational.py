@@ -2032,13 +2032,34 @@ def q86_retention_cohorts(sf_dir: str) -> rd.Dataset:
         c = out.groupby(["cohort_week", "week_offset"], as_index=False).size()
         return c.rename(columns={"size": "n_users"})
 
-    return (
+    partials = (
         _read(sf_dir, "events", ["user_id", "ts"])
         .map_batches(pairs, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(per_part, batch_format="pandas")
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # BOUNDED: n_weeks² × 32 partial rows (q78's
+        # driver-fold: a second Ray sort-groupby costs more in shuffle
+        # barriers than the whole per-pair compute)
+    )
+    out = (
+        partials.groupby(["cohort_week", "week_offset"], as_index=False)[
+            "n_users"
+        ].sum()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cohort_week": pa.array(
+                    out["cohort_week"].to_numpy(np.int64), pa.int64()
+                ),
+                "week_offset": pa.array(
+                    out["week_offset"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_users": pa.array(
+                    out["n_users"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
     )
 
 
