@@ -202,6 +202,9 @@ def run_bench() -> dict:
         timed("q83_keep_latest", R.q83_keep_latest)
         timed("q84_shuffle_order", mlprep.q84_shuffle_order)
         timed("q85_context_chunks", textops.q85_context_chunks)
+        timed("q86_retention_cohorts", R.q86_retention_cohorts)
+        timed("q87_gap_quantiles", R.q87_gap_quantiles)
+        timed("q88_centroid_outliers", cluster.q88_centroid_outliers)
 
     ray.shutdown()
 
