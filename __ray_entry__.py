@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- relational core (reference semantics, SURVEY.md §2) ----------
     relational = [
         ("q01_pricing_summary", R.q01_pricing_summary),
+        ("q91_behavior_trigrams", R.q91_behavior_trigrams),
         ("q75_funnel_conversion", R.q75_funnel_conversion),
         ("q78_window_distinct_users", R.q78_window_distinct_users),
         ("q81_winsorize_values", R.q81_winsorize_values),
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (candidate parquet + independent SQL brute join); the raw top-k
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
+        ("q90_nearest_centroid", cluster.q90_nearest_centroid),
         ("q77_dim_stats", cluster.q77_dim_stats),
         ("q88_centroid_outliers", cluster.q88_centroid_outliers),
         ("q66_pq_ann", ann.q66_pq_ann),
@@ -129,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     # -- text analysis --------------------------------------------------
     text_family = [
+        ("q89_mask_terms", textops.q89_mask_terms),
         ("q76_bigram_coverage", textops.q76_bigram_coverage),
         ("q85_context_chunks", textops.q85_context_chunks),
         ("q80_pmi_collocations", textops.q80_pmi_collocations),
@@ -1531,6 +1534,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS is_outlier
             FROM dist JOIN p USING (label)
         """,
+        # q90: q88's trunc-quantize + trunc-division centroid CTEs,
+        # then every vector scored against EVERY label's centroid
+        # (JOIN on dim only); a distance tie picks the smallest label
+        "q90_nearest_centroid": """
+            WITH x AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS d,
+                       CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS xq
+                FROM embeddings),
+            c AS (SELECT label, d, sum(xq) // count(*) AS cq
+                  FROM x GROUP BY label, d),
+            dist AS (
+                SELECT x.vec_id, x.label AS true_label,
+                       c.label AS cand,
+                       sum((xq - cq) * (xq - cq)) AS d2
+                FROM x JOIN c ON x.d = c.d
+                GROUP BY x.vec_id, x.label, c.label),
+            pick AS (
+                SELECT true_label, cand AS pred_label,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY d2 ASC, cand ASC) AS rn
+                FROM dist)
+            SELECT CAST(true_label AS BIGINT) AS true_label,
+                   CAST(pred_label AS BIGINT) AS pred_label,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM pick WHERE rn = 1
+            GROUP BY 1, 2
+        """,
         # q86: cohort = a user's first active week; every DISTINCT
         # (user, week) pair counts once at offset = week - cohort
         "q86_retention_cohorts": """
@@ -1577,6 +1610,41 @@ def oracle_sql() -> dict[str, str]:
                             THEN gap_s END) AS p90_gap_s
             FROM s JOIN n USING (event_type)
             GROUP BY s.event_type
+        """,
+        # q91: trigram = three consecutive events of ONE user under
+        # (ts, event_id) order; top-20 fully tie-broken so the LIMIT
+        # cut is deterministic on both sides
+        "q91_behavior_trigrams": """
+            WITH s AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            c AS (SELECT t1, t2, t3, count(*) AS n FROM s
+                  WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+                  GROUP BY 1, 2, 3)
+            SELECT t1, t2, t3, CAST(n AS BIGINT) AS n
+            FROM c
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 20
+        """,
+        # q89: the masked STRING is the compared value; identical
+        # operation chain (split on single spaces, exact-token match
+        # against the fixed denylist, rejoin) — q74's oracle-identity
+        # discipline, no regex anywhere
+        "q89_mask_terms": """
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       string_split(text, ' '),
+                       t -> CASE WHEN t IN ('customer', 'spark', 'vector')
+                                 THEN '<mask>' ELSE t END), ' ')
+                       AS masked_text,
+                   CAST(len(list_filter(
+                       string_split(text, ' '),
+                       t -> t IN ('customer', 'spark', 'vector')))
+                        AS BIGINT) AS n_masked
+            FROM documents
         """,
         # q84: the Fibonacci-hash kernel replayed in HUGEINT (the q50
         # pattern) as the deterministic shuffle sort key

@@ -205,6 +205,9 @@ def run_bench() -> dict:
         timed("q86_retention_cohorts", R.q86_retention_cohorts)
         timed("q87_gap_quantiles", R.q87_gap_quantiles)
         timed("q88_centroid_outliers", cluster.q88_centroid_outliers)
+        timed("q89_mask_terms", textops.q89_mask_terms)
+        timed("q90_nearest_centroid", cluster.q90_nearest_centroid)
+        timed("q91_behavior_trigrams", R.q91_behavior_trigrams)
 
     ray.shutdown()
 

@@ -378,21 +378,21 @@ def q77_dim_stats(sf_dir: str) -> pa.Table:
 OUTLIER_Q = ((9, 10),)  # flag above the per-label exact P90
 
 
-def q88_centroid_outliers(sf_dir: str) -> rd.Dataset:
-    from .relational import _disc_quantiles
+def _quant_batch(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Trunc-quantized (n, d) int64 coords + int64 labels — the q77
+    fixed-point convention, shared by q88/q90."""
+    x = stack_embeddings_arrow(t["embedding"])
+    q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return q, lab
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
-    )
 
-    def _quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        x = stack_embeddings_arrow(t["embedding"])
-        q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
-        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return q, lab
+def _label_centroids(ds: rd.Dataset) -> dict[int, np.ndarray]:
+    """Per-label integer centroids trunc(sum/n) per dimension, from
+    bounded (labels × d × blocks) partials folded on the driver."""
 
     def cent_partials(t: pa.Table) -> pa.Table:
-        q, lab = _quant(t)
+        q, lab = _quant_batch(t)
         uniq, inv = np.unique(lab, return_inverse=True)
         d = q.shape[1]
         sums = np.zeros((len(uniq), d), np.int64)
@@ -422,10 +422,19 @@ def q88_centroid_outliers(sf_dir: str) -> rd.Dataset:
         s = grp["s"].to_numpy(np.int64)
         n = grp["n"].to_numpy(np.int64)
         cents[int(lab)] = np.sign(s) * (np.abs(s) // n)
-    cref = ray.put(cents)
+    return cents
+
+
+def q88_centroid_outliers(sf_dir: str) -> rd.Dataset:
+    from .relational import _disc_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    cref = ray.put(_label_centroids(ds))
 
     def dist(t: pa.Table) -> pa.Table:
-        q, lab = _quant(t)
+        q, lab = _quant_batch(t)
         cd = bget(cref)
         uniq, inv = np.unique(lab, return_inverse=True)
         c = np.stack([cd[int(u)] for u in uniq])[inv]
@@ -468,3 +477,76 @@ def q88_centroid_outliers(sf_dir: str) -> rd.Dataset:
         )
 
     return dd.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q90 — nearest-class-centroid assignment (the label-noise audit /
+# Rocchio-classifier pass): assign every embedding to its NEAREST
+# label centroid and report the true-vs-predicted confusion counts —
+# off-diagonal mass is the "these samples sit in another class's
+# region" signal a labeling pipeline reviews before training.
+# Shares q88's integer machinery end to end: trunc-quantized coords,
+# trunc-division centroids (`_label_centroids`), int64 squared
+# distances; a distance tie picks the SMALLEST label on both sides.
+#
+# Scale shape: centroids come from bounded driver-folded partials
+# (q88), broadcast ONCE as a (labels, d) matrix; the assignment pass
+# is stateless (one int64 matmul per batch against the broadcast
+# matrix — labels are tens, so the (n, labels) distance block is
+# tiny); only (labels × labels × blocks) confusion partials reach the
+# driver fold.  The embedding column is read twice, never shuffled.
+# ---------------------------------------------------------------------------
+def q90_nearest_centroid(sf_dir: str) -> rd.Dataset:
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    cents = _label_centroids(ds)
+    labs_sorted = np.array(sorted(cents), dtype=np.int64)
+    cmat = np.stack([cents[int(l)] for l in labs_sorted])  # (L, d) int64
+    cref = ray.put((labs_sorted, cmat))
+
+    def assign(t: pa.Table) -> pa.Table:
+        q, lab = _quant_batch(t)
+        labs, C = bget(cref)
+        # ||q−c||² = ||q||² + ||c||² − 2 q·cᵀ, all int64 exact:
+        # |coord| ≤ ~8e6 ⇒ the dot term ≤ d·64e12 ≈ 4e15 ≪ 2^63
+        d2 = (
+            (q * q).sum(axis=1, dtype=np.int64)[:, None]
+            + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+            - 2 * (q @ C.T)
+        )
+        # argmin returns the FIRST minimum; labs is ascending, so a
+        # distance tie picks the smallest label (oracle: ORDER BY
+        # d2, label LIMIT 1)
+        pred = labs[np.argmin(d2, axis=1)]
+        c = (
+            pd.DataFrame({"true_label": lab, "pred_label": pred})
+            .groupby(["true_label", "pred_label"], sort=False, as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "true_label": pa.array(c["true_label"].to_numpy(np.int64)),
+                "pred_label": pa.array(c["pred_label"].to_numpy(np.int64)),
+                "n_vectors": pa.array(c["size"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .to_pandas()  # bounded: n_blocks × labels² partial rows
+    )
+    out = parts.groupby(["true_label", "pred_label"], as_index=False)[
+        "n_vectors"
+    ].sum()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "true_label": pa.array(out["true_label"].to_numpy(np.int64)),
+                "pred_label": pa.array(out["pred_label"].to_numpy(np.int64)),
+                "n_vectors": pa.array(out["n_vectors"].to_numpy(np.int64)),
+            }
+        )
+    )

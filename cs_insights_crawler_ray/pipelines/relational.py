@@ -2128,3 +2128,96 @@ def q87_gap_quantiles(sf_dir: str) -> "pa.Table":
             "p90_gap_s": pa.array(q["q1"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — behavioral trigram mining: the top-k most common 3-event
+# sequences across users (the "what do users actually do in order"
+# sequence-pattern report; the aggregate sibling of q75's targeted
+# funnel — q75 answers "did A→B happen per user", q91 answers "which
+# A→B→C dominate the corpus").  A trigram is three CONSECUTIVE events
+# of one user under (ts, event_id) order; ties within a timestamp
+# break by event_id on both sides.
+#
+# Scale shape: ONE user-hash shuffle co-locates each user's stream
+# (consecutiveness is a per-user sequential construct, exactly q87's
+# partitioning), a vectorized sort + shifted-equality mask emits
+# per-partition (t1,t2,t3) counts, and only those partials reach the
+# driver fold — bounded at n_parts × |event_type|³ rows by pigeonhole
+# (event taxonomies are tens of types; for an unbounded-vocab variant
+# the q76/q80 crc32-partitioned grouped-sum + per-partition top-k
+# path applies unchanged, since a triple lives in ONE partition after
+# the exchange).  Final order (n DESC, t1, t2, t3) with LIMIT k is
+# fully tie-broken, so the cut is deterministic.
+# ---------------------------------------------------------------------------
+TRIGRAM_TOPK = 20
+
+
+def q91_behavior_trigrams(sf_dir: str) -> "pa.Table":
+    import pandas as pd
+
+    def part(t: pa.Table) -> "pd.DataFrame":
+        ts_us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (uid * np.uint64(11400714819323198485)) >> np.uint64(32)
+        return pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+                "ts_us": ts_us,
+                "_part": (h & np.uint64(31)).astype(np.int32),
+            }
+        )
+
+    _EMPTY = {
+        "t1": pd.Series([], dtype=object),
+        "t2": pd.Series([], dtype=object),
+        "t3": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64),
+    }
+
+    def tri(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        if len(u) < 3:
+            return pd.DataFrame(_EMPTY)
+        et = g["event_type"].to_numpy()
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        c = (
+            pd.DataFrame(
+                {"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]}
+            )
+            .groupby(["t1", "t2", "t3"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return c if len(c) else pd.DataFrame(_EMPTY)
+
+    partials = (
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(tri, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_parts × |types|³ partial rows
+    )
+    out = (
+        partials.groupby(["t1", "t2", "t3"], as_index=False)["n"]
+        .sum()
+        .sort_values(
+            ["n", "t1", "t2", "t3"], ascending=[False, True, True, True]
+        )
+        .head(TRIGRAM_TOPK)
+    )
+    return pa.table(
+        {
+            "t1": pa.array(out["t1"].astype(str), pa.string()),
+            "t2": pa.array(out["t2"].astype(str), pa.string()),
+            "t3": pa.array(out["t3"].astype(str), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -671,3 +671,50 @@ def q85_context_chunks(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunk, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — denylist token masking: the scrub pass a training corpus runs
+# to blind specific vocabulary (PII surrogates, toxic terms, eval
+# markers) before the text ships to tokenization — each denylisted
+# token is replaced by a literal mask marker and the redaction count
+# reported per document.  Both sides perform the IDENTICAL operation:
+# split on single spaces, exact-match tokens against the fixed list,
+# rejoin with single spaces — the masked STRING itself transits the
+# compare (q74's oracle-identity discipline), so there is no regex
+# whose Python-vs-RE2 semantics could diverge.
+#
+# Scale shape: one shuffle-free stateless pass; the per-batch kernel
+# is the q79 flat-array pattern (explode once, vectorized isin +
+# bincount, ONE pandas C-path groupby-join back) — no per-row Python.
+# ---------------------------------------------------------------------------
+MASK_TERMS = ("customer", "spark", "vector")
+MASK_TOKEN = "<mask>"
+
+
+def q89_mask_terms(sf_dir: str) -> rd.Dataset:
+    deny = frozenset(MASK_TERMS)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        # split(" ") — NOT split() — so empty strings and run-on
+        # spaces produce the exact token list DuckDB's
+        # string_split(text, ' ') does (('' stays a token))
+        flat = b["text"].str.split(" ").explode()
+        idx = flat.index.to_numpy(np.int64)
+        vals = flat.to_numpy(dtype=object)
+        hit = flat.isin(deny).to_numpy()
+        n_masked = np.bincount(idx[hit], minlength=len(b)).astype(np.int64)
+        vals[hit] = MASK_TOKEN
+        joined = pd.Series(vals, index=idx).groupby(level=0).agg(" ".join)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                "masked_text": joined.to_numpy(dtype=object),
+                "n_masked": n_masked,
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

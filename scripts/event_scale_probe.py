@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Event-analytics-family scale probe: q81 (winsorize), q82 (MAD
 outliers), q83 (keep-latest), q86 (retention cohorts), q87 (gap
-quantiles) on synthetic event tables one to two orders of magnitude
+quantiles), q91 (behavior trigrams) on synthetic event tables one to
+two orders of magnitude
 past sf0.1's 100k rows.  Verifies the family's scale shapes hold —
 histogram/partial exchanges stay value- or key-bounded, nothing
 driver-materializes with the row count — by reporting wall time and
@@ -72,6 +73,7 @@ def main() -> None:
         ("q83_keep_latest", R.q83_keep_latest),
         ("q86_retention", R.q86_retention_cohorts),
         ("q87_gap_quantiles", R.q87_gap_quantiles),
+        ("q91_trigrams", R.q91_behavior_trigrams),
     ]
     for n in sizes:
         d = f"/tmp/event_probe_{n}"

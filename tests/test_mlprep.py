@@ -459,3 +459,37 @@ def test_q88_centroid_outliers_hand_case(ray_session, tmp_path):
     assert out.loc[10, "dist_q"] == 10**14 and out.loc[10, "is_outlier"] == 1
     assert out.loc[11, "dist_q"] == 0 and out.loc[11, "is_outlier"] == 0
     assert int(out["is_outlier"].sum()) == 1
+
+
+def test_q90_nearest_centroid_hand_case(ray_session, tmp_path):
+    """q90: label 0 centroid (0,0), label 1 (10,0), label 2 (5,10) —
+    the label-2 vector [5,0] is EQUIDISTANT from centroids 0 and 1
+    (2.5e13 each) and farther from its own (1e14): the tie must pick
+    the smallest label on both sides (argmin first-occurrence over
+    ascending labels == ORDER BY d2, label)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines import cluster as C
+
+    embs = [[0.0, 1.0], [0.0, -1.0], [10.0, 1.0], [10.0, -1.0],
+            [5.0, 0.0], [5.0, 20.0]]
+    labels = [0, 0, 1, 1, 2, 2]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(
+                [np.array(e, np.float32) for e in embs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = C.q90_nearest_centroid(str(tmp_path)).to_pandas()
+    got = {
+        (int(r.true_label), int(r.pred_label)): int(r.n_vectors)
+        for r in out.itertuples()
+    }
+    assert got == {(0, 0): 2, (1, 1): 2, (2, 0): 1, (2, 2): 1}

@@ -596,3 +596,38 @@ def test_q87_gap_quantiles_hand_case(tmp_path):
     assert out.loc["b", "p90_gap_s"] == 20
     assert out.loc["c", "p50_gap_s"] == 0
     assert "a" not in out.index  # 'a' is never the later event of a gap
+
+
+def test_q91_behavior_trigrams_hand_case(ray_session, tmp_path):
+    """user 1's a,b,c,b,c stream yields (a,b,c),(b,c,b),(c,b,c);
+    user 2 is too short; user 3's same-timestamp events order by
+    event_id (x,y,z); no trigram crosses users."""
+    import pandas as pd
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta("1s")
+    _write_events(tmp_path, [
+        (1, t0, 1, "a", 0.0),
+        (2, t0 + s, 1, "b", 0.0),
+        (3, t0 + 2 * s, 1, "c", 0.0),
+        (4, t0 + 3 * s, 1, "b", 0.0),
+        (5, t0 + 4 * s, 1, "c", 0.0),
+        (6, t0, 2, "a", 0.0),
+        (7, t0 + s, 2, "b", 0.0),
+        (9, t0, 3, "y", 0.0),
+        (8, t0, 3, "x", 0.0),
+        (10, t0, 3, "z", 0.0),
+    ])
+    out = R.q91_behavior_trigrams(str(tmp_path)).to_pandas()
+    got = {
+        (r.t1, r.t2, r.t3): int(r.n) for r in out.itertuples(index=False)
+    }
+    assert got == {
+        ("a", "b", "c"): 1, ("b", "c", "b"): 1, ("c", "b", "c"): 1,
+        ("x", "y", "z"): 1,
+    }
+    # all-tied counts -> output order is (n DESC, t1, t2, t3)
+    assert list(out[["t1", "t2", "t3"]].itertuples(index=False, name=None)) == [
+        ("a", "b", "c"), ("b", "c", "b"), ("c", "b", "c"), ("x", "y", "z")
+    ]

@@ -337,3 +337,36 @@ def test_simpson_no_int64_wrap_huge_doc(ray_session, tmp_path):
     got = TO.q79_simpson_diversity(str(tmp_path)).to_pandas()
     assert got.loc[0, "n_tokens"] == n
     assert got.loc[0, "simpson_ppm"] == 1_000_000
+
+
+def test_mask_terms_hand_case(ray_session, tmp_path):
+    """q89: exact-token masking on single-space splits — substring
+    hits ('sparkly') stay, run-on spaces and empty docs round-trip
+    unchanged, counts are per-document."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q89_mask_terms
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spark hits customer twice customer",
+                "sparkly is not spark-adjacent",
+                "a  b",  # double space -> empty token survives rejoin
+                "",
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q89_mask_terms(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "masked_text"] == "<mask> hits <mask> twice <mask>"
+    assert got.loc[0, "n_masked"] == 3
+    assert got.loc[1, "masked_text"] == "sparkly is not spark-adjacent"
+    assert got.loc[1, "n_masked"] == 0
+    assert got.loc[2, "masked_text"] == "a  b" and got.loc[2, "n_masked"] == 0
+    assert got.loc[3, "masked_text"] == "" and got.loc[3, "n_masked"] == 0
