@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- text analysis --------------------------------------------------
     text_family = [
         ("q89_mask_terms", textops.q89_mask_terms),
+        ("q92_source_drift", textops.q92_source_drift),
         ("q76_bigram_coverage", textops.q76_bigram_coverage),
         ("q85_context_chunks", textops.q85_context_chunks),
         ("q80_pmi_collocations", textops.q80_pmi_collocations),
@@ -1645,6 +1646,39 @@ def oracle_sql() -> dict[str, str]:
                        t -> t IN ('customer', 'spark', 'vector')))
                         AS BIGINT) AS n_masked
             FROM documents
+        """,
+        # q92: exact-rational L1 drift per source over the corpus
+        # top-V unigram vocab; HUGEINT cross-multiplication mirrors
+        # the engine's arbitrary-precision Python ints (q80's
+        # discipline); vocab cut (count DESC, term ASC) LIMIT V is
+        # fully tie-broken
+        "q92_source_drift": """
+            WITH toks AS (
+                SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t
+                FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+            vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 64),
+            st AS (SELECT source, t, count(*) AS cs
+                   FROM toks JOIN vocab USING (t) GROUP BY source, t),
+            ns AS (SELECT source, sum(cs) AS nsum FROM st GROUP BY source),
+            ct AS (SELECT t, sum(cs) AS c FROM st GROUP BY t),
+            tot AS (SELECT sum(cs) AS n FROM st),
+            grid AS (
+                SELECT ns.source, ct.t, coalesce(st.cs, 0) AS cs,
+                       ct.c, ns.nsum
+                FROM ns CROSS JOIN ct
+                LEFT JOIN st ON st.source = ns.source AND st.t = ct.t),
+            d AS (SELECT source,
+                         sum(abs(CAST(cs AS HUGEINT) * (SELECT n FROM tot)
+                                 - CAST(c AS HUGEINT) * nsum)) AS num,
+                         max(nsum) AS nsum
+                  FROM grid GROUP BY source)
+            SELECT source,
+                   CAST(nsum AS BIGINT) AS n_vocab_tokens,
+                   CAST(num * 1000000
+                        // (CAST(nsum AS HUGEINT) * (SELECT n FROM tot))
+                        AS BIGINT) AS drift_ppm
+            FROM d
         """,
         # q84: the Fibonacci-hash kernel replayed in HUGEINT (the q50
         # pattern) as the deterministic shuffle sort key

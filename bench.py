@@ -208,6 +208,7 @@ def run_bench() -> dict:
         timed("q89_mask_terms", textops.q89_mask_terms)
         timed("q90_nearest_centroid", cluster.q90_nearest_centroid)
         timed("q91_behavior_trigrams", R.q91_behavior_trigrams)
+        timed("q92_source_drift", textops.q92_source_drift)
 
     ray.shutdown()
 

@@ -718,3 +718,97 @@ def q89_mask_terms(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — source-mix drift audit: per-source L1 distance (in ppm)
+# between the source's token distribution and the whole corpus's,
+# over the corpus top-V vocabulary — the "did source X shift away
+# from the mix we trained on" monitor a multi-source ingestion
+# pipeline runs per batch.  drift(s) = Σ_t |c_{s,t}/N_s − c_t/N|
+# computed EXACTLY as Σ_t |c_{s,t}·N − c_t·N_s| · 1e6 // (N_s·N) in
+# arbitrary-precision Python ints (the SQL mirror uses HUGEINT —
+# the q80 discipline), restricted to vocab tokens on both sides.
+#
+# Scale shape: ONE corpus scan emits per-block (term, source) partial
+# counts into a crc32(term) exchange (a term's rows co-locate, so the
+# per-partition top-V-by-term-total prune is exact — terms never
+# straddle partitions); only the pruned candidates — bounded at
+# n_parts × V × sources by pigeonhole (sources are registries: tens,
+# not millions) — reach the driver, which takes the global top-V and
+# scores sources × V cells.  For a source-heavy corpus the same
+# exchange re-keys on (term, source) unchanged; only the prune bound
+# widens.
+# ---------------------------------------------------------------------------
+DRIFT_VOCAB_V = 64
+
+
+def q92_source_drift(sf_dir: str) -> "pa.Table":
+    import zlib
+
+    import pyarrow as pa
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def st_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        flat = b["text"].str.split().explode().dropna()
+        src = b["source"].to_numpy()[flat.index.to_numpy(np.int64)]
+        g = (
+            pd.DataFrame({"term": flat.to_numpy(), "source": src})
+            .groupby(["term", "source"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_part"] = np.array(
+            [zlib.crc32(t.encode()) & 7 for t in g["term"]], dtype=np.int32
+        )
+        return g
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby(["term", "source"], as_index=False)["cnt"].sum()
+        tot = st.groupby("term")["cnt"].sum()
+        keep = (
+            tot.reset_index()
+            .sort_values(["cnt", "term"], ascending=[False, True],
+                         kind="mergesort")
+            .head(DRIFT_VOCAB_V)["term"]
+        )
+        return st[st["term"].isin(set(keep))]
+
+    cand = (
+        docs.map_batches(st_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_parts × V × sources candidate rows
+    )
+    tot = cand.groupby("term", as_index=False)["cnt"].sum()
+    vocab = set(
+        tot.sort_values(["cnt", "term"], ascending=[False, True],
+                        kind="mergesort")
+        .head(DRIFT_VOCAB_V)["term"]
+    )
+    st = cand[cand["term"].isin(vocab)]
+    ct = {t: int(c) for t, c in st.groupby("term")["cnt"].sum().items()}
+    ns = {s: int(c) for s, c in st.groupby("source")["cnt"].sum().items()}
+    big_n = sum(ns.values())
+    per_src: dict[str, dict[str, int]] = {}
+    for t, s, c in st[["term", "source", "cnt"]].itertuples(index=False):
+        per_src.setdefault(s, {})[t] = int(c)
+    srcs = sorted(ns)
+    drift = []
+    for s in srcs:
+        n_s = ns[s]
+        d = per_src[s]
+        num = sum(
+            abs(d.get(t, 0) * big_n - c * n_s) for t, c in ct.items()
+        )
+        drift.append(num * 1_000_000 // (n_s * big_n))
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_vocab_tokens": pa.array([ns[s] for s in srcs], pa.int64()),
+            "drift_ppm": pa.array(drift, pa.int64()),
+        }
+    )

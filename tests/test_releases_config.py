@@ -370,3 +370,30 @@ def test_mask_terms_hand_case(ray_session, tmp_path):
     assert got.loc[1, "n_masked"] == 0
     assert got.loc[2, "masked_text"] == "a  b" and got.loc[2, "n_masked"] == 0
     assert got.loc[3, "masked_text"] == "" and got.loc[3, "n_masked"] == 0
+
+
+def test_source_drift_hand_case(ray_session, tmp_path):
+    """q92: corpus x=5,y=5 (N=10); src A (3,1) and B (1,3) each drift
+    |3·10−5·4|+|1·10−5·4| = 20 → 20e6//(4·10) = 500000 ppm; src C's
+    (1,1) mix matches the corpus exactly → 0 ppm."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q92_source_drift
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["x x x y", "x y y y", "x y"],
+            "source": ["A", "B", "C"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q92_source_drift(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["A", "drift_ppm"] == 500_000
+    assert got.loc["B", "drift_ppm"] == 500_000
+    assert got.loc["C", "drift_ppm"] == 0
+    assert list(got["n_vocab_tokens"]) == [4, 4, 2]
