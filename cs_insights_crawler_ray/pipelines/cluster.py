@@ -499,8 +499,10 @@ def q88_centroid_outliers(sf_dir: str) -> rd.Dataset:
 def q90_nearest_centroid(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
+    # no vec_id: the confusion matrix never names vectors, so don't
+    # read + ship the id column through both passes
     ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
     )
     cents = _label_centroids(ds)
     labs_sorted = np.array(sorted(cents), dtype=np.int64)

@@ -505,6 +505,15 @@ def q57_sequence_pack(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
 HH_K = 200  # heavy hitter = count * HH_K > total tokens
 
 
+def _crc_part8(terms) -> np.ndarray:
+    """crc32(term) & 7 partition ids — the ONE string-key coarse
+    partitioner behind _term_grouped_sum and q92's fused exchange
+    (a term's rows must co-locate for both)."""
+    return np.array(
+        [zlib.crc32(t.encode()) & 7 for t in terms], dtype=np.int32
+    )
+
+
 def _term_grouped_sum(parts: rd.Dataset, col: str) -> rd.Dataset:
     """String-keyed coarse grouped sum (the q49 df pattern): partials
     pre-combined per block, crc32(term) & 7 partitions, vectorized
@@ -512,9 +521,7 @@ def _term_grouped_sum(parts: rd.Dataset, col: str) -> rd.Dataset:
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("term", as_index=False)[col].sum()
-        g["_part"] = np.array(
-            [zlib.crc32(t.encode()) & 7 for t in g["term"]], dtype=np.int32
-        )
+        g["_part"] = _crc_part8(g["term"])
         return g
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -2005,6 +2005,16 @@ def q83_keep_latest(sf_dir: str) -> rd.Dataset:
 WEEK_SEC = 604_800
 
 
+def _user_part32(uid: np.ndarray) -> np.ndarray:
+    """Fibonacci-hash 32-way partition id for int64 user keys — the
+    ONE partitioner behind q86/q87/q91 (each one's correctness premise
+    is that a user's whole stream lands in a single partition)."""
+    u = np.asarray(uid, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (u * np.uint64(11400714819323198485)) >> np.uint64(32)
+    return (h & np.uint64(31)).astype(np.int32)
+
+
 def q86_retention_cohorts(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
@@ -2017,10 +2027,7 @@ def q86_retention_cohorts(sf_dir: str) -> rd.Dataset:
         df = pd.DataFrame(
             {"user_id": t["user_id"].to_numpy(zero_copy_only=False), "wk": wk}
         ).drop_duplicates()
-        uid = df["user_id"].to_numpy(np.int64).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (uid * np.uint64(11400714819323198485)) >> np.uint64(32)
-        df["_part"] = (h & np.uint64(31)).astype(np.int32)
+        df["_part"] = _user_part32(df["user_id"].to_numpy(np.int64))
         return df
 
     def per_part(g: "pd.DataFrame") -> "pd.DataFrame":
@@ -2089,19 +2096,17 @@ def q87_gap_quantiles(sf_dir: str) -> "pa.Table":
             t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (uid * np.uint64(11400714819323198485)) >> np.uint64(32)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
         return pd.DataFrame(
             {
-                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "user_id": uid,
                 "event_id": t["event_id"].to_numpy(zero_copy_only=False),
                 "event_type": t["event_type"].to_pandas(),
                 # floored epoch seconds — ordering still breaks ties
                 # within a second by event_id on BOTH sides, and the
                 # value cardinality stays bounded (see docstring)
                 "ts_s": np.floor_divide(ts_us, 1_000_000),
-                "_part": (h & np.uint64(31)).astype(np.int32),
+                "_part": _user_part32(uid),
             }
         )
 
@@ -2161,16 +2166,14 @@ def q91_behavior_trigrams(sf_dir: str) -> "pa.Table":
             t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (uid * np.uint64(11400714819323198485)) >> np.uint64(32)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
         return pd.DataFrame(
             {
-                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "user_id": uid,
                 "event_id": t["event_id"].to_numpy(zero_copy_only=False),
                 "event_type": t["event_type"].to_pandas(),
                 "ts_us": ts_us,
-                "_part": (h & np.uint64(31)).astype(np.int32),
+                "_part": _user_part32(uid),
             }
         )
 

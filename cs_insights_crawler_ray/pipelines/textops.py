@@ -411,15 +411,10 @@ def q76_bigram_coverage(sf_dir: str) -> rd.Dataset:
     ).materialize()
 
     def topv(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(
-            ["cnt", "term"], ascending=[False, True], kind="mergesort"
-        ).head(BIGRAM_VOCAB_V)
+        return _topv_cut(b, BIGRAM_VOCAB_V)
 
     cand = merged.map_batches(topv, batch_format="pandas").to_pandas()
-    vocab = frozenset(
-        cand.sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
-        .head(BIGRAM_VOCAB_V)["term"]
-    )
+    vocab = frozenset(_topv_cut(cand, BIGRAM_VOCAB_V)["term"])
     vref = ray.put(vocab)
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
@@ -743,10 +738,19 @@ def q89_mask_terms(sf_dir: str) -> rd.Dataset:
 DRIFT_VOCAB_V = 64
 
 
-def q92_source_drift(sf_dir: str) -> "pa.Table":
-    import zlib
+def _topv_cut(df: pd.DataFrame, v: int) -> pd.DataFrame:
+    """The ONE (cnt DESC, term ASC) fully-tie-broken top-V cut shared
+    by q76's vocab and q92's prune + driver recut (the SQL mirrors it
+    verbatim as ORDER BY c DESC, t LIMIT V)."""
+    return df.sort_values(
+        ["cnt", "term"], ascending=[False, True], kind="mergesort"
+    ).head(v)
 
+
+def q92_source_drift(sf_dir: str) -> "pa.Table":
     import pyarrow as pa
+
+    from .mlprep import _crc_part8
 
     docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
 
@@ -761,20 +765,13 @@ def q92_source_drift(sf_dir: str) -> "pa.Table":
             .rename(columns={"size": "cnt"})
         )
         g["cnt"] = g["cnt"].astype(np.int64)
-        g["_part"] = np.array(
-            [zlib.crc32(t.encode()) & 7 for t in g["term"]], dtype=np.int32
-        )
+        g["_part"] = _crc_part8(g["term"])
         return g
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         st = g.groupby(["term", "source"], as_index=False)["cnt"].sum()
-        tot = st.groupby("term")["cnt"].sum()
-        keep = (
-            tot.reset_index()
-            .sort_values(["cnt", "term"], ascending=[False, True],
-                         kind="mergesort")
-            .head(DRIFT_VOCAB_V)["term"]
-        )
+        keep = _topv_cut(st.groupby("term", as_index=False)["cnt"].sum(),
+                         DRIFT_VOCAB_V)["term"]
         return st[st["term"].isin(set(keep))]
 
     cand = (
@@ -784,11 +781,7 @@ def q92_source_drift(sf_dir: str) -> "pa.Table":
         .to_pandas()  # BOUNDED: n_parts × V × sources candidate rows
     )
     tot = cand.groupby("term", as_index=False)["cnt"].sum()
-    vocab = set(
-        tot.sort_values(["cnt", "term"], ascending=[False, True],
-                        kind="mergesort")
-        .head(DRIFT_VOCAB_V)["term"]
-    )
+    vocab = set(_topv_cut(tot, DRIFT_VOCAB_V)["term"])
     st = cand[cand["term"].isin(vocab)]
     ct = {t: int(c) for t, c in st.groupby("term")["cnt"].sum().items()}
     ns = {s: int(c) for s, c in st.groupby("source")["cnt"].sum().items()}
