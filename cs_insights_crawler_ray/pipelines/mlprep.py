@@ -137,7 +137,7 @@ def q49_tfidf_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
     # string-keyed coarse grouped sum — shared _term_grouped_sum
     # (relational._grouped_sum_parts hashes int keys; terms partition
     # by crc32 — same shape: only pre-combined (term, df_part)
-    # partials cross the 8-way exchange)
+    # partials cross the 32-way exchange)
     df_rows = (
         _term_grouped_sum(
             docs.map_batches(df_partial, batch_format="pandas"), "df_part"
@@ -505,23 +505,28 @@ def q57_sequence_pack(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
 HH_K = 200  # heavy hitter = count * HH_K > total tokens
 
 
-def _crc_part8(terms) -> np.ndarray:
-    """crc32(term) & 7 partition ids — the ONE string-key coarse
+def _crc_part32(terms) -> np.ndarray:
+    """crc32(term) & 31 partition ids — the ONE string-key coarse
     partitioner behind _term_grouped_sum and q92's fused exchange
-    (a term's rows must co-locate for both)."""
+    (a term's rows must co-locate for both; per-term sums and
+    per-partition top-V prunes are partition-count-invariant).
+    32-way, matching the repo's other coarse exchanges: the old 8-way
+    fan-out left a 32-CPU node ¾ idle through the final groupby —
+    8→32 halved the q76 vocab exchange on an 8.8M-distinct-bigram
+    probe (15.8 s → 8.3 s; 64-way overshot to 27.6 s)."""
     return np.array(
-        [zlib.crc32(t.encode()) & 7 for t in terms], dtype=np.int32
+        [zlib.crc32(t.encode()) & 31 for t in terms], dtype=np.int32
     )
 
 
 def _term_grouped_sum(parts: rd.Dataset, col: str) -> rd.Dataset:
     """String-keyed coarse grouped sum (the q49 df pattern): partials
-    pre-combined per block, crc32(term) & 7 partitions, vectorized
+    pre-combined per block, crc32(term) & 31 partitions, vectorized
     final groupby per partition."""
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("term", as_index=False)[col].sum()
-        g["_part"] = _crc_part8(g["term"])
+        g["_part"] = _crc_part32(g["term"])
         return g
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -750,7 +750,7 @@ def _topv_cut(df: pd.DataFrame, v: int) -> pd.DataFrame:
 def q92_source_drift(sf_dir: str) -> "pa.Table":
     import pyarrow as pa
 
-    from .mlprep import _crc_part8
+    from .mlprep import _crc_part32
 
     docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
 
@@ -765,7 +765,7 @@ def q92_source_drift(sf_dir: str) -> "pa.Table":
             .rename(columns={"size": "cnt"})
         )
         g["cnt"] = g["cnt"].astype(np.int64)
-        g["_part"] = _crc_part8(g["term"])
+        g["_part"] = _crc_part32(g["term"])
         return g
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
