@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     relational = [
         ("q01_pricing_summary", R.q01_pricing_summary),
         ("q91_behavior_trigrams", R.q91_behavior_trigrams),
+        ("q93_cross_source_dups", R.q93_cross_source_dups),
         ("q75_funnel_conversion", R.q75_funnel_conversion),
         ("q78_window_distinct_users", R.q78_window_distinct_users),
         ("q81_winsorize_values", R.q81_winsorize_values),
@@ -401,6 +402,27 @@ def oracle_sql() -> dict[str, str]:
         "q10b_dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)
+        """,
+        # q93: content identity is md5(text) on BOTH sides (q10's
+        # convention); same-source duplicates do not count as
+        # syndication
+        "q93_cross_source_dups": """
+            WITH d AS (
+                SELECT doc_id, source, md5(text) AS h FROM documents),
+            hs AS (SELECT h, count(DISTINCT source) AS n_src
+                   FROM d GROUP BY h),
+            per AS (
+                SELECT d.source,
+                       count(*) AS n_docs,
+                       sum(CASE WHEN hs.n_src >= 2 THEN 1 ELSE 0 END)
+                           AS n_syndicated
+                FROM d JOIN hs USING (h) GROUP BY d.source)
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_syndicated AS BIGINT) AS n_syndicated,
+                   CAST(n_syndicated * 1000000 // n_docs AS BIGINT)
+                       AS syndication_ppm
+            FROM per
         """,
         "q11_anti_join_denylist": """
             SELECT * FROM documents WHERE source NOT IN ('src0', 'src13', 'src7')

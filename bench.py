@@ -209,6 +209,7 @@ def run_bench() -> dict:
         timed("q90_nearest_centroid", cluster.q90_nearest_centroid)
         timed("q91_behavior_trigrams", R.q91_behavior_trigrams)
         timed("q92_source_drift", textops.q92_source_drift)
+        timed("q93_cross_source_dups", R.q93_cross_source_dups)
 
     ray.shutdown()
 

@@ -2224,3 +2224,80 @@ def q91_behavior_trigrams(sf_dir: str) -> "pa.Table":
             "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — cross-source syndication audit: per source, how many of its
+# documents' exact contents also appear under a DIFFERENT source (the
+# boilerplate/syndicated-content curation signal — a source whose rows
+# mostly duplicate other feeds adds no information to a training mix).
+# Content identity is md5(text) — the identical operation DuckDB's
+# md5() computes (q10's convention), so a collision would merge the
+# same groups on both sides.  Same-source duplicates do NOT count.
+#
+# Scale shape: per-block distinct (h, source, count) partials into the
+# shared crc32(h) 32-way exchange — a hash's rows co-locate, so the
+# "≥2 distinct sources" decision and both per-source sums are
+# partition-local; only (source, n_docs, n_syndicated) partials reach
+# the driver fold (bounded at n_parts × sources).  Text never
+# shuffles, and nothing driver-side scales with the corpus.
+# ---------------------------------------------------------------------------
+def q93_cross_source_dups(sf_dir: str) -> "pa.Table":
+    import pandas as pd
+
+    from .mlprep import _crc_part32
+
+    def pairs(b: "pd.DataFrame") -> "pd.DataFrame":
+        h = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in b["text"]
+        ]
+        g = (
+            pd.DataFrame({"h": h, "source": b["source"].to_numpy()})
+            .groupby(["h", "source"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_part"] = _crc_part32(g["h"])
+        return g
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        st = g.groupby(["h", "source"], as_index=False)["cnt"].sum()
+        shared = st.groupby("h")["source"].transform("nunique") >= 2
+        tot = st.groupby("source", as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "n_docs"}
+        )
+        syn = (
+            st[shared]
+            .groupby("source", as_index=False)["cnt"]
+            .sum()
+            .rename(columns={"cnt": "n_syndicated"})
+        )
+        m = tot.merge(syn, on="source", how="left")
+        m["n_syndicated"] = (
+            m["n_syndicated"].fillna(0).astype(np.int64)
+        )
+        return m
+
+    parts = (
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_parts × sources partial rows
+    )
+    out = parts.groupby("source", as_index=False)[
+        ["n_docs", "n_syndicated"]
+    ].sum()
+    nd = out["n_docs"].to_numpy(np.int64)
+    ns = out["n_syndicated"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(out["source"].astype(str), pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_syndicated": pa.array(ns, pa.int64()),
+            "syndication_ppm": pa.array(
+                ns * 1_000_000 // nd, pa.int64()
+            ),
+        }
+    )

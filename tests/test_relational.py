@@ -631,3 +631,29 @@ def test_q91_behavior_trigrams_hand_case(ray_session, tmp_path):
     assert list(out[["t1", "t2", "t3"]].itertuples(index=False, name=None)) == [
         ("a", "b", "c"), ("b", "c", "b"), ("c", "b", "c"), ("x", "y", "z")
     ]
+
+
+def test_q93_cross_source_dups_hand_case(ray_session, tmp_path):
+    """text 'dup' appears under A (twice) and B -> all three rows are
+    syndicated; A's same-source-only duplicate 'loc' does NOT count;
+    unique texts don't count."""
+    import pandas as pd
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "text": ["dup", "dup", "dup", "loc", "loc", "solo a", "solo b"],
+            "source": ["A", "A", "B", "A", "A", "A", "B"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = (
+        R.q93_cross_source_dups(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out.loc["A", "n_docs"] == 5 and out.loc["A", "n_syndicated"] == 2
+    assert out.loc["B", "n_docs"] == 2 and out.loc["B", "n_syndicated"] == 1
+    assert out.loc["A", "syndication_ppm"] == 400_000
+    assert out.loc["B", "syndication_ppm"] == 500_000
