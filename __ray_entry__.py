@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (candidate parquet + independent SQL brute join); the raw top-k
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
+        ("q94_knn_graph", ann.q94_knn_graph),
         ("q90_nearest_centroid", cluster.q90_nearest_centroid),
         ("q77_dim_stats", cluster.q77_dim_stats),
         ("q88_centroid_outliers", cluster.q88_centroid_outliers),
@@ -132,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     # -- text analysis --------------------------------------------------
     text_family = [
+        ("q95_rule_hits", textops.q95_rule_hits),
+        ("q96_filter_funnel", textops.q96_filter_funnel),
         ("q89_mask_terms", textops.q89_mask_terms),
         ("q92_source_drift", textops.q92_source_drift),
         ("q76_bigram_coverage", textops.q76_bigram_coverage),
@@ -1551,6 +1554,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1
         """,
+        # q94: exact kNN graph — trunc-quantized coords (q77's
+        # convention), exact integer dot products, per-row top-5 by
+        # (dot DESC, neighbor ASC); int64 everywhere so the replay is
+        # bit-exact
+        "q94_knn_graph": """
+            WITH u AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS c
+              FROM embeddings),
+            d AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(sum(a.c * b.c) AS BIGINT) AS dot_q
+              FROM u a JOIN u b
+                ON a.dim = b.dim AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id)
+            SELECT vec_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank,
+                   neighbor_id, dot_q
+            FROM d
+            QUALIFY rank <= 5
+        """,
         # q88: trunc-quantized coords (q77's convention), floor-div
         # centroid per (label, dim), int64 squared distance, outlier
         # above the per-label exact P90 (integer rank replay)
@@ -1695,6 +1723,61 @@ def oracle_sql() -> dict[str, str]:
                        t -> t IN ('customer', 'spark', 'vector')))
                         AS BIGINT) AS n_masked
             FROM documents
+        """,
+        # q95: literal-substring rule audit — replace()-delta
+        # occurrence count is the identical operation the engine's
+        # escaped-regex non-overlapping count performs; the CROSS
+        # JOIN yields every (rule, source) pair incl. zero-hit rows,
+        # which the engine's per-block full matrix also emits
+        "q95_rule_hits": """
+            WITH rules(rule_id, term) AS (VALUES
+                ('r_customer', 'customer'),
+                ('r_spark', 'spark'),
+                ('r_agg_row', 'agg row'),
+                ('r_window_table', 'window table')),
+            h AS (
+              SELECT r.rule_id, r.term, d.source,
+                     (length(d.text) - length(replace(d.text, r.term, '')))
+                       // length(r.term) AS hits
+              FROM documents d CROSS JOIN rules r)
+            SELECT rule_id, term, source,
+                   CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs,
+                   CAST(sum(hits) AS BIGINT) AS n_hits
+            FROM h GROUP BY rule_id, term, source
+        """,
+        # q96: cumulative curation funnel — gates replayed with the
+        # identical integer ppm division; gate 4 = min doc_id per
+        # md5(text) among gate-3 survivors (window over the hash)
+        "q96_filter_funnel": """
+            WITH t AS (
+              SELECT doc_id, source, md5(text) AS h,
+                     (lang = 'en') AS g1,
+                     (lang = 'en' AND n_chars >= 120 AND n_chars <= 450)
+                       AS g2,
+                     (lang = 'en' AND n_chars >= 120 AND n_chars <= 450
+                      AND len(regexp_extract_all(text, '\\S+')) > 0
+                      AND len(list_distinct(regexp_extract_all(text, '\\S+')))
+                            * 1000000
+                            // greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                          >= 400000) AS g3
+              FROM documents),
+            w AS (
+              SELECT *,
+                     min(CASE WHEN g3 THEN doc_id END)
+                       OVER (PARTITION BY h) AS wmin
+              FROM t)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pass_lang,
+                   CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pass_len,
+                   CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pass_div,
+                   CAST(sum(CASE WHEN g3 AND doc_id = wmin THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pass_dedup
+            FROM w GROUP BY source
         """,
         # q92: exact-rational L1 drift per source over the corpus
         # top-V unigram vocab; HUGEINT cross-multiplication mirrors

@@ -210,6 +210,9 @@ def run_bench() -> dict:
         timed("q91_behavior_trigrams", R.q91_behavior_trigrams)
         timed("q92_source_drift", textops.q92_source_drift)
         timed("q93_cross_source_dups", R.q93_cross_source_dups)
+        timed("q94_knn_graph", ann.q94_knn_graph)
+        timed("q95_rule_hits", textops.q95_rule_hits)
+        timed("q96_filter_funnel", textops.q96_filter_funnel)
 
     ray.shutdown()
 

@@ -521,3 +521,122 @@ def q66_pq_ann(sf_dir: str, top_k: int = TOP_K) -> pa.Table:
             [("qid", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — exact kNN-graph self-join: for EVERY vector, its top-k most
+# similar neighbors (the graph SemDeDup / graph-based ANN indexes /
+# label-propagation pipelines consume).  Similarity is the exact int64
+# dot product over trunc-quantized coordinates (q77's fixed-point
+# convention — |coord| <= ~1e6, d=64 => |dot| <= ~6.4e13 << 2^63), so
+# ranks are deterministic and the SQL oracle replays them bit-exactly;
+# ties break (dot DESC, neighbor_id ASC).  The normalized-cosine
+# kernel is q15/q23b; this op's value is the GRAPH shape: top-k per
+# row over the whole table, not per a fixed query set.
+#
+# Scale shape: NOTHING n-sized is ever broadcast or driver-held.
+# Blocks quantize into plasma once; one task per (query-block,
+# db-block) pair emits a <= rows(q)×(k+1) partial; one merge task per
+# query block folds its B partials into exact per-row top-k.  Memory
+# per task = two blocks; compute is the O(n²) an EXACT kNN graph
+# costs by definition — the approximate 100 TB paths are IVF cells
+# (q41) / PQ-ADC (q66) / hyperplane buckets (q23), which bound each
+# row's candidate set; this operator is their exact-recall anchor.
+# ---------------------------------------------------------------------------
+KNN_K = 5
+
+
+@ray.remote
+def _knn_quant_block(t) -> tuple:
+    """One block -> (vec_ids, trunc-quantized int64 coords), rows
+    sorted by vec_id ASCENDING — the in-block order the pair task's
+    stable argsort relies on for its neighbor-id tie-break."""
+    from .cluster import VEC_FIXED_SCALE, _stack_embeddings
+
+    df = t.to_pandas()
+    if len(df) == 0:
+        return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
+    ids = df["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    q = np.trunc(
+        _stack_embeddings(df["embedding"]) * VEC_FIXED_SCALE
+    ).astype(np.int64)
+    return ids[order], q[order]
+
+
+_KNN_EMPTY = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("dot_q", pa.int64()),
+    ]
+)
+
+
+@ray.remote
+def _knn_pair_partial(qblk, dblk, k: int) -> pa.Table:
+    """Partial top-k of one query block against one db block: one
+    exact int64 matmul, then per query row the best k+1 entries by
+    (dot DESC, neighbor ASC) with self-pairs dropped (+1 because self
+    can occupy a slot).  Emits <= rows(qblk) × (k+1) rows."""
+    qids, qm = qblk
+    dids, dm = dblk
+    if not len(qids) or not len(dids):
+        return _KNN_EMPTY.empty_table()
+    dot = qm @ dm.T  # (nq, nd) int64, exact
+    take = min(k + 1, dot.shape[1])
+    # db ids ascend within the block, so the STABLE sort on -dot
+    # breaks ties toward the smaller neighbor id
+    idx = np.argsort(-dot, axis=1, kind="stable")[:, :take]
+    rows = np.repeat(np.arange(len(qids), dtype=np.int64), take)
+    cols = idx.ravel()
+    keep = qids[rows] != dids[cols]
+    rows, cols = rows[keep], cols[keep]
+    return pa.table(
+        {
+            "vec_id": pa.array(qids[rows], pa.int64()),
+            "neighbor_id": pa.array(dids[cols], pa.int64()),
+            "dot_q": pa.array(dot[rows, cols], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _knn_merge(parts: list, k: int) -> pa.Table:
+    """Exact top-k per query row across that block's B partials (each
+    <= rows × (k+1) small-int rows); global tie-break (dot DESC,
+    neighbor ASC) via one lexsort + run-boundary rank."""
+    t = pa.concat_tables(ray.get(parts))
+    v = t["vec_id"].to_numpy()
+    nb = t["neighbor_id"].to_numpy()
+    d = t["dot_q"].to_numpy()
+    order = np.lexsort((nb, -d, v))
+    v, nb, d = v[order], nb[order], d[order]
+    first = np.r_[True, v[1:] != v[:-1]] if len(v) else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.r_[starts, len(v)])
+    rank = np.arange(len(v), dtype=np.int64) - np.repeat(starts, lens)
+    keep = rank < k
+    return pa.table(
+        {
+            "vec_id": pa.array(v[keep], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+            "neighbor_id": pa.array(nb[keep], pa.int64()),
+            "dot_q": pa.array(d[keep], pa.int64()),
+        }
+    )
+
+
+def q94_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
+    """Exact kNN graph over the embeddings table (module comment above
+    for the shape).  Returns a streaming Dataset of
+    (vec_id, rank, neighbor_id, dot_q) — n×k rows, never driver-held."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    blks = [_knn_quant_block.remote(r) for r in ds.to_arrow_refs()]
+    merged = [
+        _knn_merge.remote([_knn_pair_partial.remote(qb, db, k) for db in blks], k)
+        for qb in blks
+    ]
+    return rd.from_arrow_refs(merged)

@@ -9,6 +9,8 @@ small — text only — because the read prunes everything else).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -803,5 +805,179 @@ def q92_source_drift(sf_dir: str) -> "pa.Table":
             "source": pa.array(srcs, pa.string()),
             "n_vocab_tokens": pa.array([ns[s] for s in srcs], pa.int64()),
             "drift_ppm": pa.array(drift, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — rule-table content audit: count, per (rule, source), how many
+# documents contain each audited phrase and how many total occurrences
+# — the policy/PII/eval-marker surface scan a curation pipeline runs
+# before deciding what to scrub (q89 is the scrub itself; this is the
+# read-side report that sizes it).  Matching is LITERAL SUBSTRING
+# (multi-word phrases included), counted non-overlapping left-to-right
+# — the identical operation DuckDB's
+# (length(text) − length(replace(text, term, ''))) // length(term)
+# computes, so no regex whose Python-vs-RE2 semantics could diverge.
+#
+# Scale shape: the rule table is a fixed registry (tens of rows) —
+# module-level compiled patterns, zero broadcast; one shuffle-free
+# stateless pass emits per-block (rule × block-sources) partials
+# (zeros included, so every pair the SQL cross join yields exists on
+# this side too); the driver folds n_blocks × rules × sources rows.
+# ---------------------------------------------------------------------------
+AUDIT_RULES = (
+    ("r_customer", "customer"),
+    ("r_spark", "spark"),
+    ("r_agg_row", "agg row"),
+    ("r_window_table", "window table"),
+)
+# compiled once per worker process at import (cached-task-fn pattern);
+# re.escape => literal matching, and Python's non-overlapping
+# left-to-right count equals DuckDB's replace()-delta count exactly
+_AUDIT_PATS = tuple(
+    (rid, term, re.compile(re.escape(term))) for rid, term in AUDIT_RULES
+)
+
+
+def q95_rule_hits(sf_dir: str) -> "pa.Table":
+    import pyarrow as pa
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        outs = []
+        for rid, term, pat in _AUDIT_PATS:
+            hits = b["text"].str.count(pat).to_numpy(np.int64)
+            g = (
+                pd.DataFrame(
+                    {
+                        "source": b["source"].to_numpy(),
+                        "n_docs": (hits > 0).astype(np.int64),
+                        "n_hits": hits,
+                    }
+                )
+                .groupby("source", as_index=False)
+                .sum()
+            )
+            g.insert(0, "rule_id", rid)
+            g.insert(1, "term", term)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    parts = (
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_blocks × rules × sources partial rows
+    )
+    out = parts.groupby(["rule_id", "term", "source"], as_index=False)[
+        ["n_docs", "n_hits"]
+    ].sum()
+    return pa.table(
+        {
+            "rule_id": pa.array(out["rule_id"].astype(str), pa.string()),
+            "term": pa.array(out["term"].astype(str), pa.string()),
+            "source": pa.array(out["source"].astype(str), pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64), pa.int64()),
+            "n_hits": pa.array(out["n_hits"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — curation filter funnel: the per-source survival report of the
+# standard gate chain (language → length band → lexical diversity →
+# exact dedup among survivors), cumulative — the "where does each
+# source's volume die" dashboard every corpus-curation run produces
+# before committing a mix.  Gate 4 keeps the MIN doc_id of each
+# md5(text) group among gate-3 survivors (q10/q93's content-identity
+# convention), so the funnel is a pure function of the data.
+#
+# Scale shape: gates 1–3 are vectorized in ONE stateless pass (flat
+# explode + bincount for the distinct-token ratio — the q79 kernel);
+# gate 4 needs content-hash co-location, so per-doc gate rows enter
+# the shared crc32(h) 32-way exchange where the min-doc_id-per-hash
+# decision is partition-local; only n_parts × sources cumulative
+# partials reach the driver fold.  Text never shuffles (only the
+# 32-char hash + 4 booleans per doc).
+# ---------------------------------------------------------------------------
+FUNNEL_LEN_LO, FUNNEL_LEN_HI = 120, 450
+FUNNEL_DIV_PPM = 400_000
+
+
+def q96_filter_funnel(sf_dir: str) -> "pa.Table":
+    import hashlib
+
+    import pyarrow as pa
+
+    from .mlprep import _crc_part32
+
+    def per_doc(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        g1 = (b["lang"] == "en").to_numpy()
+        nc = b["n_chars"].to_numpy(np.int64)
+        g2 = g1 & (nc >= FUNNEL_LEN_LO) & (nc <= FUNNEL_LEN_HI)
+        # \S+-run tokens (q13's convention): distinct/total in ppm
+        flat = b["text"].str.split().explode().dropna()
+        idx = flat.index.to_numpy(np.int64)
+        nt = np.bincount(idx, minlength=len(b)).astype(np.int64)
+        dd = pd.DataFrame({"i": idx, "t": flat.to_numpy()}).drop_duplicates()
+        ndist = np.bincount(
+            dd["i"].to_numpy(np.int64), minlength=len(b)
+        ).astype(np.int64)
+        ppm = ndist * 1_000_000 // np.maximum(nt, 1)
+        g3 = g2 & (nt > 0) & (ppm >= FUNNEL_DIV_PPM)
+        out = pd.DataFrame(
+            {
+                "h": [
+                    hashlib.md5(s.encode("utf-8")).hexdigest()
+                    for s in b["text"]
+                ],
+                "source": b["source"].to_numpy(),
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "g1": g1,
+                "g2": g2,
+                "g3": g3,
+            }
+        )
+        out["_part"] = _crc_part32(out["h"])
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # winner per hash among gate-3 survivors = min doc_id; the
+        # merge keeps Int64 (nullable) so the equality stays integer-
+        # exact at any doc_id magnitude (no float round trip)
+        w = (
+            g[g["g3"]]
+            .sort_values(["h", "doc_id"], kind="mergesort")
+            .drop_duplicates("h")[["h", "doc_id"]]
+            .rename(columns={"doc_id": "w"})
+        )
+        gm = g.merge(w, on="h", how="left")
+        gm["w"] = gm["w"].astype("Int64")
+        g4 = gm["g3"] & (gm["doc_id"] == gm["w"]).fillna(False)
+        gm = gm.assign(g4=g4.to_numpy(dtype=bool), one=1)
+        agg = gm.groupby("source", as_index=False)[
+            ["one", "g1", "g2", "g3", "g4"]
+        ].sum()
+        return agg
+
+    parts = (
+        _read_docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+        .map_batches(per_doc, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_parts × sources partial rows
+    )
+    out = parts.groupby("source", as_index=False)[
+        ["one", "g1", "g2", "g3", "g4"]
+    ].sum()
+    return pa.table(
+        {
+            "source": pa.array(out["source"].astype(str), pa.string()),
+            "n_total": pa.array(out["one"].to_numpy(np.int64), pa.int64()),
+            "pass_lang": pa.array(out["g1"].to_numpy(np.int64), pa.int64()),
+            "pass_len": pa.array(out["g2"].to_numpy(np.int64), pa.int64()),
+            "pass_div": pa.array(out["g3"].to_numpy(np.int64), pa.int64()),
+            "pass_dedup": pa.array(out["g4"].to_numpy(np.int64), pa.int64()),
         }
     )

@@ -278,6 +278,81 @@ def test_ann_brute_matches_numpy(neardup_dir):
         assert have == want, f"qid {qid}"
 
 
+def test_knn_graph_matches_serial(neardup_dir):
+    """q94: the blocked distributed kNN graph equals a serial numpy
+    re-derivation of the spec (trunc-quantized int64 dots, ties
+    (dot DESC, neighbor ASC)) row for row."""
+    got = (
+        ann.q94_knn_graph(neardup_dir, k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{neardup_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    q = np.trunc(m * 1_000_000).astype(np.int64)
+    dot = q @ q.T
+    rows = []
+    for i in range(len(ids)):
+        cand = sorted(
+            (-int(dot[i, j]), int(ids[j])) for j in range(len(ids)) if ids[j] != ids[i]
+        )
+        for r, (nd, nb) in enumerate(cand[:4], 1):
+            rows.append((int(ids[i]), r, nb, -nd))
+    want = pd.DataFrame(rows, columns=["vec_id", "rank", "neighbor_id", "dot_q"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_blocked_pair_merge_tie_break(ray_session):
+    """The pair/merge task pair across UNEVEN multiple blocks equals
+    the single-block run, and an exact-duplicate (tied-dot) neighbor
+    resolves to the SMALLER id even when the tie straddles blocks."""
+    import ray as _ray
+
+    from cs_insights_crawler_ray.pipelines.ann import (
+        _knn_merge, _knn_pair_partial)
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    q = rng.integers(-1000, 1000, size=(9, 8)).astype(np.int64)
+    q[6] = q[2]  # exact duplicate: dots vs anything tie between 2 and 6
+    ids = np.arange(9, dtype=np.int64)
+    k = 3
+
+    def run(splits):
+        blks = [
+            (ids[a:b], q[a:b]) for a, b in zip([0] + splits, splits + [9])
+        ]
+        merged = _ray.get(
+            [
+                _knn_merge.remote(
+                    [_knn_pair_partial.remote(qb, db, k) for db in blks], k
+                )
+                for qb in blks
+            ]
+        )
+        return (
+            pa.concat_tables(merged)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    single = run([])
+    blocked = run([2, 3, 7])  # uneven blocks; the dup pair straddles
+    pd.testing.assert_frame_equal(blocked, single)
+    # every row whose top neighbor ties between 2 and 6 must pick 2
+    dup_rows = single[(single["neighbor_id"].isin([2, 6]))]
+    for vid, grp in dup_rows.groupby("vec_id"):
+        if vid in (2, 6):
+            continue
+        both = grp[grp["neighbor_id"].isin([2, 6])]
+        if len(both) == 2:
+            r2 = both[both["neighbor_id"] == 2]["rank"].iloc[0]
+            r6 = both[both["neighbor_id"] == 6]["rank"].iloc[0]
+            assert r2 < r6
+
+
 def test_ivf_ann_recall(neardup_dir):
     brute = ann.q15_ann_brute(neardup_dir).to_pandas()
     ivf = ann.q41_ivf_ann(neardup_dir, n_centroids=12, nprobe=6).to_pandas()

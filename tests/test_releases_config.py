@@ -397,3 +397,74 @@ def test_source_drift_hand_case(ray_session, tmp_path):
     assert got.loc["B", "drift_ppm"] == 500_000
     assert got.loc["C", "drift_ppm"] == 0
     assert list(got["n_vocab_tokens"]) == [4, 4, 2]
+
+
+def test_rule_hits_hand_case(ray_session, tmp_path):
+    """q95: literal substring counts — multi-word phrases count, a
+    doc with two occurrences counts once in n_docs / twice in n_hits,
+    and a rule with zero corpus hits still emits its (rule, source)
+    rows (the SQL cross-join shape)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q95_rule_hits
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "customer saw customer data",   # 2 hits, 1 doc
+                "the agg row path",             # multi-word phrase
+                "sparkly",                      # substring hit: 'spark'
+            ],
+            "source": ["A", "A", "B"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q95_rule_hits(str(tmp_path))
+        .to_pandas()
+        .set_index(["rule_id", "source"])
+        .sort_index()
+    )
+    assert got.loc[("r_customer", "A"), "n_hits"] == 2
+    assert got.loc[("r_customer", "A"), "n_docs"] == 1
+    assert got.loc[("r_agg_row", "A"), "n_hits"] == 1
+    assert got.loc[("r_spark", "B"), "n_hits"] == 1  # substring matches
+    # zero-hit pairs exist with zeros (every rule × every source)
+    assert got.loc[("r_window_table", "B"), "n_hits"] == 0
+    assert len(got) == 8  # 4 rules × 2 sources
+
+
+def test_filter_funnel_hand_case(ray_session, tmp_path):
+    """q96: cumulative gates — a non-en doc dies at gate 1, a short
+    doc at gate 2, a repetitive doc at gate 3, and of two identical
+    gate-3 survivors only the smaller doc_id passes gate 4."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import q96_filter_funnel
+
+    good = " ".join(f"w{i}" for i in range(40))   # fully distinct, len fits
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                good,                    # survivor, wins dedup
+                good,                    # exact dup, loses gate 4
+                "tok " * 60,             # low diversity -> dies gate 3
+                "short",                 # dies gate 2 (n_chars < 120)
+                good,                    # non-en -> dies gate 1
+            ],
+            "lang": ["en", "en", "en", "en", "de"],
+            "source": ["A", "A", "A", "B", "B"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    assert 120 <= len(good) <= 450
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q96_filter_funnel(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["A"].tolist() == [3, 3, 3, 2, 1]   # total,lang,len,div,dedup
+    assert got.loc["B"].tolist() == [2, 1, 0, 0, 0]
