@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- relational core (reference semantics, SURVEY.md §2) ----------
     relational = [
         ("q01_pricing_summary", R.q01_pricing_summary),
+        ("q97_kmv_distinct", R.q97_kmv_distinct),
         ("q91_behavior_trigrams", R.q91_behavior_trigrams),
         ("q93_cross_source_dups", R.q93_cross_source_dups),
         ("q75_funnel_conversion", R.q75_funnel_conversion),
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     # -- crawl engine (parity vs sequential oracle in pytest) ----------
     crawl_family = [
+        ("q98_host_fetch_rollup", crawl_queries.q98_host_fetch_rollup),
         ("q30_crawl_order", crawl_queries.q30_crawl_order),
         ("q31_crawl_payload", crawl_queries.q31_crawl_payload),
         ("q32_payload_neardup", crawl_queries.q32_payload_neardup),
@@ -879,6 +881,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_agree
             FROM documents
         """,
+        # q97: KMV bottom-k distinct sketch — DISTINCT full-width
+        # Fibonacci hashes (q50/q84's kernel in HUGEINT), k-th
+        # smallest, exact integer estimate; under k distinct values
+        # the sketch is the set and the answer exact
+        "q97_kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     (CAST(user_id AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616 AS hv
+              FROM events),
+            r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM h)
+            SELECT event_type,
+                   CAST(least(nd, 64) AS BIGINT) AS n_sketch,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE (63 * CAST(18446744073709551616 AS HUGEINT))
+                                    // hv
+                        END AS BIGINT) AS est_distinct
+            FROM r
+            WHERE rn = least(nd, 64)
+        """,
         # q20/q22: pure-Python-int re-derivations of the sketch
         # kernels written to parquet by the queries() callable — full
         # per-row value cross-check of the vectorized numpy paths
@@ -928,6 +955,19 @@ def oracle_sql() -> dict[str, str]:
         "q67_recency_crawl_order": f"""
             SELECT fetch_seq, url_canon, depth, status
             FROM read_parquet('{_artifact_glob("sim_order_recency")}')
+        """,
+        # q98: the per-host rollup recomputed in SQL over the
+        # SEQUENTIAL simulator's order log — gates crawl parity AND
+        # the engine's distributed aggregation in one compare
+        "q98_host_fetch_rollup": f"""
+            SELECT split_part(url_canon, '/', 3) AS host,
+                   CAST(count(*) AS BIGINT) AS n_fetched,
+                   CAST(sum(CASE WHEN status = '404' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_404,
+                   CAST(max(depth) AS BIGINT) AS max_depth,
+                   CAST(min(fetch_seq) AS BIGINT) AS first_seq
+            FROM read_parquet('{_artifact_glob("sim_order")}')
+            GROUP BY 1
         """,
         # q36/q37: the same deterministic fixture tables run through
         # the pure stage fns strictly sequentially in one process —

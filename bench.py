@@ -70,8 +70,8 @@ def run_bench() -> dict:
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from cs_insights_crawler_ray.pipelines import (
-        ann, cdc, cluster, dedup, diff, graph, mlprep, relational as R,
-        retrieval, textops)
+        ann, cdc, cluster, crawl_queries, dedup, diff, graph, mlprep,
+        relational as R, retrieval, textops)
 
     # warm the page cache so we measure compute + shuffle, not cold reads
     import pyarrow.parquet as pq
@@ -213,6 +213,8 @@ def run_bench() -> dict:
         timed("q94_knn_graph", ann.q94_knn_graph)
         timed("q95_rule_hits", textops.q95_rule_hits)
         timed("q96_filter_funnel", textops.q96_filter_funnel)
+        timed("q97_kmv_distinct", R.q97_kmv_distinct)
+        timed("q98_host_fetch_rollup", crawl_queries.q98_host_fetch_rollup)
 
     ray.shutdown()
 

@@ -300,3 +300,73 @@ def q63_payload_dup_groups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         }
     )
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+def q98_host_fetch_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per-host crawl funnel rollup over the PARALLEL engine's own
+    order log: fetch count, 404 count, deepest level reached, first
+    global admission — the per-host health report a crawl operator
+    reads before re-budgeting politeness.  Computed DISTRIBUTED
+    (per-block host partials → bounded hosts × blocks driver fold).
+    Driver oracle: the identical SQL rollup over the SEQUENTIAL
+    simulator's independently-produced order log (oracle_artifacts
+    'sim_order'), so the compare gates BOTH the byte-identical crawl
+    parity and this distributed aggregation.
+
+    Scale shape: host cardinality is the politeness working set
+    (bounded per partition by construction); partials are 4 ints per
+    (host, block) and raw log rows never shuffle."""
+    from .oracle_artifacts import ensure
+
+    ensure("sim_order", sf_dir)
+    return host_rollup(f"{_out_dir(sf_dir)}/crawl_log")
+
+
+def host_rollup(log_dir: str) -> pd.DataFrame:
+    """The distributed rollup over a crawl-log parquet dir (q98's
+    engine body, callable on any run's log for tests/audits)."""
+    import numpy as np
+    import ray.data as rd
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        host = b["url_canon"].str.split("/", n=3).str[2]
+        g = (
+            pd.DataFrame(
+                {
+                    "host": host,
+                    "one": np.ones(len(b), np.int64),
+                    "is404": (b["status"] == "404").to_numpy(np.int64),
+                    "depth": b["depth"].to_numpy(np.int64),
+                    "seq": b["fetch_seq"].to_numpy(np.int64),
+                }
+            )
+            .groupby("host", as_index=False)
+            .agg(
+                n_fetched=("one", "sum"),
+                n_404=("is404", "sum"),
+                max_depth=("depth", "max"),
+                first_seq=("seq", "min"),
+            )
+        )
+        return g
+
+    parts = (
+        rd.read_parquet(log_dir)
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()  # BOUNDED: hosts × blocks rows of 4 ints
+    )
+    agg = parts.groupby("host", as_index=False).agg(
+        n_fetched=("n_fetched", "sum"),
+        n_404=("n_404", "sum"),
+        max_depth=("max_depth", "max"),
+        first_seq=("first_seq", "min"),
+    )
+    agg = agg.sort_values("host").reset_index(drop=True)
+    return agg.astype(
+        {
+            "n_fetched": "int64",
+            "n_404": "int64",
+            "max_depth": "int64",
+            "first_seq": "int64",
+        }
+    )

@@ -1616,6 +1616,73 @@ def q54_hll_distinct(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# q97 — KMV (bottom-k minimum values) distinct-count sketch: per event
+# type, the k smallest DISTINCT 64-bit hashes of user_id estimate
+# distinct users as (k−1)·2^64 / h_(k) (Bar-Yossef et al.; the classic
+# mergeable alternative to q54's HLL).  Unlike HLL the sketch is a
+# SET of hashes, so the whole pipeline is order-independent,
+# deterministic, and SQL-replayable bit-exactly: the hash is the
+# Fibonacci multiply `user_id · 2^64/φ mod 2^64` (q50/q84's kernel,
+# full-width here), the estimate exact integer division in Python
+# big ints / HUGEINT.  Under k distinct values the sketch IS the set
+# and the answer is exact (n_sketch < k ⇒ est = n_sketch).
+#
+# Scale shape: per-block bottom-k per type is a SAFE prune (the
+# global bottom-k of a union is contained in the union of block
+# bottom-ks); partials are n_blocks × types × k small ints folded on
+# the driver — raw user ids never shuffle, no groupby anywhere.  If
+# the merged distinct set still holds < k hashes, every block kept
+# ALL its hashes (each had < k), so the merged set is the true
+# distinct set and the exact branch is sound.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+
+
+def q97_kmv_distinct(sf_dir: str) -> "pa.Table":
+    import pandas as pd
+
+    from .mlprep import _FIB
+
+    def local(b: "pd.DataFrame") -> "pd.DataFrame":
+        k = b["user_id"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hv = k * _FIB  # full-width mod-2^64 Fibonacci hash
+        rows = []
+        for et, g in pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(), "hv": hv}
+        ).groupby("event_type", sort=False):
+            u = np.unique(g["hv"].to_numpy())[:KMV_K]  # sorted distinct
+            rows.append(pd.DataFrame({"event_type": et, "hv": u}))
+        return pd.concat(rows, ignore_index=True)
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(local, batch_format="pandas")
+        .to_pandas()  # BOUNDED: n_blocks × types × k rows of one uint64
+    )
+    out_rows = []
+    for et, g in parts.groupby("event_type"):
+        u = np.unique(g["hv"].to_numpy())[:KMV_K]
+        n_sk = len(u)
+        if n_sk < KMV_K:
+            est = n_sk  # sketch == true distinct set
+        else:
+            # h_(k) ~ k/n · 2^64 ⇒ est ~ n; a pathological hash floor
+            # would overflow pa.int64 LOUDLY below (DuckDB's CAST
+            # errors identically on its side)
+            est = (KMV_K - 1) * (1 << 64) // int(u[-1])
+        out_rows.append((str(et), int(n_sk), int(est)))
+    out_rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+            "n_sketch": pa.array([r[1] for r in out_rows], pa.int64()),
+            "est_distinct": pa.array([r[2] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # q75 — sequence-pattern (CEP / funnel) detection over the event log:
 # for every 'click', does a 'purchase' by the SAME user follow
 # STRICTLY later within the horizon?  The MATCH_RECOGNIZE /

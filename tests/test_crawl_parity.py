@@ -53,7 +53,7 @@ def engine_run(tmp_path_factory):
         stats = seen.stats()
         engine_seen_total = sum(s["exact_size"] for s in stats)
         yield dict(metrics=metrics, log=log, payload=payload, oracle=oracle,
-                   engine_seen_total=engine_seen_total, seen=seen)
+                   engine_seen_total=engine_seen_total, seen=seen, out=out)
     finally:
         seen.shutdown()
 
@@ -330,3 +330,35 @@ def test_crawl_parity_with_forced_threshold_admission(tmp_path, monkeypatch):
     sim = simulate(CFG)
     eng = list(map(tuple, log.itertuples(index=False)))
     assert eng == sim.crawl_log, "refinement path diverged from oracle"
+
+
+def test_host_rollup_matches_serial_recompute(engine_run):
+    """q98's distributed per-host rollup over the engine's own log
+    equals a serial pandas recompute over the SIMULATOR's log (the
+    two logs are byte-identical per test_crawl_order_byte_identical,
+    so this gates the aggregation itself)."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.crawl_queries import host_rollup
+
+    got = host_rollup(f"{engine_run['out']}/crawl_log")
+    sim = pd.DataFrame(
+        engine_run["oracle"].crawl_log,
+        columns=["fetch_seq", "url_canon", "depth", "status"],
+    )
+    sim["host"] = sim["url_canon"].str.split("/", n=3).str[2]
+    want = (
+        sim.assign(is404=(sim["status"] == "404").astype("int64"))
+        .groupby("host", as_index=False)
+        .agg(
+            n_fetched=("url_canon", "size"),
+            n_404=("is404", "sum"),
+            max_depth=("depth", "max"),
+            first_seq=("fetch_seq", "min"),
+        )
+        .sort_values("host")
+        .reset_index(drop=True)
+        .astype({"n_fetched": "int64", "n_404": "int64",
+                 "max_depth": "int64", "first_seq": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -657,3 +657,43 @@ def test_q93_cross_source_dups_hand_case(ray_session, tmp_path):
     assert out.loc["B", "n_docs"] == 2 and out.loc["B", "n_syndicated"] == 1
     assert out.loc["A", "syndication_ppm"] == 400_000
     assert out.loc["B", "syndication_ppm"] == 500_000
+
+
+def test_kmv_distinct_exact_and_estimate(tmp_path):
+    """q97: a type under k distinct users returns the EXACT count; a
+    type over k matches a serial pure-Python KMV re-derivation and
+    lands near the truth; duplicate events never inflate the sketch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    FIB = 0x9E3779B97F4A7C15
+    small_users = [5, 6, 7, 5, 6, 7, 5]          # 3 distinct, repeated
+    big_users = list(range(1000, 1500)) * 2      # 500 distinct, repeated
+    users = small_users + big_users
+    types = ["rare"] * len(small_users) + ["hot"] * len(big_users)
+    n = len(users)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")
+            ),
+            "event_type": pa.array(types),
+            "value": pa.array([1.0] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.q97_kmv_distinct(str(tmp_path)).to_pandas().set_index("event_type")
+    )
+    assert out.loc["rare", "n_sketch"] == 3
+    assert out.loc["rare", "est_distinct"] == 3   # exact under k
+    # serial re-derivation of the >k branch
+    hs = sorted({(u * FIB) % (1 << 64) for u in set(big_users)})[:64]
+    want = 63 * (1 << 64) // hs[-1]
+    assert out.loc["hot", "n_sketch"] == 64
+    assert out.loc["hot", "est_distinct"] == want
+    assert 250 <= want <= 1000  # the estimate is in the truth's ballpark
