@@ -550,16 +550,16 @@ KNN_K = 5
 def _knn_quant_block(t) -> tuple:
     """One block -> (vec_ids, trunc-quantized int64 coords), rows
     sorted by vec_id ASCENDING — the in-block order the pair task's
-    stable argsort relies on for its neighbor-id tie-break."""
-    from .cluster import VEC_FIXED_SCALE, _stack_embeddings
+    tie-break relies on.  Arrow-native stack (stack_embeddings_arrow)
+    — no pandas round trip, no per-vector Python loop (r04 review)."""
+    from .cluster import VEC_FIXED_SCALE
 
-    df = t.to_pandas()
-    if len(df) == 0:
+    if t.num_rows == 0:
         return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
-    ids = df["vec_id"].to_numpy(np.int64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids)
     q = np.trunc(
-        _stack_embeddings(df["embedding"]) * VEC_FIXED_SCALE
+        stack_embeddings_arrow(t["embedding"]) * VEC_FIXED_SCALE
     ).astype(np.int64)
     return ids[order], q[order]
 
@@ -584,12 +584,26 @@ def _knn_pair_partial(qblk, dblk, k: int) -> pa.Table:
     if not len(qids) or not len(dids):
         return _KNN_EMPTY.empty_table()
     dot = qm @ dm.T  # (nq, nd) int64, exact
-    take = min(k + 1, dot.shape[1])
-    # db ids ascend within the block, so the STABLE sort on -dot
-    # breaks ties toward the smaller neighbor id
-    idx = np.argsort(-dot, axis=1, kind="stable")[:, :take]
-    rows = np.repeat(np.arange(len(qids), dtype=np.int64), take)
-    cols = idx.ravel()
+    nq, nd = dot.shape
+    take = min(k + 1, nd)
+    # top-(k+1) per row WITHOUT a full-row sort (r04 review: argsort
+    # was the O(nd log nd) term on the O(n²) hot path).  argpartition
+    # alone breaks boundary ties arbitrarily, so: partition for the
+    # row's (k+1)-th-largest VALUE, take every entry >= it (ties
+    # included), then rank just those by the exact key (dot DESC,
+    # in-block col ASC => neighbor-id ASC since dids ascend).
+    part = np.argpartition(-dot, take - 1, axis=1)[:, :take]
+    thr = dot[np.arange(nq)[:, None], part].min(axis=1)
+    rows, cols = np.nonzero(dot >= thr[:, None])
+    dv = dot[rows, cols]
+    order = np.lexsort((cols, -dv, rows))
+    rows, cols = rows[order], cols[order]
+    first = np.r_[True, rows[1:] != rows[:-1]] if len(rows) else np.zeros(0, bool)
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.r_[starts, len(rows)])
+    rank = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, lens)
+    cut = rank < take
+    rows, cols = rows[cut], cols[cut]
     keep = qids[rows] != dids[cols]
     rows, cols = rows[keep], cols[keep]
     return pa.table(

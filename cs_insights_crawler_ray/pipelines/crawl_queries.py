@@ -330,6 +330,11 @@ def host_rollup(log_dir: str) -> pd.DataFrame:
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
         host = b["url_canon"].str.split("/", n=3).str[2]
+        if host.isna().any():  # pandas groupby would DROP NaN keys
+            # while the SQL oracle groups them under '' — refuse
+            # loudly instead of silently diverging (r04 review)
+            bad = b["url_canon"][host.isna()].iloc[0]
+            raise ValueError(f"malformed url_canon in crawl log: {bad!r}")
         g = (
             pd.DataFrame(
                 {

@@ -1653,6 +1653,11 @@ def q97_kmv_distinct(sf_dir: str) -> "pa.Table":
         ).groupby("event_type", sort=False):
             u = np.unique(g["hv"].to_numpy())[:KMV_K]  # sorted distinct
             rows.append(pd.DataFrame({"event_type": et, "hv": u}))
+        if not rows:  # empty block: typed empty frame, not a concat crash
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "hv": pd.Series([], dtype=np.uint64)}
+            )
         return pd.concat(rows, ignore_index=True)
 
     parts = (

@@ -22,6 +22,19 @@ def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+# RE2-\S runs with the ASCII \s class (functions/text._ASCII_SPACE) —
+# the q13 oracle convention.  Python's str.split() also splits on
+# UNICODE whitespace (NBSP, thin space, \v…), which silently diverges
+# every '\\S+' SQL oracle the moment a fixture gains one such char
+# (r04 review); ONE tokenizer for every \S+-convention kernel here.
+_TOK_RE = rf"[^{T._ASCII_SPACE}]+"
+
+
+def _ascii_tokens(texts: pd.Series) -> pd.Series:
+    """Per-row token LISTS = RE2 ``\\S+`` runs (ASCII \\s)."""
+    return texts.str.findall(_TOK_RE)
+
+
 def q13_token_stats(sf_dir: str) -> rd.Dataset:
     """Whitespace token count + non-space char count per document.
     SQL-oracled (string_split_regex)."""
@@ -199,7 +212,7 @@ def q62_repetition_filter(sf_dir: str) -> rd.Dataset:
     from collections import Counter
 
     def metrics(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.split()
+        toks = _ascii_tokens(b["text"])
         n = toks.str.len().to_numpy(dtype=np.int64)
         nd = toks.map(lambda ws: len(set(ws))).to_numpy(dtype=np.int64)
         top2 = toks.map(
@@ -375,7 +388,7 @@ def _batch_bigrams(texts: pd.Series):
     """(flat bigram strings, validity mask, per-doc lens) for a batch:
     tokens flattened once; bigram i pairs flat[i] with flat[i+1] and is
     valid iff both sit in the same document."""
-    toks = texts.str.split()
+    toks = _ascii_tokens(texts)
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total < 2:
@@ -452,7 +465,7 @@ def q76_bigram_coverage(sf_dir: str) -> rd.Dataset:
 def q79_simpson_diversity(sf_dir: str) -> rd.Dataset:
     def f(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
-        toks = b["text"].str.split()
+        toks = _ascii_tokens(b["text"])
         n = toks.str.len().to_numpy(dtype=np.int64)
         s2 = np.zeros(len(b), dtype=np.int64)
         flat = toks.explode().dropna()
@@ -570,7 +583,7 @@ def q80_pmi_collocations(sf_dir: str) -> "pa.Table":
 
     def uni_block(b: pd.DataFrame) -> pd.DataFrame:
         tset = bget(tref)
-        flat = b["text"].str.split().explode().dropna()
+        flat = _ascii_tokens(b["text"]).explode().dropna()
         c = flat[flat.isin(tset)].value_counts()
         return pd.DataFrame(
             {"term": c.index.astype(str), "cnt": c.to_numpy().astype(np.int64)}
@@ -623,7 +636,7 @@ CHUNK_S = 48   # stride (overlap = 16)
 
 def q85_context_chunks(sf_dir: str) -> rd.Dataset:
     def chunk(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.split()
+        toks = _ascii_tokens(b["text"])
         lens = toks.str.len().to_numpy(np.int64)
         m = np.where(
             lens == 0,
@@ -758,7 +771,7 @@ def q92_source_drift(sf_dir: str) -> "pa.Table":
 
     def st_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
-        flat = b["text"].str.split().explode().dropna()
+        flat = _ascii_tokens(b["text"]).explode().dropna()
         src = b["source"].to_numpy()[flat.index.to_numpy(np.int64)]
         g = (
             pd.DataFrame({"term": flat.to_numpy(), "source": src})
@@ -917,7 +930,7 @@ def q96_filter_funnel(sf_dir: str) -> "pa.Table":
         nc = b["n_chars"].to_numpy(np.int64)
         g2 = g1 & (nc >= FUNNEL_LEN_LO) & (nc <= FUNNEL_LEN_HI)
         # \S+-run tokens (q13's convention): distinct/total in ppm
-        flat = b["text"].str.split().explode().dropna()
+        flat = _ascii_tokens(b["text"]).explode().dropna()
         idx = flat.index.to_numpy(np.int64)
         nt = np.bincount(idx, minlength=len(b)).astype(np.int64)
         dd = pd.DataFrame({"i": idx, "t": flat.to_numpy()}).drop_duplicates()
@@ -943,17 +956,18 @@ def q96_filter_funnel(sf_dir: str) -> "pa.Table":
         return out
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        # winner per hash among gate-3 survivors = min doc_id; the
-        # merge keeps Int64 (nullable) so the equality stays integer-
-        # exact at any doc_id magnitude (no float round trip)
+        # winner per hash among gate-3 survivors = min doc_id; cast to
+        # nullable Int64 BEFORE the left merge — merging an int64
+        # column with misses would upcast through float64 (rounding
+        # doc_ids past 2^53) and only then land in Int64 (r04 review)
         w = (
             g[g["g3"]]
             .sort_values(["h", "doc_id"], kind="mergesort")
             .drop_duplicates("h")[["h", "doc_id"]]
             .rename(columns={"doc_id": "w"})
         )
+        w["w"] = w["w"].astype("Int64")
         gm = g.merge(w, on="h", how="left")
-        gm["w"] = gm["w"].astype("Int64")
         g4 = gm["g3"] & (gm["doc_id"] == gm["w"]).fillna(False)
         gm = gm.assign(g4=g4.to_numpy(dtype=bool), one=1)
         agg = gm.groupby("source", as_index=False)[

@@ -468,3 +468,23 @@ def test_filter_funnel_hand_case(ray_session, tmp_path):
     )
     assert got.loc["A"].tolist() == [3, 3, 3, 2, 1]   # total,lang,len,div,dedup
     assert got.loc["B"].tolist() == [2, 1, 0, 0, 0]
+
+
+def test_ascii_tokens_matches_re2_not_unicode_split(ray_session, tmp_path):
+    """The shared \\S+ tokenizer treats NBSP as a TOKEN character
+    (RE2's ASCII \\s), unlike Python str.split() — the r04 review's
+    divergence case, pinned via q79 whose oracle is regexp-based."""
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import (
+        _ascii_tokens, q79_simpson_diversity)
+
+    s = pd.Series(["x x x", "a\x0bb c"])
+    assert _ascii_tokens(s).tolist() == [["x x", "x"], ["a\x0bb", "c"]]
+    pd.DataFrame({"doc_id": [0], "text": ["x x x"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = q79_simpson_diversity(str(tmp_path)).to_pandas()
+    # 2 tokens ('x<NBSP>x', 'x'), both distinct: s2 = 1+1 = 2, n² = 4
+    assert got.loc[0, "n_tokens"] == 2
+    assert got.loc[0, "simpson_ppm"] == 500_000
