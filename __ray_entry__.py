@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- relational core (reference semantics, SURVEY.md §2) ----------
     relational = [
         ("q01_pricing_summary", R.q01_pricing_summary),
+        ("q99_rollup_aggregate", R.q99_rollup_aggregate),
+        ("q100_table_checksum", R.q100_table_checksum),
         ("q97_kmv_distinct", R.q97_kmv_distinct),
         ("q91_behavior_trigrams", R.q91_behavior_trigrams),
         ("q93_cross_source_dups", R.q93_cross_source_dups),
@@ -880,6 +882,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_agree
             FROM documents
+        """,
+        # q99: the rollup NULL markers and integer sums replayed by
+        # DuckDB's native GROUP BY ROLLUP
+        "q99_rollup_aggregate": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # q100: mod-2^64 row-hash sum — the Fibonacci multiply is
+        # split hi/lo so no HUGEINT intermediate exceeds ~2^97
+        # (e*F alone could reach 2^128 and overflow); the CASE folds
+        # the unsigned sum to two's-complement like numpy's int64 view
+        "q100_table_checksum": """
+            WITH f AS (
+              SELECT l_orderkey % 8 AS bucket,
+                     (CAST(l_orderkey AS HUGEINT) * 1000003
+                      + l_linenumber * 7919
+                      + CAST(round(l_quantity * 100) AS BIGINT))
+                     % 18446744073709551616 AS e
+              FROM lineitem),
+            h AS (
+              SELECT bucket,
+                     ( ((e // 4294967296) * 11400714819323198485)
+                         % 18446744073709551616 * 4294967296
+                       + (e % 4294967296) * 11400714819323198485
+                     ) % 18446744073709551616 AS hv
+              FROM f),
+            a AS (
+              SELECT bucket, count(*) AS n,
+                     sum(hv) % 18446744073709551616 AS c
+              FROM h GROUP BY bucket)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN c >= 9223372036854775808
+                             THEN c - 18446744073709551616
+                             ELSE c END AS BIGINT) AS checksum
+            FROM a
         """,
         # q97: KMV bottom-k distinct sketch — DISTINCT full-width
         # Fibonacci hashes (q50/q84's kernel in HUGEINT), k-th

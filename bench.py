@@ -215,6 +215,8 @@ def run_bench() -> dict:
         timed("q96_filter_funnel", textops.q96_filter_funnel)
         timed("q97_kmv_distinct", R.q97_kmv_distinct)
         timed("q98_host_fetch_rollup", crawl_queries.q98_host_fetch_rollup)
+        timed("q99_rollup_aggregate", R.q99_rollup_aggregate)
+        timed("q100_table_checksum", R.q100_table_checksum)
 
     ray.shutdown()
 

@@ -1688,6 +1688,136 @@ def q97_kmv_distinct(sf_dir: str) -> "pa.Table":
 
 
 # ---------------------------------------------------------------------------
+# q99 — ROLLUP aggregate (warehouse subtotal/grand-total shape, SQL's
+# GROUP BY ROLLUP): the q01 keyed aggregate extended with the
+# (flag, NULL) subtotal rows and the (NULL, NULL) grand total, NULL
+# markers exactly as DuckDB emits them.  All-integer sums (CLAUDE.md
+# fixed-point rule), so deriving coarser levels by re-summing finer
+# ones is exact.
+#
+# Scale shape: only the FINEST level ever sees data — per-block
+# (flag, status) partials bounded at blocks × |flag×status| (a
+# low-cardinality rollup key by definition); the subtotal and grand
+# rows re-sum the finest level's <= |groups| rows on the driver.
+# Zero extra passes, zero shuffles.
+# ---------------------------------------------------------------------------
+def q99_rollup_aggregate(sf_dir: str) -> "pa.Table":
+    import pandas as pd
+
+    def part(t: pa.Table) -> "pd.DataFrame":
+        qty_c = _fixed(t["l_quantity"], 100).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": t["l_returnflag"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "l_linestatus": t["l_linestatus"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "sum_qty_c": qty_c,
+                    "n_rows": np.ones(len(qty_c), np.int64),
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+            .sum()
+        )
+        return g
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # BOUNDED: blocks × |flag×status| partial rows
+    )
+    cols = ["sum_qty_c", "n_rows"]
+    fine = parts.groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False
+    )[cols].sum()
+    sub = fine.groupby("l_returnflag", as_index=False)[cols].sum()
+    sub["l_linestatus"] = None
+    grand = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_qty_c": [fine["sum_qty_c"].sum()],
+            "n_rows": [fine["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([fine, sub, grand], ignore_index=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_qty_c": pa.array(out["sum_qty_c"].to_numpy(np.int64), pa.int64()),
+            "n_rows": pa.array(out["n_rows"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — table integrity checksum: an ORDER-INDEPENDENT content
+# fingerprint per key bucket (the replication / migration / resume
+# verification primitive — "did every row survive the copy" without
+# moving the rows).  Row hash = Fibonacci multiply of a wrapped int64
+# row encoding (orderkey, linenumber, quantity-cents); bucket
+# checksum = Σ mod 2^64.  Every step is mod-2^64 wraparound on BOTH
+# sides (numpy uint64 / HUGEINT % m), so the compare is bit-exact and
+# any single changed/dropped/duplicated row flips its bucket.
+#
+# Scale shape: one stateless pass, per-block (bucket, n, sum) partials
+# — 3 ints per bucket per block — driver-folded; nothing row-sized
+# leaves the workers and addition commutes, so block order is free.
+# ---------------------------------------------------------------------------
+CHECKSUM_BUCKETS = 8
+
+
+def q100_table_checksum(sf_dir: str) -> "pa.Table":
+    import pandas as pd
+
+    from .mlprep import _FIB
+
+    def part(t: pa.Table) -> "pd.DataFrame":
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        qc = (
+            _fixed(t["l_quantity"], 100)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            enc = ok * np.uint64(1_000_003) + ln * np.uint64(7_919) + qc
+            h = enc * _FIB
+        bucket = (ok % np.uint64(CHECKSUM_BUCKETS)).astype(np.int64)
+        g = pd.DataFrame({"bucket": bucket, "h": h, "one": np.ones(len(h), np.int64)})
+        agg = g.groupby("bucket", as_index=False).agg(
+            n_rows=("one", "sum"),
+            # pandas uint64 sum wraps mod 2^64 like numpy — exactly
+            # the modular sum the SQL mirrors with % m
+            checksum_u=("h", "sum"),
+        )
+        return agg
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()  # BOUNDED: blocks × CHECKSUM_BUCKETS rows
+    )
+    parts["checksum_u"] = parts["checksum_u"].astype(np.uint64)
+    agg = parts.groupby("bucket", as_index=False).agg(
+        n_rows=("n_rows", "sum"), checksum_u=("checksum_u", "sum")
+    )
+    cs = agg["checksum_u"].astype(np.uint64).to_numpy()
+    signed = cs.astype(np.int64)  # two's-complement view == SQL's v-2^64 fold
+    return pa.table(
+        {
+            "bucket": pa.array(agg["bucket"].to_numpy(np.int64), pa.int64()),
+            "n_rows": pa.array(agg["n_rows"].to_numpy(np.int64), pa.int64()),
+            "checksum": pa.array(signed, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # q75 — sequence-pattern (CEP / funnel) detection over the event log:
 # for every 'click', does a 'purchase' by the SAME user follow
 # STRICTLY later within the horizon?  The MATCH_RECOGNIZE /

@@ -697,3 +697,74 @@ def test_kmv_distinct_exact_and_estimate(tmp_path):
     assert out.loc["hot", "n_sketch"] == 64
     assert out.loc["hot", "est_distinct"] == want
     assert 250 <= want <= 1000  # the estimate is in the truth's ballpark
+
+
+def test_rollup_levels_hand_case(tmp_path):
+    """q99: finest rows, per-flag subtotals with NULL linestatus, and
+    one grand-total row — sums exact at every level."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "B"]),
+            "l_linestatus": pa.array(["F", "O", "F"]),
+            "l_quantity": pa.array([1.5, 2.0, 4.25]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = R.q99_rollup_aggregate(str(tmp_path)).to_pandas()
+    fine = out[out["l_linestatus"].notna()].set_index(
+        ["l_returnflag", "l_linestatus"]
+    )
+    assert fine.loc[("A", "F"), "sum_qty_c"] == 150
+    assert fine.loc[("B", "F"), "sum_qty_c"] == 425
+    sub = out[out["l_linestatus"].isna() & out["l_returnflag"].notna()].set_index(
+        "l_returnflag"
+    )
+    assert sub.loc["A", "sum_qty_c"] == 350 and sub.loc["A", "n_rows"] == 2
+    grand = out[out["l_returnflag"].isna()]
+    assert len(grand) == 1
+    assert grand.iloc[0]["sum_qty_c"] == 775 and grand.iloc[0]["n_rows"] == 3
+
+
+def test_table_checksum_detects_any_change(tmp_path):
+    """q100: the checksum is row-order independent, and any single
+    changed / dropped / duplicated row flips its bucket's value while
+    leaving other buckets untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    def write(rows, d):
+        ok, ln, q = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_linenumber": pa.array(ln, pa.int64()),
+                    "l_quantity": pa.array(q, pa.float64()),
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+
+    rows = [(1, 1, 2.0), (1, 2, 3.5), (2, 1, 1.0), (9, 1, 7.25)]
+    a = tmp_path / "a"; a.mkdir(); write(rows, a)
+    b = tmp_path / "b"; b.mkdir(); write(rows[::-1], b)          # reordered
+    c = tmp_path / "c"; c.mkdir(); write(rows[:3], c)            # dropped row
+    d = tmp_path / "d"; d.mkdir(); write(rows + [rows[0]], d)    # dup row
+    e = tmp_path / "e"; e.mkdir()
+    write([(1, 1, 2.01)] + rows[1:], e)                           # 1-cent edit
+
+    base = R.q100_table_checksum(str(a)).to_pandas().set_index("bucket")
+    same = R.q100_table_checksum(str(b)).to_pandas().set_index("bucket")
+    pd.testing.assert_frame_equal(base, same)                     # order-free
+    for variant in (c, d, e):
+        got = R.q100_table_checksum(str(variant)).to_pandas().set_index("bucket")
+        # bucket 1 (orderkeys 1, 9 -> 9%8=1) changed; bucket 2 intact
+        assert got.loc[1, "checksum"] != base.loc[1, "checksum"]
+        assert got.loc[2, "checksum"] == base.loc[2, "checksum"]
