@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
         ("q94_knn_graph", ann.q94_knn_graph),
+        ("q101_pca_power", cluster.q101_pca_power),
         ("q90_nearest_centroid", cluster.q90_nearest_centroid),
         ("q77_dim_stats", cluster.q77_dim_stats),
         ("q88_centroid_outliers", cluster.q88_centroid_outliers),
@@ -1635,6 +1636,13 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # q101: the INDEPENDENT sequential pure-Python power-iteration
+        # re-derivation (oracle_artifacts._build_pca) — distributed
+        # moments + driver iteration must be bit-identical
+        "q101_pca_power": f"""
+            SELECT dim, comp_ppm
+            FROM read_parquet('{_artifact_glob("pca_seq")}')
         """,
         # q94: exact kNN graph — trunc-quantized coords (q77's
         # convention), exact integer dot products, per-row top-5 by

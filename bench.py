@@ -217,6 +217,7 @@ def run_bench() -> dict:
         timed("q98_host_fetch_rollup", crawl_queries.q98_host_fetch_rollup)
         timed("q99_rollup_aggregate", R.q99_rollup_aggregate)
         timed("q100_table_checksum", R.q100_table_checksum)
+        timed("q101_pca_power", cluster.q101_pca_power)
 
     ray.shutdown()
 

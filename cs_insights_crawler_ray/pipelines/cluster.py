@@ -552,3 +552,102 @@ def q90_nearest_centroid(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — top principal component by deterministic integer power
+# iteration (the PCA/whitening prep beside q77's per-dim stats: the
+# direction to project out / normalize before ANN or clustering).
+# All arithmetic is exact: coords trunc-quantized at 1e6 (q77), mean
+# sign-trunc(sum/n) (q88's division convention), the centered
+# second-moment matrix M = Σqqᵀ − c·Σqᵀ − Σq·cᵀ + n·ccᵀ assembled
+# from per-block partials, and PCA_ITERS power steps in Python big
+# ints with trunc renormalization to ±1e6 — so the distributed run is
+# BIT-IDENTICAL to a sequential pure-Python re-derivation (the
+# 'pca_seq' oracle artifact), like q46/q56/q66.
+#
+# Scale shape: one map_batches pass emits (d², d, 1) int partials per
+# block — d²=4096 ints, never rows; the driver folds blocks × d²
+# partials in Python ints (no overflow at any corpus size) and runs
+# the d²-cost iteration once.  int64 block-partial headroom is
+# guarded loudly (Σq² per cell ≤ rows·max|q|² must fit int64).
+# ---------------------------------------------------------------------------
+PCA_ITERS = 12
+
+
+def q101_pca_power(sf_dir: str) -> pa.Table:
+    from .oracle_artifacts import ensure
+
+    ensure("pca_seq", sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = stack_embeddings_arrow(t["embedding"])
+        q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
+        n, d = q.shape
+        mx = int(np.abs(q).max(initial=0))
+        if n * mx * mx >= 2**62:  # refuse loudly before int64 wrap
+            raise ValueError(
+                f"q101 block too large for exact int64 partials: "
+                f"{n} rows x (max|q|={mx})^2"
+            )
+        s2 = q.T @ q  # (d, d) int64 exact under the guard
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        return pa.table(
+            {
+                "i": pa.array(np.r_[ii, np.arange(d, dtype=np.int64), [-1]]),
+                "j": pa.array(np.r_[jj, np.full(d, -1, np.int64), [-1]]),
+                "v": pa.array(
+                    np.r_[s2.ravel(), q.sum(axis=0, dtype=np.int64), [n]]
+                ),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # BOUNDED: blocks × (d² + d + 1) int rows
+    )
+    # fold in PYTHON ints: exact at any block count
+    acc: dict[tuple[int, int], int] = {}
+    for i, j, v in parts.itertuples(index=False):
+        key = (int(i), int(j))
+        acc[key] = acc.get(key, 0) + int(v)
+    n = acc.pop((-1, -1))
+    d = max(i for i, j in acc if j == -1) + 1
+    sq = [acc.pop((i, -1)) for i in range(d)]
+    comp = pca_power_from_moments(acc, sq, n, d)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "comp_ppm": pa.array(np.array(comp, dtype=np.int64)),
+        }
+    )
+
+
+def pca_power_from_moments(s2: dict, sq: list, n: int, d: int,
+                           iters: int = PCA_ITERS) -> list:
+    """The deterministic integer power iteration over exact moments.
+    The 'pca_seq' oracle artifact re-derives the SAME spec with an
+    INDEPENDENT pure-Python implementation (oracle_artifacts._build_pca
+    — no code shared), so any drift between the two is a caught bug,
+    the q46/q56/q66 discipline."""
+    c = [(1 if s >= 0 else -1) * (abs(s) // n) for s in sq]
+    m = [
+        [
+            s2[(i, j)] - c[i] * sq[j] - sq[i] * c[j] + n * c[i] * c[j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [1] * d
+    for _ in range(iters):
+        w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w) or 1
+        v = [x * VEC_FIXED_SCALE // mx for x in w]
+    # canonical sign: the largest-|coord| dim (smallest index on tie)
+    # points positive
+    lead = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    return v

@@ -568,3 +568,60 @@ def _build_cdc(sf_dir: str) -> None:
 
 
 _BUILDERS["cdc_seq"] = _build_cdc
+
+
+def _build_pca(sf_dir: str) -> None:
+    """q101: INDEPENDENT sequential pure-Python-int re-derivation of
+    the top-principal-component spec (trunc-quantize 1e6 → exact
+    integer second moments → sign-trunc mean → centered matrix →
+    PCA_ITERS trunc-renormalized power steps → canonical sign) — no
+    code shared with cluster.pca_power_from_moments, so any drift
+    between the implementations is a caught bug."""
+    import math
+
+    from .cluster import PCA_ITERS, VEC_FIXED_SCALE
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    vecs = [
+        [int(math.trunc(float(x) * VEC_FIXED_SCALE)) for x in e]
+        for e in tbl["embedding"].to_pylist()
+    ]
+    n, d = len(vecs), len(vecs[0])
+    sq = [0] * d
+    s2 = [[0] * d for _ in range(d)]
+    for v in vecs:
+        for i in range(d):
+            vi = v[i]
+            sq[i] += vi
+            row = s2[i]
+            for j in range(d):
+                row[j] += vi * v[j]
+    c = [(1 if s >= 0 else -1) * (abs(s) // n) for s in sq]
+    m = [
+        [
+            s2[i][j] - c[i] * sq[j] - sq[i] * c[j] + n * c[i] * c[j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [1] * d
+    for _ in range(PCA_ITERS):
+        w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w) or 1
+        v = [x * VEC_FIXED_SCALE // mx for x in w]
+    lead = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    write_atomic(
+        pa.table(
+            {
+                "dim": pa.array(range(1, d + 1), pa.int64()),
+                "comp_ppm": pa.array(v, pa.int64()),
+            }
+        ),
+        "pca_seq",
+        sf_dir,
+    )
+
+
+_BUILDERS["pca_seq"] = _build_pca

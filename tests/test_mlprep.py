@@ -493,3 +493,59 @@ def test_q90_nearest_centroid_hand_case(ray_session, tmp_path):
         for r in out.itertuples()
     }
     assert got == {(0, 0): 2, (1, 1): 2, (2, 0): 1, (2, 2): 1}
+
+
+def test_q101_pca_matches_eigh_direction(ray_session, tmp_path):
+    """q101: on a corpus with a planted dominant direction the integer
+    power-iteration component aligns with numpy's top eigenvector
+    (|cos| > 0.99), and the distributed run is bit-identical to the
+    independent serial re-derivation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines.cluster import (
+        VEC_FIXED_SCALE, q101_pca_power)
+    from cs_insights_crawler_ray.pipelines.oracle_artifacts import (
+        artifact_path, ensure)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    d, n = 16, 400
+    direction = rng.standard_normal(d)
+    direction /= np.linalg.norm(direction)
+    x = (
+        rng.standard_normal((n, 1)) * 3.0 * direction[None, :]
+        + rng.standard_normal((n, d)) * 0.3
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in x], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = q101_pca_power(str(tmp_path)).to_pandas()
+    v = got["comp_ppm"].to_numpy(np.float64)
+    v /= np.linalg.norm(v)
+    # ground truth from float linear algebra
+    q = np.trunc(x.astype(np.float64) * VEC_FIXED_SCALE)
+    qc = q - q.mean(axis=0)
+    evals, evecs = np.linalg.eigh(qc.T @ qc)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.99
+    # bit-identity vs the independent serial derivation
+    import os
+
+    os.environ["GRAFT_ORACLE_SF"] = Path(str(tmp_path)).name
+    try:
+        ensure("pca_seq", str(tmp_path))
+        seq = pq.read_table(
+            artifact_path("pca_seq", Path(str(tmp_path)).name)
+        ).to_pandas()
+    finally:
+        os.environ.pop("GRAFT_ORACLE_SF", None)
+    assert got["comp_ppm"].tolist() == seq["comp_ppm"].tolist()
