@@ -579,6 +579,12 @@ def q101_pca_power(sf_dir: str) -> pa.Table:
     from .oracle_artifacts import ensure
 
     ensure("pca_seq", sf_dir)
+    return pca_power_engine(sf_dir)
+
+
+def pca_power_engine(sf_dir: str) -> pa.Table:
+    """q101's engine body without the oracle-artifact build (probes
+    time this directly; the serial artifact is O(n·d²) Python)."""
 
     def partials(t: pa.Table) -> pa.Table:
         x = stack_embeddings_arrow(t["embedding"])

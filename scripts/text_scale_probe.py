@@ -28,7 +28,10 @@ def generate(n_docs: int, out_dir: str, seed: int = 47) -> None:
     path = f"{out_dir}/documents.parquet"
     if os.path.exists(path):
         try:
-            if pq.read_metadata(path).num_rows == n_docs:
+            if (
+                pq.read_metadata(path).num_rows == n_docs
+                and "lang" in pq.read_schema(path).names  # pre-q96 caches
+            ):
                 return
         except Exception:
             pass
@@ -40,12 +43,18 @@ def generate(n_docs: int, out_dir: str, seed: int = 47) -> None:
     toks = (rng.integers(0, 4000, size=(n_docs, 60)) + src[:, None] * 50) % 5000
     texts = [" ".join(row) for row in vocab[toks]]
     tmp = f"{path}.tmp.{os.getpid()}"
+    langs = np.array(["en", "de", "fr", "es", "zh"], dtype=object)
     pq.write_table(
         pa.table(
             {
                 "doc_id": pa.array(range(n_docs), pa.int64()),
                 "text": pa.array(texts),
                 "source": pa.array([f"src{s}" for s in src], pa.string()),
+                # q96's gate columns: cycling langs + true char counts
+                "lang": pa.array(langs[np.arange(n_docs) % 5]),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype=np.int64)
+                ),
             }
         ),
         tmp,
@@ -76,6 +85,8 @@ def main() -> None:
         ("q79_simpson", T.q79_simpson_diversity),
         ("q89_mask_terms", T.q89_mask_terms),
         ("q92_source_drift", T.q92_source_drift),
+        ("q95_rule_hits", T.q95_rule_hits),
+        ("q96_filter_funnel", T.q96_filter_funnel),
     ]
     for n in sizes:
         d = f"/tmp/text_probe_{n}"
