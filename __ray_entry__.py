@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     text_family = [
         ("q95_rule_hits", textops.q95_rule_hits),
         ("q96_filter_funnel", textops.q96_filter_funnel),
+        ("q102_model_score", textops.q102_model_score),
         ("q89_mask_terms", textops.q89_mask_terms),
         ("q92_source_drift", textops.q92_source_drift),
         ("q76_bigram_coverage", textops.q76_bigram_coverage),
@@ -258,6 +259,30 @@ def _crawl_payload_glob() -> str:
         return _payload_glob(f"/tmp/ciq_crawl_{_VERSION}_{sf}")
     except Exception:
         return f"/tmp/ciq_crawl_{_VERSION}_{sf}/payload/*/*.parquet"
+
+
+def _q102_sql() -> str:
+    """q102's inference replay generated from the SAME weight
+    constants the engine's actor pool loads — engine and oracle
+    cannot drift."""
+    from cs_insights_crawler_ray.pipelines.textops import QM_W1, QM_W2
+
+    hidden = ", ".join(
+        f"greatest(0, f1*({QM_W1[0][j]}) + f2*({QM_W1[1][j]}) "
+        f"+ f3*({QM_W1[2][j]})) AS h{j}"
+        for j in range(len(QM_W2))
+    )
+    score = " + ".join(f"h{j}*({QM_W2[j]})" for j in range(len(QM_W2)))
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '\\S+')) AS f1,
+                 len(list_distinct(regexp_extract_all(text, '\\S+'))) AS f2,
+                 n_chars AS f3
+          FROM documents),
+        h AS (SELECT doc_id, {hidden} FROM f)
+        SELECT doc_id, CAST({score} AS BIGINT) AS quality_score FROM h
+    """
 
 
 def _artifact_glob(kind: str) -> str:
@@ -1814,6 +1839,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_masked
             FROM documents
         """,
+        # q102: the integer-MLP inference replayed from the SAME
+        # module weight constants the actor pool loads (single source
+        # of truth; ReLU = greatest(0, ·))
+        "q102_model_score": _q102_sql(),
         # q95: literal-substring rule audit — replace()-delta
         # occurrence count is the identical operation the engine's
         # escaped-regex non-overlapping count performs; the CROSS

@@ -218,6 +218,7 @@ def run_bench() -> dict:
         timed("q99_rollup_aggregate", R.q99_rollup_aggregate)
         timed("q100_table_checksum", R.q100_table_checksum)
         timed("q101_pca_power", cluster.q101_pca_power)
+        timed("q102_model_score", textops.q102_model_score)
 
     ray.shutdown()
 

@@ -995,3 +995,73 @@ def q96_filter_funnel(sf_dir: str) -> "pa.Table":
             "pass_dedup": pa.array(out["g4"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — batched model inference as an ACTOR POOL: the "score every
+# document with a trained quality classifier" stage every curation
+# pipeline runs (FineWeb-Edu / DCLM classifier filtering).  The model
+# here is a deterministic integer 2-layer MLP (ReLU) over three exact
+# features (tokens, distinct tokens, chars) so the SQL oracle replays
+# the inference bit-exactly — the POINT is the execution shape, which
+# is the one a real (non-replayable) model needs:
+#
+#   map_batches(QualityModel, concurrency=N) — a callable CLASS, so
+#   the weight build ("model load") runs ONCE per actor in __init__,
+#   never per batch; __call__ scores each batch vectorized.
+#
+# Scale shape: embarrassingly parallel, shuffle-free; `concurrency`
+# sizes the pool to the cluster and Ray streams blocks through it
+# with backpressure.  Weights are module constants — the single
+# source of truth the oracle SQL interpolates from, so engine and
+# oracle cannot drift.
+# ---------------------------------------------------------------------------
+QM_W1 = (  # (3 features x 4 hidden) small ints, fixed
+    (3, -2, 5, 1),
+    (-4, 7, -1, 2),
+    (1, 1, -3, 6),
+)
+QM_W2 = (5, -3, 2, 7)  # (4 hidden x 1)
+
+
+class QualityModel:
+    """Actor-pool inference stage: weights built once per actor."""
+
+    def __init__(self) -> None:
+        self.w1 = np.array(QM_W1, dtype=np.int64)  # "model load"
+        self.w2 = np.array(QM_W2, dtype=np.int64)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = _ascii_tokens(b["text"])
+        f1 = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode().dropna()
+        idx = flat.index.to_numpy(np.int64)
+        dd = pd.DataFrame({"i": idx, "t": flat.to_numpy()}).drop_duplicates()
+        f2 = np.bincount(
+            dd["i"].to_numpy(np.int64), minlength=len(b)
+        ).astype(np.int64)
+        f3 = b["n_chars"].to_numpy(np.int64)
+        f = np.stack([f1, f2, f3], axis=1)  # (n, 3) int64
+        h = np.maximum(f @ self.w1, 0)      # ReLU, exact ints
+        score = h @ self.w2
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "quality_score": score,
+            }
+        )
+
+
+def q102_model_score(sf_dir: str) -> rd.Dataset:
+    # autoscaling pool capped BELOW the session CPUs: a fixed pool
+    # equal to num_cpus deadlocks small sessions (the pool reserves
+    # every CPU and the upstream read task can never schedule —
+    # CLAUDE.md actor-pool rule, observed live with concurrency=4 on
+    # the 4-CPU pytest session)
+    import ray
+
+    cap = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    return _read_docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        QualityModel, batch_format="pandas", concurrency=(1, min(4, cap))
+    )

@@ -488,3 +488,35 @@ def test_ascii_tokens_matches_re2_not_unicode_split(ray_session, tmp_path):
     # 2 tokens ('x<NBSP>x', 'x'), both distinct: s2 = 1+1 = 2, n² = 4
     assert got.loc[0, "n_tokens"] == 2
     assert got.loc[0, "simpson_ppm"] == 500_000
+
+
+def test_model_score_hand_case(ray_session, tmp_path):
+    """q102: the actor-pool integer MLP equals a serial numpy
+    re-derivation (incl. the ReLU clamp actually clamping)."""
+    import numpy as np
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import (
+        QM_W1, QM_W2, q102_model_score)
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b a", "", "x y z w"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q102_model_score(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    w1, w2 = np.array(QM_W1, np.int64), np.array(QM_W2, np.int64)
+    feats = np.array([[3, 2, 5], [0, 0, 0], [4, 4, 7]], np.int64)
+    want = np.maximum(feats @ w1, 0) @ w2
+    assert got["quality_score"].tolist() == want.tolist()
+    # the ReLU must actually bite somewhere in this hand case, or the
+    # test would pass with a linear model too
+    assert (feats @ w1 < 0).any()
