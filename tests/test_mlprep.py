@@ -540,6 +540,12 @@ def test_q101_pca_matches_eigh_direction(ray_session, tmp_path):
     # bit-identity vs the independent serial derivation
     import os
 
+    # RESTORE the prior value, never pop: test_relational sets
+    # GRAFT_ORACLE_SF once at module import for its whole oracle
+    # sweep — popping it here made that sweep's q101 oracle silently
+    # fall back to the sf0.01 artifact against an sf0.001 engine run
+    # (observed: suite-only mismatch, standalone green)
+    prior = os.environ.get("GRAFT_ORACLE_SF")
     os.environ["GRAFT_ORACLE_SF"] = Path(str(tmp_path)).name
     try:
         ensure("pca_seq", str(tmp_path))
@@ -547,5 +553,8 @@ def test_q101_pca_matches_eigh_direction(ray_session, tmp_path):
             artifact_path("pca_seq", Path(str(tmp_path)).name)
         ).to_pandas()
     finally:
-        os.environ.pop("GRAFT_ORACLE_SF", None)
+        if prior is None:
+            os.environ.pop("GRAFT_ORACLE_SF", None)
+        else:
+            os.environ["GRAFT_ORACLE_SF"] = prior
     assert got["comp_ppm"].tolist() == seq["comp_ppm"].tolist()

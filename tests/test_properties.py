@@ -267,3 +267,36 @@ def test_prefix_filter_candidate_guarantee(docs, t, heavy_k):
         if dedup._round6_half_up(dedup.ngram_jaccard(ta, tb)) >= t:
             assert (i, j) in cand, (i, j, ta, tb)
     assert all(a < b for a, b in cand)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["'", "\\"]
+            ),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_ascii_tokens_matches_duckdb_regexp(texts):
+    """textops._ascii_tokens == DuckDB regexp_extract_all(text,'\\S+')
+    on arbitrary unicode (incl. NBSP / \\v / CJK) — the r04 review's
+    divergence class, property-pinned."""
+    import duckdb
+    import pandas as pd
+
+    from cs_insights_crawler_ray.pipelines.textops import _ascii_tokens
+
+    ours = _ascii_tokens(pd.Series(texts, dtype=object)).tolist()
+    duck = [
+        r[0] or []
+        for r in duckdb.sql(
+            "SELECT regexp_extract_all(s, '\\S+') FROM (SELECT unnest(?) AS s)",
+            params=[texts],
+        ).fetchall()
+    ]
+    assert ours == duck
