@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
         ("q94_knn_graph", ann.q94_knn_graph),
+        ("q103_contrastive_triplets", ann.q103_contrastive_triplets),
         ("q101_pca_power", cluster.q101_pca_power),
         ("q90_nearest_centroid", cluster.q90_nearest_centroid),
         ("q77_dim_stats", cluster.q77_dim_stats),
@@ -1668,6 +1669,45 @@ def oracle_sql() -> dict[str, str]:
         "q101_pca_power": f"""
             SELECT dim, comp_ppm
             FROM read_parquet('{_artifact_glob("pca_seq")}')
+        """,
+        # q103: q94's top-1 neighbor as the positive + the Fibonacci
+        # hash-picked negative stepped past anchor/positive collisions
+        # (2 steps suffice by pigeonhole)
+        "q103_contrastive_triplets": """
+            WITH u AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS c
+              FROM embeddings),
+            d AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(sum(a.c * b.c) AS BIGINT) AS dot_q
+              FROM u a JOIN u b
+                ON a.dim = b.dim AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+            pos AS (
+              SELECT vec_id AS anchor_id, neighbor_id AS pos_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dot_q DESC, neighbor_id)
+                       AS rnk
+              FROM d QUALIFY rnk = 1),
+            nn AS (SELECT count(*) AS n FROM embeddings),
+            hs AS (
+              SELECT anchor_id, pos_id,
+                     CAST(((CAST(anchor_id AS HUGEINT)
+                            * 11400714819323198485)
+                           % 18446744073709551616) // 4294967296
+                          AS BIGINT) % n AS h0, n
+              FROM pos, nn)
+            SELECT anchor_id, pos_id,
+                   CAST(CASE
+                     WHEN h0 <> anchor_id AND h0 <> pos_id THEN h0
+                     WHEN (h0 + 1) % n <> anchor_id
+                          AND (h0 + 1) % n <> pos_id THEN (h0 + 1) % n
+                     ELSE (h0 + 2) % n
+                   END AS BIGINT) AS neg_id
+            FROM hs
         """,
         # q94: exact kNN graph — trunc-quantized coords (q77's
         # convention), exact integer dot products, per-row top-5 by

@@ -219,6 +219,7 @@ def run_bench() -> dict:
         timed("q100_table_checksum", R.q100_table_checksum)
         timed("q101_pca_power", cluster.q101_pca_power)
         timed("q102_model_score", textops.q102_model_score)
+        timed("q103_contrastive_triplets", ann.q103_contrastive_triplets)
 
     ray.shutdown()
 

@@ -654,3 +654,38 @@ def q94_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
         for qb in blks
     ]
     return rd.from_arrow_refs(merged)
+
+
+# ---------------------------------------------------------------------------
+# q103 — contrastive training-pair generation: for every vector an
+# (anchor, positive, negative) triplet — positive = its exact top-1
+# neighbor (the q94 kNN graph at k=1), negative = a deterministic
+# hash-picked far row (the standard "random negative" of contrastive /
+# embedding-training data prep, made reproducible: Fibonacci hash of
+# the anchor id mod n, stepped past anchor/positive collisions — at
+# most 2 steps by pigeonhole).  Assumes contiguous 0..n-1 vec_ids
+# (the table's key layout; q51/q84 share the assumption).
+#
+# Scale shape: q94's blocked pair/merge machinery does all the work;
+# the triplet pass is one stateless vectorized map over its n rows.
+# ---------------------------------------------------------------------------
+def q103_contrastive_triplets(sf_dir: str) -> rd.Dataset:
+    from .mlprep import _key_hash32
+
+    n = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).count()
+
+    def triplet(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["vec_id"].to_numpy(np.int64)
+        p = b["neighbor_id"].to_numpy(np.int64)
+        h = _key_hash32(a) % np.int64(n)
+        h = np.where((h == a) | (h == p), (h + 1) % n, h)
+        h = np.where((h == a) | (h == p), (h + 1) % n, h)
+        return pd.DataFrame(
+            {"anchor_id": a, "pos_id": p, "neg_id": h.astype(np.int64)}
+        )
+
+    return q94_knn_graph(sf_dir, k=1).map_batches(
+        triplet, batch_format="pandas"
+    )

@@ -671,3 +671,17 @@ def test_batch_gram_hashes64_short_and_empty_docs():
     assert grams[6] == s5[0]
     # distinct trigrams hash distinctly (here)
     assert len(np.unique(s5)) == 3
+
+
+def test_contrastive_triplets_rules(neardup_dir):
+    """q103: positive = the exact top-1 neighbor; negative never
+    equals anchor or positive; collision stepping is deterministic."""
+    got = ann.q103_contrastive_triplets(neardup_dir).to_pandas()
+    knn = ann.q94_knn_graph(neardup_dir, k=1).to_pandas()
+    top1 = dict(zip(knn["vec_id"], knn["neighbor_id"]))
+    n = len(got)
+    assert set(got["anchor_id"]) == set(top1)
+    for a, p, g in zip(got["anchor_id"], got["pos_id"], got["neg_id"]):
+        assert p == top1[a]
+        assert g != a and g != p
+        assert 0 <= g < n
