@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- training-data prep: clustering / quantiles / tf-idf /
     #    sampling / packing / indexing (cluster.py, mlprep.py, diff.py)
     mlprep_family = [
+        ("q104_source_cap", mlprep.q104_source_cap),
         ("q71_bm25_topk", retrieval.q71_bm25_topk),
         ("q84_shuffle_order", mlprep.q84_shuffle_order),
         ("q46_kmeans", cluster.q46_kmeans),
@@ -1129,6 +1130,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q50: the keep-predicate replayed verbatim — the SAME Fibonacci
         # multiplicative hash as mlprep._key_hash32, via HUGEINT mod-2^64
+        # q104: the per-source hard cap replayed with the identical
+        # HUGEINT Fibonacci hash + (hash, doc_id) rank
+        "q104_source_cap": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY CAST(((CAST(doc_id AS HUGEINT)
+                                        * 11400714819323198485)
+                                       % 18446744073709551616)
+                                      // 4294967296 AS BIGINT),
+                                 doc_id) AS BIGINT) AS keep_rank
+            FROM documents
+            QUALIFY keep_rank <= 20
+        """,
         "q50_stratified_sample": """
             WITH s AS (SELECT source, count(*) AS n
                        FROM documents GROUP BY 1)

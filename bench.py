@@ -220,6 +220,7 @@ def run_bench() -> dict:
         timed("q101_pca_power", cluster.q101_pca_power)
         timed("q102_model_score", textops.q102_model_score)
         timed("q103_contrastive_triplets", ann.q103_contrastive_triplets)
+        timed("q104_source_cap", mlprep.q104_source_cap)
 
     ray.shutdown()
 

@@ -853,3 +853,58 @@ def q84_shuffle_order(sf_dir: str) -> rd.Dataset:
         .sort(["hk", "doc_id"])
     )
     return rank_sorted(s, {"doc_id": pa.int64()}, "shuffle_rank")
+
+
+# ---------------------------------------------------------------------------
+# q104 — per-source document cap (the RefinedWeb/C4 "per-domain cap"
+# anti-spam rule): every source keeps at most CAP documents, chosen by
+# deterministic hash rank (fib_hash32(doc_id), ties by doc_id) so the
+# kept set is a pure function of the data — no clock, no task order.
+# Distinct from q50 (per-stratum ~target subsample via a stateless
+# predicate: approximate size) and q55 (global quota allocation):
+# this is the hard per-group ceiling, exact rank semantics.
+#
+# Scale shape: ONE source-hash exchange (a source's rows co-locate,
+# so the rank cut is partition-local and vectorized); rows carry only
+# (doc_id, source, hash) through the shuffle — text never moves.
+# Skew note: a single viral source bounds its partition at that
+# source's row count; the rank cut is a sort within the partition,
+# and the output is capped at CAP rows per source by construction.
+# ---------------------------------------------------------------------------
+DOMAIN_CAP = 20
+
+
+def q104_source_cap(sf_dir: str, cap: int = DOMAIN_CAP) -> rd.Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "source": b["source"].to_numpy(),
+                "hk": _key_hash32(b["doc_id"]),
+            }
+        )
+        out["_part"] = _crc_part32(out["source"])
+        return out
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "hk", "doc_id"], kind="mergesort")
+        rank = g.groupby("source", sort=False).cumcount().to_numpy()
+        kept = g[rank < cap]
+        return pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].to_numpy(np.int64),
+                "source": kept["source"].to_numpy(),
+                "keep_rank": (rank[rank < cap] + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(key, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(cut, batch_format="pandas")
+    )

@@ -558,3 +558,43 @@ def test_q101_pca_matches_eigh_direction(ray_session, tmp_path):
         else:
             os.environ["GRAFT_ORACLE_SF"] = prior
     assert got["comp_ppm"].tolist() == seq["comp_ppm"].tolist()
+
+
+def test_source_cap_rank_semantics(ray_session, tmp_path):
+    """q104: at most cap docs per source, chosen by (fib_hash, doc_id)
+    rank — verified against a serial recompute; a source under the cap
+    keeps everything."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines.mlprep import (
+        _key_hash32, q104_source_cap)
+
+    n = 55
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": ["x"] * n,
+            "source": ["big"] * 50 + ["small"] * 5,  # small < cap
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    got = (
+        q104_source_cap(str(tmp_path), cap=8)
+        .to_pandas()
+        .sort_values(["source", "keep_rank"])
+        .reset_index(drop=True)
+    )
+    assert got.groupby("source").size().to_dict() == {"big": 8, "small": 5}
+    # serial recompute of the kept set for 'big'
+    import numpy as np
+
+    ids = np.arange(50, dtype=np.int64)
+    hk = _key_hash32(pd.Series(ids))
+    order = np.lexsort((ids, hk))
+    want_big = set(ids[order][:8].tolist())
+    assert set(got[got["source"] == "big"]["doc_id"]) == want_big
+    # ranks are 1..k dense per source
+    assert got[got["source"] == "small"]["keep_rank"].tolist() == list(range(1, 6))
