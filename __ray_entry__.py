@@ -1128,8 +1128,6 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id
                 ORDER BY score DESC, tf DESC, term ASC) <= 3
         """,
-        # q50: the keep-predicate replayed verbatim — the SAME Fibonacci
-        # multiplicative hash as mlprep._key_hash32, via HUGEINT mod-2^64
         # q104: the per-source hard cap replayed with the identical
         # HUGEINT Fibonacci hash + (hash, doc_id) rank
         "q104_source_cap": """
@@ -1144,6 +1142,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY keep_rank <= 20
         """,
+        # q50: the keep-predicate replayed verbatim — the SAME Fibonacci
+        # multiplicative hash as mlprep._key_hash32, via HUGEINT mod-2^64
         "q50_stratified_sample": """
             WITH s AS (SELECT source, count(*) AS n
                        FROM documents GROUP BY 1)

@@ -1719,7 +1719,10 @@ def q99_rollup_aggregate(sf_dir: str) -> "pa.Table":
                     "n_rows": np.ones(len(qty_c), np.int64),
                 }
             )
-            .groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+            .groupby(
+                ["l_returnflag", "l_linestatus"], sort=False,
+                as_index=False, dropna=False,
+            )
             .sum()
         )
         return g
@@ -1730,10 +1733,13 @@ def q99_rollup_aggregate(sf_dir: str) -> "pa.Table":
         .to_pandas()  # BOUNDED: blocks × |flag×status| partial rows
     )
     cols = ["sum_qty_c", "n_rows"]
+    # dropna=False everywhere: a NULL key is a REAL group to DuckDB's
+    # ROLLUP (pandas' default silently drops the row from every level
+    # including the grand total — r04 review)
     fine = parts.groupby(
-        ["l_returnflag", "l_linestatus"], as_index=False
+        ["l_returnflag", "l_linestatus"], as_index=False, dropna=False
     )[cols].sum()
-    sub = fine.groupby("l_returnflag", as_index=False)[cols].sum()
+    sub = fine.groupby("l_returnflag", as_index=False, dropna=False)[cols].sum()
     sub["l_linestatus"] = None
     grand = pd.DataFrame(
         {

@@ -1058,10 +1058,25 @@ def q102_model_score(sf_dir: str) -> rd.Dataset:
     # equal to num_cpus deadlocks small sessions (the pool reserves
     # every CPU and the upstream read task can never schedule —
     # CLAUDE.md actor-pool rule, observed live with concurrency=4 on
-    # the 4-CPU pytest session)
+    # the 4-CPU pytest session).  cluster_resources() only AFTER the
+    # is_initialized guard: it raises without a live session, and this
+    # callable must lazily auto-init like every other queries() entry
+    # (r04 review).
     import ray
 
-    cap = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    return _read_docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
-        QualityModel, batch_format="pandas", concurrency=(1, min(4, cap))
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    if cpus < 2:
+        # a 1-CPU session cannot host a pool at all (even ONE pinned
+        # actor starves the read) — degrade to the cached-task form,
+        # same math, weights shipped per task (they are 28 ints)
+        return docs.map_batches(QualityModel(), batch_format="pandas")
+    return docs.map_batches(
+        QualityModel,
+        batch_format="pandas",
+        concurrency=(1, min(8, cpus - 1)),
     )

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Vector-family scale probe: q94 (exact kNN graph), q101 (integer
 PCA power iteration), q77 (dim stats) and q88 (centroid outliers) on
-synthetic embedding tables 4x-16x past sf0.1's 5,000 vectors.
+synthetic embedding tables 4x-8x past sf0.1's 5,000 vectors.
 Verifies the family's scale shapes: q94's O(B^2) pair/merge tasks
 actually fan out across blocks (the parquet is written with small row
 groups so Ray splits it), q101's driver fold stays at blocks x d^2

@@ -768,3 +768,46 @@ def test_table_checksum_detects_any_change(tmp_path):
         # bucket 1 (orderkeys 1, 9 -> 9%8=1) changed; bucket 2 intact
         assert got.loc[1, "checksum"] != base.loc[1, "checksum"]
         assert got.loc[2, "checksum"] == base.loc[2, "checksum"]
+
+
+def test_rollup_keeps_null_keys(tmp_path):
+    """q99: a NULL group key is a REAL group at every rollup level
+    (pandas' default dropna silently vanished the row from the grand
+    total — r04 review) — checked against DuckDB's native ROLLUP."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_insights_crawler_ray.pipelines import relational as R
+
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", None]),
+            "l_linestatus": pa.array(["F", None, "O"]),
+            "l_quantity": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = R.q99_rollup_aggregate(str(tmp_path)).to_pandas()
+    grand = got[got["l_returnflag"].isna() & got["l_linestatus"].isna()]
+    # grand total must include ALL THREE rows (700 cents)
+    assert 700 in grand["sum_qty_c"].tolist()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = con.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+                    AS sum_qty_c,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    ).df()
+    key = lambda d: sorted(
+        (str(a), str(b), int(c), int(n))
+        for a, b, c, n in d[
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "n_rows"]
+        ].itertuples(index=False)
+    )
+    assert key(got) == key(want)
