@@ -327,6 +327,10 @@ VEC_FIXED_SCALE = 1_000_000
 
 def q77_dim_stats(sf_dir: str) -> pa.Table:
     def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty block: a zero-row partial (d is unknowable here)
+            e = pa.array([], pa.int64())
+            return pa.table({"dim": e, "n": e, "sum_q": e, "sumsq_q": e})
         x = stack_embeddings_arrow(t["embedding"])  # (n, d) float64
         q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
         d = q.shape[1]
@@ -587,6 +591,17 @@ def pca_power_engine(sf_dir: str) -> pa.Table:
     time this directly; the serial artifact is O(n·d²) Python)."""
 
     def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty Ray Data block (block splitting past row count on
+            # tiny tables): contribute only the zero count row, like
+            # q94's _knn_quant_block guard (r04 ADVICE)
+            return pa.table(
+                {
+                    "i": pa.array([-1], pa.int64()),
+                    "j": pa.array([-1], pa.int64()),
+                    "v": pa.array([0], pa.int64()),
+                }
+            )
         x = stack_embeddings_arrow(t["embedding"])
         q = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
         n, d = q.shape

@@ -1783,13 +1783,26 @@ def q100_table_checksum(sf_dir: str) -> "pa.Table":
     from .mlprep import _FIB
 
     def part(t: pa.Table) -> "pd.DataFrame":
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        qc = (
-            _fixed(t["l_quantity"], 100)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
+        ok_i = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln_i = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qc_i = _fixed(t["l_quantity"], 100).to_numpy(zero_copy_only=False)
+        # the engine's uint64 cast wraps negatives mod 2^64, but the
+        # SQL oracle's HUGEINT % m keeps the dividend's SIGN — any
+        # negative key/quantity would silently diverge, so refuse
+        # loudly instead (r04 ADVICE; TPC-H fixtures are non-negative)
+        for name, arr in (
+            ("l_orderkey", ok_i),
+            ("l_linenumber", ln_i),
+            ("l_quantity", qc_i),
+        ):
+            if len(arr) and int(arr.min()) < 0:
+                raise ValueError(
+                    f"q100 checksum requires non-negative {name}: uint64 "
+                    "wrap diverges from the SQL oracle's signed % 2^64"
+                )
+        ok = ok_i.astype(np.uint64)
+        ln = ln_i.astype(np.uint64)
+        qc = qc_i.astype(np.uint64)
         with np.errstate(over="ignore"):
             enc = ok * np.uint64(1_000_003) + ln * np.uint64(7_919) + qc
             h = enc * _FIB

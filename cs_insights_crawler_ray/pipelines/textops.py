@@ -35,6 +35,21 @@ def _ascii_tokens(texts: pd.Series) -> pd.Series:
     return texts.str.findall(_TOK_RE)
 
 
+def _flat_distinct_counts(toks: pd.Series, n_rows: int) -> np.ndarray:
+    """Distinct-token count per row via ONE flat explode +
+    drop_duplicates C-path (the q79-family kernel) — callers must pass
+    a RangeIndex'd token series (reset_index first)."""
+    flat = toks.explode().dropna()
+    if not len(flat):
+        return np.zeros(n_rows, np.int64)
+    dd = pd.DataFrame(
+        {"i": flat.index.to_numpy(np.int64), "t": flat.to_numpy()}
+    ).drop_duplicates()
+    return np.bincount(dd["i"].to_numpy(np.int64), minlength=n_rows).astype(
+        np.int64
+    )
+
+
 def q13_token_stats(sf_dir: str) -> rd.Dataset:
     """Whitespace token count + non-space char count per document.
     SQL-oracled (string_split_regex)."""
@@ -209,15 +224,24 @@ DISTINCT_PPM_MIN = 300_000  # <30% distinct tokens -> drop
 
 
 def q62_repetition_filter(sf_dir: str) -> rd.Dataset:
-    from collections import Counter
-
     def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
         toks = _ascii_tokens(b["text"])
         n = toks.str.len().to_numpy(dtype=np.int64)
-        nd = toks.map(lambda ws: len(set(ws))).to_numpy(dtype=np.int64)
-        top2 = toks.map(
-            lambda ws: max(Counter(zip(ws, ws[1:])).values()) if len(ws) >= 2 else 0
-        ).to_numpy(dtype=np.int64)
+        nd = _flat_distinct_counts(toks, len(b))
+        # vectorized per-doc max-bigram count: flat bigrams from the
+        # shared q76 kernel, ONE pandas groupby (no per-doc Counter)
+        grams, valid, lens = _batch_bigrams(b["text"], toks=toks)
+        top2 = np.zeros(len(b), dtype=np.int64)
+        if grams is not None:
+            doc = np.repeat(np.arange(len(b)), lens)[:-1]
+            dfg = pd.DataFrame(
+                {"i": doc[valid], "g": grams.to_numpy()[valid]}
+            )
+            if len(dfg):
+                c = dfg.groupby(["i", "g"], sort=False).size()
+                mx = c.groupby(level=0).max()
+                top2[mx.index.to_numpy()] = mx.to_numpy()
         # a bigram seen once is not repetition — without this, any doc
         # shorter than 10 tokens trips the 20% gate on its first bigram
         top2 = np.where(top2 >= 2, top2, 0)
@@ -384,11 +408,12 @@ def q74_normalize(sf_dir: str) -> rd.Dataset:
 BIGRAM_VOCAB_V = 256
 
 
-def _batch_bigrams(texts: pd.Series):
+def _batch_bigrams(texts: pd.Series, toks: pd.Series | None = None):
     """(flat bigram strings, validity mask, per-doc lens) for a batch:
     tokens flattened once; bigram i pairs flat[i] with flat[i+1] and is
     valid iff both sit in the same document."""
-    toks = _ascii_tokens(texts)
+    if toks is None:
+        toks = _ascii_tokens(texts)
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total < 2:
@@ -1035,12 +1060,7 @@ class QualityModel:
         b = b.reset_index(drop=True)
         toks = _ascii_tokens(b["text"])
         f1 = toks.str.len().to_numpy(dtype=np.int64)
-        flat = toks.explode().dropna()
-        idx = flat.index.to_numpy(np.int64)
-        dd = pd.DataFrame({"i": idx, "t": flat.to_numpy()}).drop_duplicates()
-        f2 = np.bincount(
-            dd["i"].to_numpy(np.int64), minlength=len(b)
-        ).astype(np.int64)
+        f2 = _flat_distinct_counts(toks, len(b))
         f3 = b["n_chars"].to_numpy(np.int64)
         f = np.stack([f1, f2, f3], axis=1)  # (n, 3) int64
         h = np.maximum(f @ self.w1, 0)      # ReLU, exact ints
@@ -1065,11 +1085,13 @@ def q102_model_score(sf_dir: str) -> rd.Dataset:
     import ray
 
     docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 4))
-        if ray.is_initialized()
-        else 4
-    )
+    if not ray.is_initialized():
+        # an uninitialized session's eventual CPU count is unknowable
+        # here — guessing 4 and building a pinned pool deadlocks if the
+        # lazy auto-init lands on 1 CPU (r04 ADVICE).  The cached-task
+        # form is safe at every session size; weights are 28 ints.
+        return docs.map_batches(QualityModel(), batch_format="pandas")
+    cpus = int(ray.cluster_resources().get("CPU", 4))
     if cpus < 2:
         # a 1-CPU session cannot host a pool at all (even ONE pinned
         # actor starves the read) — degrade to the cached-task form,

@@ -42,8 +42,11 @@ def value_hash(df):
 d = to_pdf(em.entry())
 print(f"entry(): {len(d)} rows OK")
 qs, sqls = em.queries(), em.oracle_sql()
+only = sys.argv[1:]  # optional substring filters: run matching entries only
 fails = []
 for name in sorted(qs):
+    if only and not any(o in name for o in only):
+        continue
     t0 = time.perf_counter()
     try:
         rdf = to_pdf(qs[name](SF))
