@@ -16,8 +16,8 @@ from collections.abc import Callable
 from typing import Any
 
 from cs_insights_crawler_ray.pipelines import (
-    ann, cdc, cluster, crawl_queries, dblp, dedup, diff, graph, mlprep,
-    multimodal_queries, relational as R, retrieval, textops)
+    ann, cdc, cluster, crawl_queries, curation, dblp, dedup, diff, graph,
+    mlprep, multimodal_queries, relational as R, retrieval, textops)
 
 
 def entry() -> Any:
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- training-data prep: clustering / quantiles / tf-idf /
     #    sampling / packing / indexing (cluster.py, mlprep.py, diff.py)
     mlprep_family = [
+        ("q105_curation_pipeline", curation.q105_curation_pipeline),
         ("q104_source_cap", mlprep.q104_source_cap),
         ("q71_bm25_topk", retrieval.q71_bm25_topk),
         ("q84_shuffle_order", mlprep.q84_shuffle_order),
@@ -1392,6 +1393,87 @@ def oracle_sql() -> dict[str, str]:
             FROM gset t JOIN eval_g e USING (g)
             WHERE t.doc_id % 97 != 0
             GROUP BY t.doc_id
+        """,
+        # q105: the composed curation chain — every stage is an
+        # already-oracled entry's exact SQL (q96 gates + exact-dedup
+        # winner, q38/q70 recursive near-dup walk, q61 trigram
+        # decontamination, q60 quality/budget cut, q51 Fibonacci
+        # shards), so the only new thing under test is the WIRING and
+        # the engine's export write → read round trip.
+        "q105_curation_pipeline": _JACCARD_CTE.replace(
+            "WITH ", "WITH RECURSIVE "
+        ) + f""",
+            edges AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a
+                         JOIN sizes sb ON sb.doc_id = b
+              WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7),
+            sym AS (SELECT a AS node, b AS peer FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            walk(node, label) AS (
+              SELECT DISTINCT node, node FROM sym
+              UNION
+              SELECT s.node, w.label FROM sym s JOIN walk w ON w.node = s.peer),
+            grp AS (SELECT node AS doc_id, min(label) AS rep
+                    FROM walk GROUP BY node),
+            eval_g AS (SELECT DISTINCT g FROM gset WHERE doc_id % 97 = 0),
+            shared AS (SELECT t.doc_id, count(*) AS n_shared
+                       FROM gset t JOIN eval_g e USING (g)
+                       WHERE t.doc_id % 97 != 0 GROUP BY t.doc_id),
+            gate AS (
+              SELECT doc_id, md5(text) AS h,
+                     (lang = 'en' AND n_chars >= 120 AND n_chars <= 450
+                      AND len(regexp_extract_all(text, '\\S+')) > 0
+                      AND len(list_distinct(regexp_extract_all(text, '\\S+')))
+                            * 1000000
+                            // greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                          >= 400000) AS g3
+              FROM documents),
+            win AS (SELECT doc_id, g3,
+                           min(CASE WHEN g3 THEN doc_id END)
+                             OVER (PARTITION BY h) AS wmin
+                    FROM gate),
+            exact_kept AS (SELECT doc_id FROM win WHERE g3 AND doc_id = wmin),
+            surv AS (
+              SELECT k.doc_id
+              FROM exact_kept k
+              LEFT JOIN grp ON grp.doc_id = k.doc_id
+              LEFT JOIN shared sh ON sh.doc_id = k.doc_id
+              WHERE (grp.rep IS NULL OR grp.rep = k.doc_id)
+                AND coalesce(sh.n_shared, 0) < 3
+                AND k.doc_id % 97 != 0),
+            scored AS (
+              SELECT d.doc_id,
+                     CAST(len(list_filter(
+                              regexp_extract_all(lower(d.text), '\\w+'),
+                              x -> x IN ({_stoplist_sql('en')}))) * 1000000
+                          // greatest(len(regexp_extract_all(
+                                         lower(d.text), '\\w+')), 1)
+                          AS BIGINT) AS quality,
+                     CAST(array_length(regexp_extract_all(d.text, '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents d JOIN surv USING (doc_id)),
+            bdg AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget
+                    FROM scored),
+            cum AS (SELECT scored.*,
+                           CAST(SUM(n_tokens) OVER (
+                                    ORDER BY quality DESC, doc_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                                AS BIGINT) AS running
+                    FROM scored),
+            sel AS (SELECT doc_id, n_tokens FROM cum, bdg
+                    WHERE running <= budget)
+            SELECT CAST(hsh % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM (SELECT n_tokens,
+                         CAST(((CAST(doc_id AS HUGEINT)
+                                * 11400714819323198485)
+                               % 18446744073709551616) // 4294967296
+                              AS BIGINT) AS hsh
+                  FROM sel)
+            GROUP BY 1
         """,
         # q60: all-int64 quality key + inclusive running token sum in
         # (quality desc, doc_id) order, cut at total//4 — the window

@@ -70,8 +70,8 @@ def run_bench() -> dict:
     from cs_insights_crawler_ray.fixtures.content_store import ContentStoreConfig
     from cs_insights_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from cs_insights_crawler_ray.pipelines import (
-        ann, cdc, cluster, crawl_queries, dedup, diff, graph, mlprep,
-        relational as R, retrieval, textops)
+        ann, cdc, cluster, crawl_queries, curation, dedup, diff, graph,
+        mlprep, relational as R, retrieval, textops)
 
     # warm the page cache so we measure compute + shuffle, not cold reads
     import pyarrow.parquet as pq
@@ -221,6 +221,9 @@ def run_bench() -> dict:
         timed("q102_model_score", textops.q102_model_score)
         timed("q103_contrastive_triplets", ann.q103_contrastive_triplets)
         timed("q104_source_cap", mlprep.q104_source_cap)
+        # round-5: the composed end-to-end curation chain (gates →
+        # exact+near dedup → decontaminate → budget select → shards)
+        timed("q105_curation_pipeline", curation.q105_curation_pipeline)
 
     ray.shutdown()
 
