@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (candidate parquet + independent SQL brute join); the raw top-k
     # callables remain q16_lsh_ann / q41_ivf_ann
     ann_graph = [
+        ("q94b_ivf_knn_graph", ann.q94b_ivf_knn_recall),
         ("q94_knn_graph", ann.q94_knn_graph),
         ("q103_contrastive_triplets", ann.q103_contrastive_triplets),
         ("q101_pca_power", cluster.q101_pca_power),
@@ -1810,6 +1811,45 @@ def oracle_sql() -> dict[str, str]:
         # convention), exact integer dot products, per-row top-5 by
         # (dot DESC, neighbor ASC); int64 everywhere so the replay is
         # bit-exact
+        # q94b: recall counters of the IVF-bucketed graph tier vs an
+        # INDEPENDENT SQL recomputation of the exact kNN graph — the
+        # candidate pairs transit a deterministic parquet artifact
+        # (the q16/q41 recall-counter pattern applied to the
+        # self-join graph shape)
+        "q94b_ivf_knn_graph": f"""
+            WITH u AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(trunc(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS c
+              FROM embeddings),
+            d AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(sum(a.c * b.c) AS BIGINT) AS dot_q
+              FROM u a JOIN u b
+                ON a.dim = b.dim AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+            exact AS (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY dot_q DESC, neighbor_id) AS rnk
+              FROM d QUALIFY rnk <= 5),
+            cand AS (SELECT vec_id, neighbor_id
+                     FROM read_parquet('{_artifact_glob("q94b_ivf")}')),
+            c AS (SELECT vec_id, count(*) AS n_cand
+                  FROM cand GROUP BY vec_id),
+            h AS (SELECT cand.vec_id, count(*) AS n_hit
+                  FROM cand JOIN exact USING (vec_id, neighbor_id)
+                  GROUP BY cand.vec_id),
+            qq AS (SELECT DISTINCT vec_id FROM exact
+                   UNION SELECT DISTINCT vec_id FROM cand)
+            SELECT qq.vec_id,
+                   CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_cand,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+            FROM qq LEFT JOIN c ON c.vec_id = qq.vec_id
+                    LEFT JOIN h ON h.vec_id = qq.vec_id
+        """,
         "q94_knn_graph": """
             WITH u AS (
               SELECT vec_id,

@@ -211,6 +211,7 @@ def run_bench() -> dict:
         timed("q92_source_drift", textops.q92_source_drift)
         timed("q93_cross_source_dups", R.q93_cross_source_dups)
         timed("q94_knn_graph", ann.q94_knn_graph)
+        timed("q94b_ivf_knn_graph", ann.q94b_ivf_knn_graph)
         timed("q95_rule_hits", textops.q95_rule_hits)
         timed("q96_filter_funnel", textops.q96_filter_funnel)
         timed("q97_kmv_distinct", R.q97_kmv_distinct)

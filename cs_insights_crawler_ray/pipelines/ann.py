@@ -573,12 +573,14 @@ _KNN_EMPTY = pa.schema(
 )
 
 
-@ray.remote
-def _knn_pair_partial(qblk, dblk, k: int) -> pa.Table:
+def _knn_pair_kernel(qblk, dblk, k: int) -> pa.Table:
     """Partial top-k of one query block against one db block: one
     exact int64 matmul, then per query row the best k+1 entries by
     (dot DESC, neighbor ASC) with self-pairs dropped (+1 because self
-    can occupy a slot).  Emits <= rows(qblk) × (k+1) rows."""
+    can occupy a slot).  Emits <= rows(qblk) × (k+1) rows.  Plain
+    function so q94b's map_groups can call it in-task (a nested
+    .remote + blocking get inside a map_groups task can starve small
+    CPU sessions); q94 wraps it as the task `_knn_pair_partial`."""
     qids, qm = qblk
     dids, dm = dblk
     if not len(qids) or not len(dids):
@@ -613,6 +615,9 @@ def _knn_pair_partial(qblk, dblk, k: int) -> pa.Table:
             "dot_q": pa.array(dot[rows, cols], pa.int64()),
         }
     )
+
+
+_knn_pair_partial = ray.remote(_knn_pair_kernel)
 
 
 @ray.remote
@@ -657,19 +662,229 @@ def q94_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# q103 — contrastive training-pair generation: for every vector an
-# (anchor, positive, negative) triplet — positive = its exact top-1
-# neighbor (the q94 kNN graph at k=1), negative = a deterministic
-# hash-picked far row (the standard "random negative" of contrastive /
-# embedding-training data prep, made reproducible: Fibonacci hash of
-# the anchor id mod n, stepped past anchor/positive collisions — at
-# most 2 steps by pigeonhole).  Assumes contiguous 0..n-1 vec_ids
-# (the table's key layout; q51/q84 share the assumption).
+# q94b — IVF-bucketed kNN graph: the APPROXIMATE scale tier of q94.
+# Same contract (top-k neighbors per vector by exact int64 quantized
+# dot, ties (dot DESC, neighbor ASC)) but each vector's candidate set
+# is bounded to the vectors assigned to its nprobe nearest IVF cells
+# (q41's coarse quantizer applied to the SELF-JOIN shape), so pair
+# work drops from O(n²) to Σ_cell |Q_cell|·|D_cell| ≈ n²·nprobe/C.
 #
-# Scale shape: q94's blocked pair/merge machinery does all the work;
-# the triplet pass is one stateless vectorized map over its n rows.
+# Determinism: centroids are the q41 convention (evenly-spaced sorted
+# vec_ids — production would k-means a sample, same plumbing),
+# assignment = argmax int64 centroid dot (ties → lowest centroid
+# index via stable argsort), so the candidate set — and therefore the
+# whole output — is a pure function of the table.
+#
+# Scale shape: ONE cell-keyed exchange (db rows once, query rows
+# replicated nprobe× — the IVF cost model); per-cell partial top-k
+# tasks; one coarse fib-hash(vec_id) exchange merges each vector's
+# nprobe partials.  Nothing n-sized is broadcast or driver-held.
+# Hot-cell skew degenerates toward |cell|² pair work — the production
+# mitigations are more centroids / residual-split of oversized cells,
+# the same knobs as any IVF index; the recall counter (below) is the
+# honesty gate.
 # ---------------------------------------------------------------------------
-def q103_contrastive_triplets(sf_dir: str) -> rd.Dataset:
+IVF_KNN_CENTROIDS = 64
+IVF_KNN_NPROBE = 8
+
+
+def _ivf_knn_centroids(sf_dir: str, n_centroids: int) -> np.ndarray:
+    """(C, d) trunc-quantized int64 centroid matrix, deterministic."""
+    import pyarrow.parquet as pq
+
+    from .cluster import VEC_FIXED_SCALE
+
+    ids_all = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    n = len(ids_all)
+    c = max(1, min(n_centroids, n // 4))
+    cent_ids = np.sort(ids_all)[:: max(1, n // c)][:c]
+    cent_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cent_ids.tolist())],
+    )
+    order = np.argsort(cent_tbl["vec_id"].to_numpy(), kind="stable")
+    x = stack_embeddings_arrow(cent_tbl["embedding"])[order]
+    return np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
+
+
+def q94b_ivf_knn_graph(
+    sf_dir: str,
+    k: int = KNN_K,
+    n_centroids: int = IVF_KNN_CENTROIDS,
+    nprobe: int = IVF_KNN_NPROBE,
+) -> rd.Dataset:
+    from .cluster import VEC_FIXED_SCALE
+    from .mlprep import _key_hash32
+
+    centsq = _ivf_knn_centroids(sf_dir, n_centroids)
+    nprobe = min(nprobe, centsq.shape[0])
+    cref = ray.put(centsq)
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        cents = bget(cref)
+        x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        qm = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)
+        dots = qm @ cents.T  # (n, C) exact int64
+        # stable argsort of -dots → ties pick the LOWEST centroid idx
+        probe = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        n = len(b)
+        vid = b["vec_id"].to_numpy(np.int64)
+        # db row: assigned (nearest) cell once; query rows: all probes
+        cells = np.concatenate([probe[:, 0], probe.ravel()])
+        vids = np.concatenate([vid, np.repeat(vid, nprobe)])
+        isq = np.concatenate(
+            [np.zeros(n, np.int64), np.ones(n * nprobe, np.int64)]
+        )
+        reps = np.concatenate(
+            [np.arange(n), np.repeat(np.arange(n), nprobe)]
+        )
+        return pd.DataFrame(
+            {
+                "cell": cells.astype(np.int64),
+                "vec_id": vids,
+                "is_q": isq,
+                "embedding": b["embedding"].to_numpy()[reps],
+            }
+        )
+
+    def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["is_q"] == 1]
+        db = g[g["is_q"] == 0]
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+                "dot_q": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(qs) or not len(db):
+            return empty
+        qids = qs["vec_id"].to_numpy(np.int64)
+        dids = db["vec_id"].to_numpy(np.int64)
+        dorder = np.argsort(dids, kind="stable")  # pair tie-break needs
+        dids = dids[dorder]                        # ascending db ids
+        qm = np.trunc(
+            np.stack(qs["embedding"].to_numpy()).astype(np.float64)
+            * VEC_FIXED_SCALE
+        ).astype(np.int64)
+        dm = np.trunc(
+            np.stack(db["embedding"].to_numpy()).astype(np.float64)
+            * VEC_FIXED_SCALE
+        ).astype(np.int64)[dorder]
+        t = _knn_pair_kernel((qids, qm), (dids, dm), k)
+        return t.to_pandas() if t.num_rows else empty
+
+    def merge_grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["vec_id"].to_numpy(np.int64)
+        nb = g["neighbor_id"].to_numpy(np.int64)
+        d = g["dot_q"].to_numpy(np.int64)
+        order = np.lexsort((nb, -d, v))
+        v, nb, d = v[order], nb[order], d[order]
+        # a (vec, neighbor) pair reaches every SHARED probe cell —
+        # drop the duplicates before ranking
+        uniq = np.r_[True, (v[1:] != v[:-1]) | (nb[1:] != nb[:-1])] if len(
+            v
+        ) else np.zeros(0, bool)
+        v, nb, d = v[uniq], nb[uniq], d[uniq]
+        first = np.r_[True, v[1:] != v[:-1]] if len(v) else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(v)])
+        rank = np.arange(len(v), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < k
+        return pd.DataFrame(
+            {
+                "vec_id": v[keep],
+                "rank": rank[keep] + 1,
+                "neighbor_id": nb[keep],
+                "dot_q": d[keep],
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(route, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(cell_topk, batch_format="pandas")
+    )
+    withpart = parts.map_batches(
+        lambda b: b.assign(
+            _part=(_key_hash32(b["vec_id"]) & np.int64(31)).astype(np.int64)
+        ),
+        batch_format="pandas",
+    )
+    return (
+        withpart.groupby("_part")
+        .map_groups(merge_grp, batch_format="pandas")
+        .map_batches(
+            lambda b: b[["vec_id", "rank", "neighbor_id", "dot_q"]],
+            batch_format="pandas",
+        )
+    )
+
+
+def q94b_ivf_knn_recall(sf_dir: str) -> pa.Table:
+    """Driver entry: per-vector (n_cand, n_hit) of the IVF graph vs
+    the EXACT q94 graph (the q16/q41 recall-counter pattern).  The
+    candidate pairs land in a deterministic parquet the SQL oracle
+    joins against its own independent exact-graph recomputation."""
+    from .oracle_artifacts import write_atomic
+
+    ivf_df = q94b_ivf_knn_graph(sf_dir).to_pandas()  # n×k small-int rows
+    ivf = pa.table(
+        {
+            "vec_id": pa.array(ivf_df["vec_id"].to_numpy(np.int64)),
+            "neighbor_id": pa.array(
+                ivf_df["neighbor_id"].to_numpy(np.int64)
+            ),
+        }
+    )
+    write_atomic(ivf, "q94b_ivf", sf_dir)
+    exact = q94_knn_graph(sf_dir).to_pandas()
+    eset = set(zip(exact["vec_id"], exact["neighbor_id"]))
+    a_v = ivf["vec_id"].to_pylist()
+    a_n = ivf["neighbor_id"].to_pylist()
+    vids = sorted({v for v, _ in eset} | set(a_v))
+    n_cand = {v: 0 for v in vids}
+    n_hit = {v: 0 for v in vids}
+    for v, nb in zip(a_v, a_n):
+        n_cand[v] += 1
+        if (v, nb) in eset:
+            n_hit[v] += 1
+    return pa.table(
+        {
+            "vec_id": pa.array(vids, pa.int64()),
+            "n_cand": pa.array([n_cand[v] for v in vids], pa.int64()),
+            "n_hit": pa.array([n_hit[v] for v in vids], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — contrastive training-pair generation: for every vector an
+# (anchor, positive, negative) triplet — positive = its top-1
+# neighbor, negative = a deterministic hash-picked far row (the
+# standard "random negative" of contrastive / embedding-training data
+# prep, made reproducible: Fibonacci hash of the anchor id mod n,
+# stepped past anchor/positive collisions — at most 2 steps by
+# pigeonhole).  Assumes contiguous 0..n-1 vec_ids (the table's key
+# layout; q51/q84 share the assumption).
+#
+# graph="exact" (default, the driver-oracled form) composes the q94
+# exact kNN graph; graph="ivf" composes q94b's IVF tier — the 100 TB
+# path, where the exact O(blocks²) anchor is unaffordable and the
+# recall counter (q94b's driver entry) quantifies the positives'
+# fidelity instead.
+#
+# Scale shape: the chosen graph's blocked machinery does all the
+# work; the triplet pass is one stateless vectorized map over n rows.
+# ---------------------------------------------------------------------------
+def q103_contrastive_triplets(sf_dir: str, graph: str = "exact") -> rd.Dataset:
     from .mlprep import _key_hash32
 
     n = rd.read_parquet(
@@ -686,6 +901,10 @@ def q103_contrastive_triplets(sf_dir: str) -> rd.Dataset:
             {"anchor_id": a, "pos_id": p, "neg_id": h.astype(np.int64)}
         )
 
-    return q94_knn_graph(sf_dir, k=1).map_batches(
-        triplet, batch_format="pandas"
-    )
+    if graph == "ivf":
+        g = q94b_ivf_knn_graph(sf_dir, k=1)
+    elif graph == "exact":
+        g = q94_knn_graph(sf_dir, k=1)
+    else:
+        raise ValueError(f"q103: unknown graph tier {graph!r}")
+    return g.map_batches(triplet, batch_format="pandas")

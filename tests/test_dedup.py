@@ -685,3 +685,56 @@ def test_contrastive_triplets_rules(neardup_dir):
         assert p == top1[a]
         assert g != a and g != p
         assert 0 <= g < n
+
+
+def test_ivf_knn_graph_exact_dots_and_ranks(neardup_dir):
+    """q94b: every emitted (vec, neighbor, dot) carries the EXACT
+    quantized dot; per-vector ranks are contiguous from 1; no
+    duplicate pairs survive the multi-cell merge."""
+    got = ann.q94b_ivf_knn_graph(neardup_dir, k=4).to_pandas()
+    t = pq.read_table(f"{neardup_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    q = np.trunc(m * 1_000_000).astype(np.int64)
+    dot = q @ q.T
+    pos = {int(i): k for k, i in enumerate(ids)}
+    assert not got.duplicated(["vec_id", "neighbor_id"]).any()
+    for v, r, nb, dq in zip(
+        got["vec_id"], got["rank"], got["neighbor_id"], got["dot_q"]
+    ):
+        assert dq == dot[pos[v], pos[nb]]
+        assert v != nb
+    ranks = got.sort_values(["vec_id", "rank"]).groupby("vec_id")["rank"]
+    for _, rs in ranks:
+        assert rs.tolist() == list(range(1, len(rs) + 1))
+
+
+def test_ivf_knn_graph_recall_on_planted_clusters(neardup_dir):
+    """With 12 cells and nprobe=8 (2/3 of cells probed) on the planted
+    near-identical fixture, the IVF tier must recover well over half
+    of the exact graph; the counter arithmetic must be consistent."""
+    rc = ann.q94b_ivf_knn_recall(neardup_dir).to_pandas()
+    assert (rc["n_hit"] <= rc["n_cand"]).all()
+    exact = ann.q94_knn_graph(neardup_dir).to_pandas()
+    recall = rc["n_hit"].sum() / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_contrastive_triplets_ivf_tier(neardup_dir):
+    """q103 composes either graph: the IVF form obeys the same rules
+    with positives from the IVF top-1; unknown tiers raise."""
+    got = ann.q103_contrastive_triplets(neardup_dir, graph="ivf").to_pandas()
+    knn = ann.q94b_ivf_knn_graph(neardup_dir, k=1).to_pandas()
+    top1 = dict(zip(knn["vec_id"], knn["neighbor_id"]))
+    n = pq.read_table(
+        f"{neardup_dir}/embeddings.parquet", columns=["vec_id"]
+    ).num_rows
+    assert set(got["anchor_id"]) == set(top1)
+    for a, p, g in zip(got["anchor_id"], got["pos_id"], got["neg_id"]):
+        assert p == top1[a]
+        assert g != a and g != p
+        assert 0 <= g < n
+    with pytest.raises(ValueError):
+        ann.q103_contrastive_triplets(neardup_dir, graph="bogus")
