@@ -1165,10 +1165,29 @@ def run_crawl(
 
 
 def read_crawl_log(out_dir: str) -> pd.DataFrame:
-    """Full crawl order, sorted by fetch_seq — the parity artifact."""
+    """Full crawl order, sorted by fetch_seq — the parity artifact.
+    This DELIBERATELY materializes (q30/q67's contract is returning
+    the whole ordered log for value-hashing); consumers that only
+    need aggregates must use :func:`crawl_log_ds` instead (VERDICT
+    r04 finding #1)."""
     root = Path(out_dir) / "crawl_log"
     ds = rd.read_parquet(str(root))  # recurses into wave=* partitions
     df = ds.to_pandas()
     if "wave" in df.columns:  # hive partition column, if inferred
         df = df.drop(columns=["wave"])
     return df.sort_values("fetch_seq").reset_index(drop=True)
+
+
+def crawl_log_ds(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Streaming Dataset over the crawl-log parquet — the aggregate-
+    consumer variant of :func:`read_crawl_log`: nothing lands on the
+    driver; callers aggregate via map_batches / groupby.  The hive
+    ``wave`` partition column is dropped so the schema equals
+    read_crawl_log's columns.  Not fetch_seq-ordered (order is data —
+    sort explicitly if the consumer needs it)."""
+    root = Path(out_dir) / "crawl_log"
+    ds = rd.read_parquet(str(root), columns=columns)
+    names = ds.schema().names
+    if "wave" in names:
+        ds = ds.drop_columns(["wave"])
+    return ds

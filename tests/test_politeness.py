@@ -83,20 +83,37 @@ def test_crawl_respects_budget_per_wave(tmp_path):
     )
     out = str(tmp_path)
     run_crawl(cfg, out)
-    log = read_crawl_log(out)
-    log["host"] = log["url_canon"].str.extract(r"https://([^/]+)/")[0]
-    # reconstruct waves from manifests' fetch_seq ranges
+    # aggregate-only consumer: the DISTRIBUTED log Dataset (VERDICT
+    # r04 #6) — per-(wave, host) counts fold from per-block partials,
+    # the raw log never lands on the driver
     import json
     from pathlib import Path
 
+    from cs_insights_crawler_ray.pipelines.crawl import crawl_log_ds
+
     manifests = sorted(Path(out, "checkpoints").glob("manifest_wave*.json"))
-    lo = 0
-    for mp in manifests:
-        m = json.loads(mp.read_text())
-        hi = m["next_fetch_seq"]
-        wave_hosts = log[(log["fetch_seq"] >= lo) & (log["fetch_seq"] < hi)]["host"]
-        assert wave_hosts.value_counts().max() <= cfg.host_budget
-        lo = hi
+    bounds = np.array(
+        [json.loads(mp.read_text())["next_fetch_seq"] for mp in manifests],
+        dtype=np.int64,
+    )
+
+    def part(b):
+        host = b["url_canon"].str.extract(r"https://([^/]+)/")[0]
+        wave = np.searchsorted(bounds, b["fetch_seq"].to_numpy(), side="right")
+        g = (
+            pd.DataFrame({"wave": wave, "host": host})
+            .groupby(["wave", "host"], as_index=False)
+            .size()
+        )
+        return g
+
+    parts = (
+        crawl_log_ds(out, columns=["url_canon", "fetch_seq"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()  # BOUNDED: waves × hosts × blocks partial rows
+    )
+    per = parts.groupby(["wave", "host"])["size"].sum()
+    assert len(per) > 0 and per.max() <= cfg.host_budget
 
 
 def test_salted_aggregate_matches_plain():
