@@ -33,7 +33,7 @@ SERIAL_PHASE_KEYS = ("admission", "links", "log", "merge_launch",
                      "payload_join", "checkpoint", "adm_prebuild_join")
 
 def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512,
-          n_waves: int = 3, zipf_a: float = 1.3) -> dict:
+          n_waves: int = 3, zipf_a: float = 1.3, n_shards: int = 8) -> dict:
     import ray
 
     ray.init(
@@ -57,7 +57,7 @@ def probe(n_seeds: int, tag: str, num_cpus: int, n_hosts: int = 512,
         wave_size=8192,
         n_waves=n_waves,
         max_depth=10,
-        n_shards=8,
+        n_shards=n_shards,
         fetch_batch=256,
         seen_capacity=1 << 20,
         extract_features=False,  # keep fetch light so constants are exposed
@@ -131,6 +131,50 @@ def main() -> None:
         }
         r["metric"] = "12-wave endurance: serial residue across compaction"
         print(json.dumps(r))
+        return
+    if "--hosts1m" in sys.argv:
+        # politeness floor, NEXT decade (VERDICT r04 #5): 512 -> 1M
+        # hosts at the SAME 2M-row frontier.  At 1M hosts every host
+        # holds ~2 pending rows (< budget 32), so the per-host budget
+        # prefix — the head — IS the whole frontier: this measures the
+        # irreducible O(head) term any per-host-budgeted scheduler
+        # pays per wave at 10^8-host-scale host/row ratios.  The third
+        # arm re-runs 1M hosts at n_shards=32 (4x) to measure the
+        # documented mitigation: heads are per-PARTITION, so growing
+        # n_shards with the host count holds the per-partition head —
+        # and the serial merge term — constant.
+        lo = probe(2_000_000, "h1m_lo", num_cpus, n_hosts=512)
+        hi = probe(2_000_000, "h1m_hi", num_cpus, n_hosts=1_048_576)
+        hi32 = probe(2_000_000, "h1m_hi32", num_cpus,
+                     n_hosts=1_048_576, n_shards=32)
+
+        def resid(r: dict) -> float:
+            return round(
+                sum(
+                    sum(w.get(k, 0.0) for k in SERIAL_PHASE_KEYS)
+                    for wv, w in r["waves"].items()
+                    if int(wv) > 0
+                ),
+                2,
+            )
+
+        print(json.dumps({
+            "metric": "per-wave serial residue vs host count, next decade"
+                      " (same 2M-row frontier; third arm = n_shards 8->32"
+                      " at 1M hosts)",
+            "num_cpus": num_cpus,
+            "hosts_512_shards8": lo,
+            "hosts_1M_shards8": hi,
+            "hosts_1M_shards32": hi32,
+            "serial_residue_512_sec": resid(lo),
+            "serial_residue_1M_sec": resid(hi),
+            "serial_residue_1M_shards32_sec": resid(hi32),
+            "host_ratio": 2048.0,
+            "residue_ratio_shards8": round(resid(hi) / max(resid(lo), 1e-9), 2),
+            "shards32_mitigation": round(
+                resid(hi32) / max(resid(hi), 1e-9), 2
+            ),
+        }))
         return
     hosts_mode = "--hosts" in sys.argv
     skew_mode = "--skew" in sys.argv and not hosts_mode
