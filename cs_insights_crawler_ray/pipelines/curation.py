@@ -206,8 +206,18 @@ def q105_curation_pipeline(
         .groupby("_part")
         .map_groups(_exact_winners, batch_format="pandas")
     )
-    # near-dup drop + decontamination (+ eval-holdout exclusion)
+    # near-dup drop + decontamination (+ eval-holdout exclusion).
+    # The two drop-set pipelines are independent — materialize them
+    # CONCURRENTLY from two driver threads (each owns its own
+    # streaming executor) so q38's group build and q61's gram scan
+    # overlap instead of serializing (measured ~1.5 s at sf0.1).
     near_drop, flagged = _dropset_tables(sf_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fn = ex.submit(near_drop.materialize)
+        ff = ex.submit(flagged.materialize)
+        near_drop, flagged = fn.result(), ff.result()
     kept = _anti_filter(kept, near_drop, broadcast_limit)
     kept = _anti_filter(kept, flagged, broadcast_limit)
     kept = kept.map_batches(

@@ -84,19 +84,25 @@ class Sampler(threading.Thread):
 
 
 def _spill_stats() -> str:
-    """Ray's own spill accounting (raylet memory summary tail)."""
-    try:
-        from ray._private.internal_api import memory_summary
+    """Object-spill accounting from the session's spill directory
+    (created on first spill; absent == nothing spilled).  The
+    memory_summary API needs grpc, which this sandbox lacks — the
+    filesystem is the ground truth anyway."""
+    import glob as _glob
 
-        s = memory_summary(stats_only=True)
-        lines = [
-            ln.strip()
-            for ln in s.splitlines()
-            if "Spilled" in ln or "Restored" in ln or "Plasma" in ln
-        ]
-        return "; ".join(lines) if lines else "no spill lines"
-    except Exception as e:  # internal API drift: report, don't crash
-        return f"unavailable ({type(e).__name__})"
+    import ray
+
+    try:
+        session = ray._private.worker._global_node.get_session_dir_path()
+    except Exception:
+        cands = sorted(_glob.glob("/tmp/ray/*/session_*"))
+        session = cands[-1] if cands else ""
+    files = _glob.glob(f"{session}/ray_spilled_objects*/**", recursive=True)
+    files = [f for f in files if os.path.isfile(f)]
+    if not files:
+        return f"0 spilled objects (no spill dir under {session or '?'})"
+    total = sum(os.path.getsize(f) for f in files)
+    return f"{len(files)} spilled files, {total / GiB:.2f} GiB"
 
 
 def generate_sf1() -> None:
