@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #    sampling / packing / indexing (cluster.py, mlprep.py, diff.py)
     mlprep_family = [
         ("q105_curation_pipeline", curation.q105_curation_pipeline),
+        ("q106_rag_context", retrieval.q106_rag_context),
         ("q104_source_cap", mlprep.q104_source_cap),
         ("q71_bm25_topk", retrieval.q71_bm25_topk),
         ("q84_shuffle_order", mlprep.q84_shuffle_order),
@@ -1234,6 +1235,80 @@ def oracle_sql() -> dict[str, str]:
         # are BIGINT floor divisions (retrieval.py docstring derives
         # the fraction-cleared form), the per-doc score is an
         # order-free int64 sum, ties break (score DESC, doc_id ASC)
+        # q106: the RAG retrieval→context composition — q71's whole
+        # SQL demoted to CTEs ending in `hits`, q85's chunk CTEs
+        # restricted to the hit documents, joined on doc_id.  Every
+        # stage is an already-oracled entry's exact SQL; the wiring is
+        # the only new thing under test (the q105 discipline).
+        "q106_rag_context": """
+            WITH q(qid, term) AS (VALUES
+                (1,'hash'),(1,'join'),(1,'table'),
+                (2,'fast'),(2,'scan'),(2,'filter'),
+                (3,'window'),(3,'agg'),(3,'group'),(3,'sort'),
+                (4,'dup'),(4,'stream')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                           AS term
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) AS t),
+            a AS (SELECT n, greatest(1, t // n) AS avgdl FROM st),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+                    GROUP BY 1),
+            tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+                   FROM toks t
+                   WHERE t.term IN (SELECT DISTINCT term FROM q)
+                   GROUP BY 1, 2),
+            contrib AS (
+                SELECT tf.doc_id, tf.term,
+                       ((1000 * a.n) // (d.df + 1))
+                       * ((44000 * tf.tf * a.avgdl)
+                          // (20*a.avgdl*tf.tf + 6*a.avgdl + 18*dl.dl))
+                           AS c
+                FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN a),
+            score AS (
+                SELECT q.qid, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
+                FROM (SELECT DISTINCT qid, term FROM q) q
+                JOIN contrib c USING (term)
+                GROUP BY 1, 2),
+            hits AS (
+                SELECT CAST(qid AS BIGINT) AS qid,
+                       CAST(row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                           AS rank,
+                       doc_id
+                FROM score
+                QUALIFY row_number() OVER (
+                    PARTITION BY qid ORDER BY score DESC, doc_id ASC) <= 10),
+            ctk AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                    FROM documents
+                    WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+            cp AS (SELECT doc_id, tk, len(tk) AS n FROM ctk),
+            cc AS (SELECT doc_id, tk, n,
+                          CASE WHEN n = 0 THEN 0
+                               ELSE 1 + (greatest(n - 64, 0) + 47) // 48
+                          END AS m
+                   FROM cp),
+            ce AS (SELECT doc_id, tk, n,
+                          unnest(generate_series(0, m - 1)) AS i
+                   FROM cc WHERE m > 0),
+            chunks AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                       CAST(least(i * 48 + 64, n) - i * 48 AS BIGINT)
+                           AS n_tokens,
+                       array_to_string(
+                           tk[i * 48 + 1 : least(i * 48 + 64, n)], ' ')
+                           AS chunk_text
+                FROM ce)
+            SELECT h.qid, h.rank, c.doc_id, c.chunk_id, c.n_tokens,
+                   c.chunk_text
+            FROM hits h JOIN chunks c USING (doc_id)
+        """,
         "q71_bm25_topk": """
             WITH q(qid, term) AS (VALUES
                 (1,'hash'),(1,'join'),(1,'table'),

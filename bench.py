@@ -225,6 +225,7 @@ def run_bench() -> dict:
         # round-5: the composed end-to-end curation chain (gates →
         # exact+near dedup → decontaminate → budget select → shards)
         timed("q105_curation_pipeline", curation.q105_curation_pipeline)
+        timed("q106_rag_context", retrieval.q106_rag_context)
 
     ray.shutdown()
 

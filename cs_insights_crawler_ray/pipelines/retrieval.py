@@ -193,3 +193,55 @@ def q71_bm25_topk(sf_dir: str, k: int = BM25_TOP_K) -> pa.Table:
     return pa.Table.from_pandas(
         merged.astype(np.int64), preserve_index=False
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — RAG context assembly: the retrieval→context composition every
+# retrieval-augmented pipeline runs — BM25 top-k (q71) picks the
+# documents, the q85 window chunker explodes JUST those documents into
+# model context windows, each labeled with the (qid, rank) that
+# retrieved it.  Like q105, the stages are individually-oracled
+# operators; the composition's only new degree of freedom is the
+# wiring.
+#
+# Scale shape: the hit set is bounded by |queries| × k by contract, so
+# it broadcasts (ray.put once); the corpus pays ONE stateless filtered
+# pass that chunks only matching docs — never "chunk everything, then
+# join".  Nothing shuffles; output streams.
+# ---------------------------------------------------------------------------
+def q106_rag_context(sf_dir: str, k: int = BM25_TOP_K) -> rd.Dataset:
+    from .dedup import _sorted_lookup
+    from .textops import chunk_batch
+
+    hits = q71_bm25_topk(sf_dir, k).to_pandas()  # bounded: queries × k
+    ids = np.sort(hits["doc_id"].unique().astype(np.int64))
+    href = ray.put((ids, hits[["qid", "rank", "doc_id"]]))
+
+    def chunk_hits(b: pd.DataFrame) -> pd.DataFrame:
+        ids_l, hdf = bget(href)
+        d = b["doc_id"].to_numpy(np.int64)
+        _, hit = _sorted_lookup(ids_l, ids_l, d)
+        sub = b[hit].reset_index(drop=True)
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+                "doc_id": pd.Series(dtype=np.int64),
+                "chunk_id": pd.Series(dtype=np.int64),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "chunk_text": pd.Series(dtype=object),
+            }
+        )
+        if not len(sub):
+            return empty
+        chunks = chunk_batch(sub)
+        if not len(chunks):
+            return empty
+        out = chunks.merge(hdf, on="doc_id")
+        return out[
+            ["qid", "rank", "doc_id", "chunk_id", "n_tokens", "chunk_text"]
+        ]
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(chunk_hits, batch_format="pandas")

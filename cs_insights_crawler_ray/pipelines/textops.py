@@ -660,51 +660,55 @@ CHUNK_S = 48   # stride (overlap = 16)
 
 
 def q85_context_chunks(sf_dir: str) -> rd.Dataset:
-    def chunk(b: pd.DataFrame) -> pd.DataFrame:
-        toks = _ascii_tokens(b["text"])
-        lens = toks.str.len().to_numpy(np.int64)
-        m = np.where(
-            lens == 0,
-            0,
-            1 + (np.maximum(lens - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S,
-        )
-        total = int(m.sum())
-        if total == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(dtype=np.int64),
-                    "chunk_id": pd.Series(dtype=np.int64),
-                    "n_tokens": pd.Series(dtype=np.int64),
-                    "chunk_text": pd.Series(dtype=object),
-                }
-            )
-        doc_idx = np.repeat(np.arange(len(b)), m)
-        first = np.concatenate([[0], np.cumsum(m)[:-1]])
-        ci = np.arange(total) - np.repeat(first, m)          # chunk no. in doc
-        start = ci * CHUNK_S
-        end = np.minimum(start + CHUNK_W, lens[doc_idx])
-        # gather token indices for every chunk in one flat array
-        flat = toks.explode().dropna().to_numpy()            # all tokens
-        doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        gs, clen = doc_off[doc_idx] + start, (end - start).astype(np.int64)
-        cs = np.concatenate([[0], np.cumsum(clen)[:-1]])
-        idx = np.repeat(gs, clen) + (np.arange(int(clen.sum())) - np.repeat(cs, clen))
-        texts = (
-            pd.Series(flat[idx])
-            .groupby(np.repeat(np.arange(total), clen))
-            .agg(" ".join)
-        )
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_batch, batch_format="pandas"
+    )
+
+
+def chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """q85's vectorized window-chunk kernel, module-level so the RAG
+    composition (retrieval.q106_rag_context) reuses the identical
+    layout on its retrieved subset."""
+    toks = _ascii_tokens(b["text"])
+    lens = toks.str.len().to_numpy(np.int64)
+    m = np.where(
+        lens == 0,
+        0,
+        1 + (np.maximum(lens - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S,
+    )
+    total = int(m.sum())
+    if total == 0:
         return pd.DataFrame(
             {
-                "doc_id": b["doc_id"].to_numpy()[doc_idx],
-                "chunk_id": ci.astype(np.int64),
-                "n_tokens": clen,
-                "chunk_text": texts.to_numpy(),
+                "doc_id": pd.Series(dtype=np.int64),
+                "chunk_id": pd.Series(dtype=np.int64),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "chunk_text": pd.Series(dtype=object),
             }
         )
-
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        chunk, batch_format="pandas"
+    doc_idx = np.repeat(np.arange(len(b)), m)
+    first = np.concatenate([[0], np.cumsum(m)[:-1]])
+    ci = np.arange(total) - np.repeat(first, m)          # chunk no. in doc
+    start = ci * CHUNK_S
+    end = np.minimum(start + CHUNK_W, lens[doc_idx])
+    # gather token indices for every chunk in one flat array
+    flat = toks.explode().dropna().to_numpy()            # all tokens
+    doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    gs, clen = doc_off[doc_idx] + start, (end - start).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(clen)[:-1]])
+    idx = np.repeat(gs, clen) + (np.arange(int(clen.sum())) - np.repeat(cs, clen))
+    texts = (
+        pd.Series(flat[idx])
+        .groupby(np.repeat(np.arange(total), clen))
+        .agg(" ".join)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"].to_numpy()[doc_idx],
+            "chunk_id": ci.astype(np.int64),
+            "n_tokens": clen,
+            "chunk_text": texts.to_numpy(),
+        }
     )
 
 

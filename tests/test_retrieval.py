@@ -141,3 +141,23 @@ def test_bm25_zero_score_doc_still_ranks(ray_session, tmp_path):
     q4 = got[got["qid"] == 4]
     assert len(q4) == 1
     assert q4.iloc[0]["doc_id"] == 5000 and q4.iloc[0]["score"] == 0
+
+
+def test_rag_context_composition(ray_session):
+    """q106: chunks appear for EXACTLY the q71 hit docs, each labeled
+    with that doc's (qid, rank), and per-doc chunks equal q85's layout
+    for the same doc."""
+    from cs_insights_crawler_ray.pipelines import retrieval as rmod
+    from cs_insights_crawler_ray.pipelines import textops
+
+    sf = "/root/testdata/sf0.001"
+    got = rmod.q106_rag_context(sf).to_pandas()
+    hits = rmod.q71_bm25_topk(sf).to_pandas()
+    want_pairs = set(zip(hits["qid"], hits["rank"], hits["doc_id"]))
+    assert set(zip(got["qid"], got["rank"], got["doc_id"])) == want_pairs
+    chunks = textops.q85_context_chunks(sf).to_pandas()
+    for (qid, doc), sub in got.groupby(["qid", "doc_id"]):
+        ref = chunks[chunks["doc_id"] == doc].sort_values("chunk_id")
+        sub = sub.sort_values("chunk_id")
+        assert sub["chunk_text"].tolist() == ref["chunk_text"].tolist()
+        assert sub["n_tokens"].tolist() == ref["n_tokens"].tolist()
