@@ -74,6 +74,9 @@ def main() -> None:
         ("q77_dim_stats", cluster.q77_dim_stats),
         ("q88_centroid_outliers", cluster.q88_centroid_outliers),
         ("q94_knn_graph", ann.q94_knn_graph),
+        # the approximate tier: pair work n²·nprobe/C instead of n² —
+        # must pull ahead of the exact graph as n grows
+        ("q94b_ivf_knn_graph", ann.q94b_ivf_knn_graph),
     ]
     for n in sizes:
         d = f"/tmp/vec_probe_{n}"
