@@ -725,6 +725,18 @@ def q94b_ivf_knn_graph(
 
     def route(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
+        if not len(b):
+            # empty pandas batch (block splitting past row count on
+            # tiny tables) — np.stack would raise (r05 review; same
+            # guard family as q77/pca/_knn_quant_block)
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series(dtype=np.int64),
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "is_q": pd.Series(dtype=np.int64),
+                    "embedding": pd.Series(dtype=object),
+                }
+            )
         cents = bget(cref)
         x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         qm = np.trunc(x * VEC_FIXED_SCALE).astype(np.int64)

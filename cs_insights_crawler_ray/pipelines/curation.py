@@ -59,7 +59,7 @@ import ray
 import ray.data as rd
 
 from ..functions.broadcast import bget
-from ..functions.text import _LANG_PROFILES, _WORD_RE as _QRE, token_counts
+from ..functions.text import _LANG_PROFILES, _WORD_RE as _QRE
 from ..sources.sinks import clear_partition
 from .dedup import (
     _SPLIT_BROADCAST_LIMIT,
@@ -119,7 +119,10 @@ def _gate_and_score(b: pd.DataFrame) -> pd.DataFrame:
             "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in s["text"]],
             "doc_id": s["doc_id"].to_numpy(np.int64),
             "quality": (hits * 1_000_000) // n_words,
-            "n_tokens": token_counts(s["text"]).to_numpy(),
+            # nt already counts the identical \S+ runs (token_counts
+            # is str.count of the same ASCII pattern) — no second
+            # regex pass over the survivor text (r05 review)
+            "n_tokens": nt[g3.nonzero()[0]],
         }
     )
     out["_part"] = _crc_part32(out["h"])
@@ -198,7 +201,7 @@ def q105_curation_pipeline(
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        columns=["doc_id", "text", "lang", "n_chars"],
     )
     # gates → exact dedup: one pass + the shared crc32(h) exchange
     kept = (
@@ -241,6 +244,13 @@ def q105_curation_pipeline(
     # export: semi-join selected ids back to text, shard by Fibonacci
     # hash, write hive-partitioned parquet (q51's shape)
     n_sel = sel.count()
+    if n_sel == 0:
+        # nothing survived the budget cut (tiny / all-filtered corpus):
+        # the export writes no files, so the read-back would raise on a
+        # missing directory — return the 0-row counters table the
+        # oracle's empty GROUP BY also produces (r05 review)
+        e = pa.array([], pa.int64())
+        return pa.table({"shard": e, "n_docs": e, "sum_tokens": e})
     text_ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )

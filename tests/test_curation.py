@@ -78,3 +78,25 @@ def test_q105_survivors_pass_every_gate(ray_session, tmp_path):
         """
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_q105_empty_survivor_set_returns_zero_rows(ray_session, tmp_path):
+    """A corpus where no doc passes the language gate must yield the
+    0-row counters table, not crash on the missing export dir."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["ein kurzer text"] * 3,
+            "lang": ["de"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [200] * 3,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    t = q105_curation_pipeline(
+        str(tmp_path), out_root=str(tmp_path / "out")
+    )
+    assert t.num_rows == 0
+    assert t.column_names == ["shard", "n_docs", "sum_tokens"]
