@@ -2,8 +2,8 @@
 operator family chained into ONE corpus-curation run, the product the
 individual entries exist for (reference analog: the reference's
 ``process.main`` end-to-end trace — ``/root/reference/csinsights/
-process.py`` chains client → filter → merge → export the same way,
-serially).
+process.py:156-185`` chains client → filter → merge → export the
+same way, serially).
 
 Stage chain (each stage's semantics are the already-oracled entry's,
 so the composition has exactly one new degree of freedom — the
