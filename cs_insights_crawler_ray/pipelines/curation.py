@@ -50,6 +50,8 @@ a hidden materialization):
 
 from __future__ import annotations
 
+import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -191,12 +193,69 @@ def _anti_filter(
     return joined.map_batches(survivors, batch_format="pyarrow")
 
 
+def _export_config(sf_dir: str) -> dict:
+    """The determinism fingerprint of a q105 export: same config ⇒
+    byte-identical output, so a matching committed manifest makes a
+    re-run skippable (the resumable-output contract)."""
+    return {
+        "sf_dir": str(sf_dir),
+        "near_t": CUR_NEAR_T,
+        "decon_min": CUR_DECON_MIN,
+        "budget_frac": CUR_BUDGET_FRAC,
+        "shards": CUR_SHARDS,
+        "version": 1,
+    }
+
+
+def _counters_from(out_root: str) -> pa.Table:
+    """(shard, n_docs, sum_tokens) derived by READING the export —
+    shared by the fresh run and the resume path, so both return the
+    write → read round-trip-checked numbers."""
+    back = rd.read_parquet(out_root, columns=["shard", "doc_id", "n_tokens"])
+
+    def counters(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("shard", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        g["shard"] = g["shard"].astype("int64")
+        return g
+
+    parts = back.map_batches(counters, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("shard", as_index=False)[["n_docs", "sum_tokens"]]
+        .sum()
+        .sort_values("shard")
+    )
+    return pa.table(
+        {
+            "shard": pa.array(out["shard"].to_numpy(np.int64), pa.int64()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64), pa.int64()),
+            "sum_tokens": pa.array(
+                out["sum_tokens"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def q105_curation_pipeline(
     sf_dir: str,
     out_root: str | None = None,
     broadcast_limit: int = _SPLIT_BROADCAST_LIMIT,
+    resume: bool = False,
 ) -> pa.Table:
     out_root = out_root or f"/tmp/ciq_curation_{Path(sf_dir).name}"
+    manifest = Path(out_root) / "_manifest.json"
+    if resume and manifest.exists():
+        try:
+            m = json.loads(manifest.read_text())
+        except Exception:
+            m = None
+        if m and m.get("config") == _export_config(sf_dir):
+            # a committed export of the identical deterministic config:
+            # zero recompute, counters re-derived from the shards (so a
+            # corrupted/missing shard file still fails loudly here)
+            return _counters_from(out_root)
+        # config drift or unreadable manifest: fall through and rebuild
     clear_partition(out_root)
 
     docs = rd.read_parquet(
@@ -291,27 +350,20 @@ def q105_curation_pipeline(
 
     # counters from the WRITTEN files: the oracle transitively checks
     # the full chain + the write → read round trip
-    back = rd.read_parquet(out_root, columns=["shard", "doc_id", "n_tokens"])
-
-    def counters(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("shard", as_index=False).agg(
-            n_docs=("doc_id", "size"), sum_tokens=("n_tokens", "sum")
+    result = _counters_from(out_root)
+    # commit the manifest LAST (atomic tmp+rename): its presence means
+    # "every shard above is complete for this config" — a kill at any
+    # earlier point leaves no manifest and resume rebuilds from scratch
+    # (shard writes themselves are replace-partition idempotent)
+    tmp = manifest.with_suffix(f".tmp.{os.getpid()}")
+    tmp.write_text(
+        json.dumps(
+            {
+                "config": _export_config(sf_dir),
+                "n_docs": int(sum(result["n_docs"].to_pylist())),
+                "sum_tokens": int(sum(result["sum_tokens"].to_pylist())),
+            }
         )
-        g["shard"] = g["shard"].astype("int64")
-        return g
-
-    parts = back.map_batches(counters, batch_format="pandas").to_pandas()
-    out = (
-        parts.groupby("shard", as_index=False)[["n_docs", "sum_tokens"]]
-        .sum()
-        .sort_values("shard")
     )
-    return pa.table(
-        {
-            "shard": pa.array(out["shard"].to_numpy(np.int64), pa.int64()),
-            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64), pa.int64()),
-            "sum_tokens": pa.array(
-                out["sum_tokens"].to_numpy(np.int64), pa.int64()
-            ),
-        }
-    )
+    os.replace(tmp, manifest)
+    return result

@@ -100,3 +100,34 @@ def test_q105_empty_survivor_set_returns_zero_rows(ray_session, tmp_path):
     )
     assert t.num_rows == 0
     assert t.column_names == ["shard", "n_docs", "sum_tokens"]
+
+
+def test_q105_resume_skips_recompute(ray_session, tmp_path):
+    """A committed manifest of the identical config makes resume=True
+    return the same counters WITHOUT touching the shard files; a
+    config change (different sf_dir) rebuilds."""
+    import glob
+    import os
+
+    out = str(tmp_path / "r")
+    a = q105_curation_pipeline(SF, out_root=out)
+    files = sorted(glob.glob(f"{out}/shard=*/**/*.parquet", recursive=True))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    b = q105_curation_pipeline(SF, out_root=out, resume=True)
+    assert a.to_pydict() == b.to_pydict()
+    assert {f: os.path.getmtime(f) for f in files} == mtimes  # untouched
+    # config drift: same out_root, different input dir -> full rebuild
+    import shutil
+
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", alt / "documents.parquet")
+    c = q105_curation_pipeline(str(alt), out_root=out, resume=True)
+    assert c.to_pydict() == a.to_pydict()  # same data, rebuilt
+    files2 = sorted(glob.glob(f"{out}/shard=*/**/*.parquet", recursive=True))
+    assert any(
+        f not in mtimes or os.path.getmtime(f) != mtimes[f] for f in files2
+    )
+    # resume=False always rebuilds even with a valid manifest
+    d = q105_curation_pipeline(str(alt), out_root=out)
+    assert d.to_pydict() == a.to_pydict()
