@@ -393,12 +393,14 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
     ) -> list[dict]:
         draws: list[dict] = []
         best = float("inf")
+        floor = float("inf")  # TRUE min (no threshold) for the calm check
         since_best = 0
         while len(draws) < cap:
             if draws and time.perf_counter() - t_start > budget_s:
                 break
             d = one(ncpu)
             draws.append(d)
+            floor = min(floor, d["value"])
             if d["value"] < best - 0.5:  # 0.5 s = real improvement at
                 best = d["value"]        # this headline's 40-220 s scale
                 since_best = 0
@@ -416,7 +418,7 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16) -> dict:
             if (
                 len(draws) >= min_draws
                 and since_best >= stall
-                and best <= (calm_target or best)
+                and floor <= (calm_target or floor)
             ):
                 break
         return draws
