@@ -738,3 +738,42 @@ def test_contrastive_triplets_ivf_tier(neardup_dir):
         assert 0 <= g < n
     with pytest.raises(ValueError):
         ann.q103_contrastive_triplets(neardup_dir, graph="bogus")
+
+
+def test_ivf_knn_graph_block_layout_invariant(ray_session, tmp_path):
+    """q94b's output is a pure function of the TABLE, not the block
+    layout: cell routing is per-row, a cell's rows co-locate through
+    the exchange whatever blocks they started in, and the merge dedups
+    across shared probe cells — so a 1-row-group file and a 7-row-
+    group file must produce identical graphs (and a rerun must too)."""
+    rng = np.random.Generator(np.random.PCG64(99))
+    n, d = 120, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32) * 0.4
+    vecs[17] = vecs[3]  # exact duplicate -> cross-cell tie material
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    outs = []
+    for name, rgs in (("one", n), ("many", 17)):
+        p = tmp_path / name
+        p.mkdir()
+        pq.write_table(tbl, p / "embeddings.parquet", row_group_size=rgs)
+        outs.append(
+            ann.q94b_ivf_knn_graph(str(p), k=4)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    rerun = (
+        ann.q94b_ivf_knn_graph(str(tmp_path / "many"), k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(outs[1], rerun)
